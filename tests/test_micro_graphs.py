@@ -1,0 +1,120 @@
+"""Golden micro-graph tests for the north-rule algorithms (FIXTURES.md §3.2).
+
+Oracles are small pure-Python/numpy implementations — no Spark — mirroring
+GraphJet's golden-output test style (reference: graphjet-core/src/test/
+java/com/twitter/graphjet/algorithms/BipartiteGraphTestHelper.java:75-95,
+tiny hand-built fixtures asserted exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphjet_spark.plans.components import connected_components
+from graphjet_spark.plans.labelprop import label_propagation
+from graphjet_spark.plans.pagerank import pagerank
+from graphjet_spark.plans.triangles import per_vertex_triangles, triangle_count
+
+from .conftest import edges_df
+
+
+def numpy_pagerank(pairs, damping=0.85, tol=1e-10, max_iter=500):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in set(pairs):
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        new = np.full(n, (1 - damping) / n)
+        dangling = r[out == 0].sum()
+        new += damping * dangling / n
+        for s, d in set(pairs):
+            new[idx[d]] += damping * r[idx[s]] / out[idx[s]]
+        if np.abs(new - r).max() < tol:
+            r = new
+            break
+        r = new
+    return {v: r[idx[v]] for v in nodes}
+
+
+PR_LINE = [(1, 2), (2, 3), (3, 4)]  # 4 dangling
+PR_TRAP = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5), (5, 6), (6, 5)]
+CC_ISLANDS = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 20)]
+LP_CLIQUES = (
+    [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    + [(a, b) for a in (11, 12, 13, 14) for b in (11, 12, 13, 14) if a < b]
+    + [(4, 11)]
+)
+TRI_K4_TAIL = (
+    [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    + [(4, 3), (1, 2)]  # reverse orientation + duplicate
+    + [(4, 5), (5, 6)]  # pendant tail
+)
+
+
+@pytest.mark.parametrize("pairs", [PR_LINE, PR_TRAP], ids=["line", "trap"])
+def test_pagerank_micro(spark, pairs):
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(spark, edges_df(spark, pairs), tol=1e-8).collect()
+    }
+    want = numpy_pagerank(pairs)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+
+
+def test_pagerank_mass_conserved(spark):
+    got = pagerank(spark, edges_df(spark, PR_TRAP), tol=1e-8).collect()
+    assert sum(r["pagerank"] for r in got) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_connected_components_islands(spark):
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, edges_df(spark, CC_ISLANDS)).collect()
+    }
+    # self-loop (20,20) is dropped -> 20 not a vertex of the sym graph
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_cliques(spark):
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(spark, edges_df(spark, LP_CLIQUES), iters=5).collect()
+    }
+    # each 4-clique converges to its min label; bridge does not flip cliques
+    assert {got[v] for v in (1, 2, 3)} == {1}
+    assert {got[v] for v in (12, 13, 14)} == {11}
+
+
+def test_triangle_count_k4_tail(spark):
+    got = triangle_count(spark, edges_df(spark, TRI_K4_TAIL)).first()["triangles"]
+    assert got == 4  # K4 has 4 triangles; tail adds none; dups/orientation ignored
+
+
+def test_per_vertex_triangles(spark):
+    got = {
+        r["id"]: r["triangles"]
+        for r in per_vertex_triangles(spark, edges_df(spark, TRI_K4_TAIL)).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_hub_star_with_salt(spark):
+    # hub_star skew fixture: explicit two-phase agg must equal plain path
+    pairs = [(1, d) for d in range(100, 400)] + [(d, 1) for d in range(100, 150)]
+    e = edges_df(spark, pairs)
+    plain = {r["id"]: r["pagerank"] for r in pagerank(spark, e, tol=1e-8).collect()}
+    salted = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(spark, e, tol=1e-8, skew_salt=8).collect()
+    }
+    want = numpy_pagerank(pairs)
+    assert plain.keys() == salted.keys() == want.keys()
+    for v in want:
+        assert plain[v] == pytest.approx(want[v], abs=1e-6)
+        assert salted[v] == pytest.approx(plain[v], abs=1e-9)
