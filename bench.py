@@ -1,0 +1,72 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf": ...} plus engine-specific extras (PageRank superstep
+edges/sec — the BASELINE.json north metric).
+
+Run directly (`python bench.py`) or via spark-submit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphjet_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("graphjet_spark_bench")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # Warm the JVM + parquet footers once so per-query timings measure the
+    # plan, not first-touch JIT/IO (matches how a long-lived cluster runs).
+    from graphjet_spark.sources import testdata
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    n_edges = edges.count()
+
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        rows = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        del rows
+
+    # North metric: PageRank edges processed per second per superstep.
+    if "pagerank_fixed10" in timings:
+        from __spark_entry__ import PR_ITERS
+
+        extras["pagerank_edges_per_sec_per_superstep"] = round(
+            n_edges * PR_ITERS / timings["pagerank_fixed10"], 1
+        )
+    extras["n_edges"] = n_edges
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

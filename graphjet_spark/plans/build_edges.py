@@ -1,0 +1,141 @@
+"""Edge-table build: pages -> hyperlink edge table (FIXTURES.md §2).
+
+The write path of the engine — the analogue of GraphJet's ingestion
+(reference: graphjet-demo/src/main/java/com/twitter/graphjet/demo/
+TwitterStreamReader.java:129-160 -> bipartite/
+LeftIndexedMultiSegmentBipartiteGraph.java:144-158), re-expressed as one
+declarative Spark plan:
+
+    pages ──mapInPandas(extract_links)──> raw link rows
+          ──xxhash64(url)──> (src, dst, src_url, dst_url, warc_ts, edge_type)
+
+Scale notes (100 TB design):
+- extraction is a ``mapInPandas`` Arrow stage: NARROW (no shuffle) —
+  each page partition explodes to link rows in place; output partition
+  count = input partition count, so partition sizing is controlled
+  upstream by ``spark.sql.files.maxPartitionBytes`` on the pages scan.
+- only (url, html, warc_ts) are read — column pruning drops text/lang
+  at the scan (verified in tests via the physical plan's ReadSchema).
+- ids are ``xxhash64(url)`` computed JVM-side (whole-stage codegen), not
+  in Python; the id space needs no global coordination (no
+  monotonically_increasing_id, no driver bottleneck). Collisions are
+  checked by ``assert_no_id_collisions`` (count-distinct, one agg).
+- GraphJet maps longs -> dense ints per segment to halve memory
+  (bipartite/segment/LeftIndexedBipartiteGraphSegment.java:43-48); we
+  keep 64-bit hashes and rely on parquet dictionary + delta encoding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from graphjet_spark.functions import webtext
+
+_LINKS_SCHEMA = StructType(
+    [
+        StructField("src_url", StringType()),
+        StructField("dst_url", StringType()),
+        StructField("warc_ts", TimestampType()),
+    ]
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        links = webtext.extract_links(pdf["html"], pdf["url"])
+        if links.empty:
+            continue
+        idx = links["page_idx"].to_numpy()
+        yield pd.DataFrame(
+            {
+                "src_url": webtext.canonicalize_url(
+                    pdf["url"].iloc[idx].reset_index(drop=True)
+                ),
+                "dst_url": links["dst_url"].to_numpy(),
+                "warc_ts": pdf["warc_ts"].iloc[idx].to_numpy(),
+            }
+        )
+
+
+def extract_link_rows(pages: DataFrame) -> DataFrame:
+    """pages -> one row per href occurrence (duplicates preserved)."""
+    return pages.select("url", "html", "warc_ts").mapInPandas(
+        _extract_batches, schema=_LINKS_SCHEMA
+    )
+
+
+_TEXT_SCHEMA = StructType(
+    [StructField("url", StringType()), StructField("text", StringType())]
+)
+
+
+def _text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"url": pdf["url"], "text": webtext.extract_text(pdf["html"])}
+        )
+
+
+def extract_text_table(pages: DataFrame) -> DataFrame:
+    """pages -> (url, text) via the pinned Arrow-UDF extractor.
+
+    The input_hint per-row invariant: output ``text`` must be
+    byte-identical per url to the corpus ``text`` column.  Narrow stage
+    (no shuffle), Arrow-batched, no per-row Python.
+    """
+    return pages.select("url", "html").mapInPandas(
+        _text_batches, schema=_TEXT_SCHEMA
+    )
+
+
+def build_edges(pages: DataFrame) -> DataFrame:
+    """pages -> edge table (src, dst, src_url, dst_url, warc_ts, edge_type).
+
+    Raw link rows (per-occurrence); callers wanting the simple graph
+    apply :func:`simple_graph`.
+    """
+    return extract_link_rows(pages).select(
+        F.xxhash64("src_url").alias("src"),
+        F.xxhash64("dst_url").alias("dst"),
+        "src_url",
+        "dst_url",
+        "warc_ts",
+        F.lit(0).alias("edge_type"),
+    )
+
+
+def simple_graph(edges: DataFrame) -> DataFrame:
+    """Deduplicated (src, dst) pairs — input to the batch algorithms."""
+    return edges.select("src", "dst").distinct()
+
+
+def vertex_table(edges: DataFrame) -> DataFrame:
+    """(id, url) — the url<->id dictionary (both endpoints covered)."""
+    return (
+        edges.select(F.col("src").alias("id"), F.col("src_url").alias("url"))
+        .unionByName(
+            edges.select(F.col("dst").alias("id"), F.col("dst_url").alias("url"))
+        )
+        .distinct()
+    )
+
+
+def assert_no_id_collisions(vertices: DataFrame) -> None:
+    """xxhash64 collision check (FIXTURES.md: 'collision-checked')."""
+    row = vertices.agg(
+        F.countDistinct("id").alias("ids"), F.countDistinct("url").alias("urls")
+    ).first()
+    if row["ids"] != row["urls"]:
+        raise ValueError(
+            f"xxhash64 url collision: {row['urls']} urls -> {row['ids']} ids"
+        )

@@ -1,0 +1,122 @@
+"""Layer-1 tests (SURVEY.md §5.2): pages corpus -> edge table build.
+
+The extraction invariant (BASELINE.json input_hint): engine-side Arrow-UDF
+extraction must be byte-identical per url to the corpus ground truth.
+Edge build is checked by exact set equality against the synthesizer's
+closed-form link set — the GraphJet-style golden-output discipline
+(reference: graphjet-core/src/test/java/com/twitter/graphjet/algorithms/
+BipartiteGraphTestHelper.java:75-95).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from graphjet_spark.operators.adjacency import (
+    adjacency_blocks,
+    block_summary,
+    merged_degrees,
+    neighbors_of,
+)
+from graphjet_spark.plans.build_edges import (
+    assert_no_id_collisions,
+    build_edges,
+    extract_text_table,
+    simple_graph,
+    vertex_table,
+)
+from graphjet_spark.sources.pages import CorpusSpec, synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    spec = CorpusSpec(500, n_components=2)
+    pdf, true_links = synthesize_pages(spec)
+    pages = spark.createDataFrame(pdf).repartition(8).cache()
+    pages.count()
+    return pdf, true_links, pages
+
+
+def test_synthesis_deterministic():
+    spec = CorpusSpec(200)
+    a_pages, a_links = synthesize_pages(spec)
+    b_pages, b_links = synthesize_pages(spec)
+    assert a_pages.equals(b_pages) and a_links.equals(b_links)
+
+
+def test_extracted_text_byte_identical(corpus):
+    pdf, _, pages = corpus
+    got = extract_text_table(pages).toPandas().set_index("url")["text"]
+    want = pdf.set_index("url")["text"]
+    assert len(got) == len(want)
+    joined = pd.DataFrame({"got": got, "want": want})
+    mism = joined[joined.got != joined.want]
+    assert mism.empty, mism.head()
+    # byte-identical, not merely equal as str
+    assert all(
+        g.encode() == w.encode() for g, w in zip(joined.got, joined.want)
+    )
+
+
+def test_edge_build_exact_vs_ground_truth(corpus):
+    _, true_links, pages = corpus
+    got = (
+        build_edges(pages)
+        .select("src_url", "dst_url")
+        .toPandas()
+        .sort_values(["src_url", "dst_url"])
+        .reset_index(drop=True)
+    )
+    want = true_links.sort_values(["src_url", "dst_url"]).reset_index(drop=True)
+    assert got.equals(want)  # per-occurrence multiset equality, dups included
+
+
+def test_vertex_ids_no_collisions_and_schema(corpus):
+    _, _, pages = corpus
+    edges = build_edges(pages)
+    assert [f.name for f in edges.schema.fields] == [
+        "src", "dst", "src_url", "dst_url", "warc_ts", "edge_type",
+    ]
+    verts = vertex_table(edges)
+    assert_no_id_collisions(verts)
+
+
+def test_column_pruning_reaches_scan(corpus, tmp_path):
+    """The edge build must scan only (url, html, warc_ts) — text/lang
+    pruned at the parquet reader (SURVEY.md O10)."""
+    _, _, pages = corpus
+    p = str(tmp_path / "pages.parquet")
+    pages.write.parquet(p)
+    plan = build_edges(
+        pages.sparkSession.read.parquet(p)
+    )._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l or "Scan" in l)
+    assert "text" not in scan_line and "lang" not in scan_line
+
+
+def test_adjacency_blocks_invariants(corpus):
+    _, true_links, pages = corpus
+    edges = simple_graph(build_edges(pages))
+    adj = adjacency_blocks(edges, partitions=8, split_threshold=16).cache()
+    # re-merged degrees == groupBy degrees
+    got = {r["src"]: r["out_degree"] for r in merged_degrees(adj).collect()}
+    want = (
+        true_links.drop_duplicates()
+        .groupby("src_url")
+        .size()
+    )
+    assert sorted(got.values()) == sorted(want.to_list())
+    # mega-hub src (degree > threshold) must be split into >1 sub rows
+    splits = adj.groupBy("src").count().filter("count > 1").count()
+    assert splits >= 1
+    # neighbors re-merge exactly: spot-check the highest-degree src
+    from pyspark.sql import functions as F
+
+    top = merged_degrees(adj).orderBy(F.desc("out_degree")).first()
+    nbrs = {r["dst"] for r in neighbors_of(adj, top["src"]).collect()}
+    assert len(nbrs) == top["out_degree"]
+    # block summary covers all rows
+    summ = block_summary(adj).toPandas()
+    assert summ["rows"].sum() == adj.count()
+    adj.unpersist()
