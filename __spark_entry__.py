@@ -16,10 +16,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphjet_spark import oracles
+from graphjet_spark.operators.ann import brute_force_topk, lsh_bucketed_topk
+from graphjet_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
 from graphjet_spark.operators.degrees import degree_table, top_k_by_degree
+from graphjet_spark.operators.textstats import (
+    _STOPWORDS,
+    content_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from graphjet_spark.operators.sampling import random_multigraph_neighbors
+from graphjet_spark.operators.secondary import top_second_degree_by_count
+from graphjet_spark.operators.similarity import intersection_similarity
+from graphjet_spark.operators.socialproof import social_proof
 from graphjet_spark.plans.components import connected_components
 from graphjet_spark.plans.labelprop import label_propagation
 from graphjet_spark.plans.pagerank import pagerank
+from graphjet_spark.plans.salsa import salsa
 from graphjet_spark.plans.triangles import triangle_count
 from graphjet_spark.sources import testdata
 
@@ -77,6 +97,161 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(spark, edges)
 
 
+def _top_parts(spark: SparkSession, sf_dir: str, k: int) -> list[int]:
+    """Top-k parts by interaction degree (ties -> smaller id), the
+    deterministic query/seed pick shared with the oracle SQL."""
+    inter = testdata.interactions(spark, sf_dir)
+    rows = (
+        inter.groupBy("dst")
+        .count()
+        .orderBy(F.desc("count"), F.asc("dst"))
+        .limit(k)
+        .collect()
+    )
+    return [r["dst"] for r in rows]
+
+
+def _q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top3 = _top_parts(spark, sf_dir, 3)
+    inter = testdata.interactions(spark, sf_dir)
+    res = intersection_similarity(
+        inter,
+        query_node=top3[0],
+        seed_set=top3[1:],
+        normalization="cosine",
+        min_cooccurrence=2,
+        max_results=1_000_000_000,  # gate compares the full candidate set
+    )
+    return res.select(
+        "id", F.round("score", 6).alias("score"), "cooccurrence", "degree"
+    )
+
+
+def _q_second_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = testdata.interactions(spark, sf_dir)
+    res = top_second_degree_by_count(
+        inter, {1: 1.0, 2: 1.0, 3: 1.0}, max_results=20
+    )
+    return res.select("id", "weight", "visits")
+
+
+def _q_social_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inputs = _top_parts(spark, sf_dir, 5)
+    inter = testdata.interactions(spark, sf_dir)
+    res = social_proof(
+        inter, inputs, {1: 1.0, 2: 2.0, 3: 0.5}, proof_types=[0, 1]
+    )
+    return res.select(
+        "id",
+        F.round("weight", 6).alias("weight"),
+        F.size("proofs").alias("n_proof_types"),
+    )
+
+
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top3 = _top_parts(spark, sf_dir, 3)
+    # bipartite dst->src view: recommend customers for the top part
+    inter = testdata.interactions(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    res = salsa(
+        inter,
+        query_node=top3[0],
+        seeds_with_weight={s: 1.0 for s in top3[1:]},
+        num_walks=1000,
+        walk_length=5,
+        max_results=1_000_000_000,
+    )
+    # top-k on the ROUNDED score so the limit boundary is stable across
+    # engines (raw float sums differ at ~1e-16 by summation order)
+    return (
+        res.select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _q_rmgn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = testdata.interactions(spark, sf_dir)
+    return random_multigraph_neighbors(
+        inter, {1: 1.0, 2: 1.0, 3: 2.0}, max_num_samples=10_000, seed=42
+    )
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 power-law histogram: #nodes per floor(log2(out_degree)) bucket.
+
+    Bucket computed as length(bin(d))-1 (integer bit-length), identical
+    in Spark and DuckDB — floating log2 is not cross-engine stable at
+    power-of-two boundaries."""
+    e = testdata.graph_edges(spark, sf_dir).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    return (
+        deg.groupBy(
+            (F.length(F.bin("out_degree")) - 1).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("nodes"))
+        .orderBy("bucket")
+    )
+
+
+# --- training-data pipeline queries (documents/embeddings tables) -----
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return testdata.load_tables(spark, sf_dir)["documents"]
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return testdata.load_tables(spark, sf_dir)["embeddings"]
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.9)
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(_embs(spark, sf_dir), threshold=0.3)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return content_fingerprint(_docs(spark, sf_dir)).select("doc_id", "md5")
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup(_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3, shingle_n=2)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucketed_topk(
+        _embs(spark, sf_dir), [0, 1, 2], k=10, n_planes=6, n_tables=4, seed=42
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
@@ -85,6 +260,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "label_propagation_5": _q_labelprop,
         "triangle_count": _q_triangles,
+        "intersection_similarity_cosine": _q_similarity,
+        "top_second_degree_by_count": _q_second_degree,
+        "social_proof": _q_social_proof,
+        "salsa_subgraph_det": _q_salsa,
+        "random_multigraph_neighbors": _q_rmgn,
+        "degree_histogram": _q_degree_histogram,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_dups": _q_ngram_jaccard,
+        "embedding_near_dups": _q_embedding_dups,
+        "ann_topk_cosine": _q_ann_topk,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "content_fingerprint": _q_fingerprint,
+        "language_id": _q_language_id,
+        "minhash_near_dups": _q_minhash,
+        "simhash_near_dups": _q_simhash,
+        "lsh_ann_topk": _q_lsh_ann,
     }
 
 
@@ -111,4 +303,19 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "connected_components": oracles.connected_components_fixed_sql(CC_ITERS),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
+        "intersection_similarity_cosine": oracles.similarity_cosine_sql(),
+        "top_second_degree_by_count": oracles.second_degree_sql(),
+        "social_proof": oracles.social_proof_sql(),
+        "salsa_subgraph_det": oracles.salsa_subgraph_sql(),
+        # random_multigraph_neighbors: seeded RNG — rows-only check
+        "degree_histogram": oracles.degree_histogram_sql(),
+        "exact_dedup": oracles.exact_dedup_sql(),
+        "ngram_jaccard_dups": oracles.ngram_jaccard_sql(0.9),
+        "embedding_near_dups": oracles.embedding_near_dups_sql(0.3),
+        "ann_topk_cosine": oracles.ann_topk_sql(),
+        "token_count": oracles.token_count_sql(),
+        "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
+        "content_fingerprint": oracles.content_fingerprint_sql(),
+        # language_id / minhash / simhash / lsh_ann: engine-defined
+        # (numpy-hash) semantics — pytest-oracled, rows-only here
     }

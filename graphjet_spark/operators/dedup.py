@@ -1,0 +1,362 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five families, each scale-designed (the ``documents`` table at 100 TB):
+
+- exact:       hash-groupBy on content (JVM-side xxhash64, one shuffle);
+- n-gram Jaccard: shared-token candidate generation + exact set overlap
+               (the classic SIGMOD'10 set-similarity join shape:
+               explode -> self-join on token -> agg);
+- MinHash+LSH: vectorized numpy signatures (Arrow batches), banded into
+               LSH buckets, candidate pairs from bucket joins only —
+               never all-pairs;
+- SimHash:     64-bit fingerprints from token hash vectors, near-dup =
+               hamming distance <= k via band-exact prefilter;
+- embedding cosine: exact threshold join for the gate; LSH/IVF variants
+               live in operators/ann.py.
+
+GraphJet precedent for the dedup discipline: explicit seen-set
+dedup before aggregation (reference: graphjet-core/src/main/java/com/
+twitter/graphjet/algorithms/counting/TopSecondDegreeByCount.java:99-103)
+and Monte-Carlo-free deterministic formulations (SURVEY.md §2.8 R7).
+
+All Python-side kernels are pandas/numpy over Arrow batches — no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (keep_id, n_copies) — keep the smallest
+    doc_id per identical text.  One hash shuffle; the content itself is
+    reduced to xxhash64 pre-shuffle so wide text never moves."""
+    h = docs.select(
+        F.col("doc_id"), F.xxhash64(text_col).alias("h"), F.col(text_col)
+    )
+    return (
+        h.groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# -------------------------------------------------- n-gram Jaccard (exact)
+
+
+def token_sets(docs: DataFrame, text_col: str = "text", n: int = 1) -> DataFrame:
+    """(doc_id, tok) distinct token n-grams, built JVM-side: split +
+    transform/slice for n>1 (no UDF)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.expr(
+            f"transform(sequence(0, size(split({text_col}, '\\\\s+')) - {n}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i + 1, {n})))"
+        )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 1,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard >= threshold.
+
+    Candidates are pairs sharing >= 1 token (a token-inverted-index
+    self-join) — at web scale, stop-token removal / df-capping bounds
+    the join fan-out; here the vocabulary is the cap.  Output
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6.
+    """
+    toks = token_sets(docs, text_col, n)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    t1 = toks.alias("t1")
+    t2 = toks.alias("t2")
+    inter = (
+        t1.join(t2, (F.col("t1.tok") == F.col("t2.tok"))
+                & (F.col("t1.doc_id") < F.col("t2.doc_id")))
+        .groupBy(
+            F.col("t1.doc_id").alias("doc_a"), F.col("t2.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+# 31-bit Mersenne prime: keeps a*x + b inside uint64 (a, x < 2^31), so
+# the permutation hashes are exact modular arithmetic, no wraparound.
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _token_hashes(text: pd.Series, n: int) -> list[np.ndarray]:
+    """Per doc: uint64 hashes of its distinct token n-grams (vectorized
+    per batch via pandas str ops + numpy)."""
+    toks = text.str.split()
+    out = []
+    for t in toks:
+        if n > 1:
+            t = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+        arr = pd.util.hash_array(np.asarray(sorted(set(t)), dtype=object))
+        out.append(arr.astype(np.uint64))
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) MinHash signatures, numpy-vectorized
+    per Arrow batch."""
+    a, b = _hash_params(num_hashes, seed)
+
+    def _sig(batches):
+        for pdf in batches:
+            hashes = _token_hashes(pdf[text_col], shingle_n)
+            sigs = []
+            for h in hashes:
+                if len(h) == 0:
+                    sigs.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
+                    continue
+                x = h % np.uint64(_MERSENNE)
+                # (num_hashes, n_shingles) permuted values, min over shingles
+                vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(vals.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _sig, schema="doc_id bigint, sig array<bigint>"
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, *, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    The band bucket key is (band_idx, xxhash64 of the band slice) — a
+    plain shuffle key, so candidate generation is a groupBy, never an
+    all-pairs product.  Output (doc_a, doc_b) distinct, doc_a < doc_b.
+    """
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, xxhash64(concat_ws(',', transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), x -> cast(x AS string)))) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    g1 = banded.alias("g1")
+    g2 = banded.alias("g2")
+    return (
+        g1.join(
+            g2,
+            (F.col("g1.band") == F.col("g2.band"))
+            & (F.col("g1.bucket") == F.col("g2.bucket"))
+            & (F.col("g1.doc_id") < F.col("g2.doc_id")),
+        )
+        .select(
+            F.col("g1.doc_id").alias("doc_a"), F.col("g2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    bands: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash near-dup pairs: LSH candidates verified by estimated
+    Jaccard (signature agreement) >= threshold.  Output
+    (doc_a, doc_b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
+    ).persist()
+    cands = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    s1 = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    s2 = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash_fingerprints(
+    docs: DataFrame, *, shingle_n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash bigint): 64-bit SimHash over token n-gram hashes
+    (sign-sum of bit columns), numpy-vectorized."""
+
+    def _fp(batches):
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            hashes = _token_hashes(pdf[text_col], shingle_n)
+            fps = []
+            for h in hashes:
+                if len(h) == 0:
+                    fps.append(0)
+                    continue
+                bits = (h[:, None] & powers[None, :]) != 0  # (n, 64)
+                votes = bits.sum(axis=0) * 2 - len(h)  # + for 1s, - for 0s
+                fp = int(powers[votes > 0].sum(dtype=np.uint64))
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _fp, schema="doc_id bigint, simhash bigint"
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame, *, max_hamming: int = 3, shingle_n: int = 2
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Prefilter: split the 64-bit fingerprint into max_hamming+1 bands —
+    any pair within the distance budget must agree exactly on >= 1 band
+    (pigeonhole), so candidates come from band-bucket joins, not
+    all-pairs.  Output (doc_a, doc_b, hamming).
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    fps = simhash_fingerprints(docs, shingle_n=shingle_n).persist()
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> struct(b AS band, shiftright(simhash, b * {width}) & {(1 << width) - 1} AS key))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    b1 = banded.alias("b1")
+    b2 = banded.alias("b2")
+    return (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.key") == F.col("b2.key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("b1.simhash").bitwiseXOR(F.col("b2.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (a < b, round(cos, 6) >= threshold).
+
+    All arithmetic in float64 JVM-side expressions (aggregate/zip_with)
+    so results are reproducible against any float64 oracle.  Exact
+    all-pairs is the correctness baseline; the LSH-bucketed scale path
+    is operators/ann.py.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        norm.alias("nrm"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

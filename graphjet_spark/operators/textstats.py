@@ -1,0 +1,192 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything on the hot path is JVM-side column expressions (whole-stage
+codegen); the language-ID profile scoring is the one Arrow/pandas stage
+(vector math over trigram profiles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- counting
+
+# BPE-ish tokenization: words, numbers, or single non-space symbols —
+# approximates subword pre-tokenization (the GPT-2 pre-tokenizer shape).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens) — whitespace vs regex counts,
+    both pure column expressions."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.when(F.trim(F.col(text_col)) == "", 0).otherwise(ws).alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------- quality
+
+_STOPWORDS = (
+    "the of and a to in is it you that he was for on are as with his they i".split()
+)
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality signals as named column expressions (reusable)."""
+    n_chars = F.length(text)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.when(F.trim(text) == "", 0).otherwise(F.size(words))
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    sw_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(sw_arr, F.lower(w)))
+    )
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, quality) — quality in [0, 1]: a deterministic
+    blend of length band, mean word length band, and stopword presence
+    (Gopher-rules-style heuristics, simplified)."""
+    q = quality_columns(F.col(text_col))
+    length_ok = (q["n_words"] >= 5) & (q["n_words"] <= 100_000)
+    mwl_ok = (q["mean_word_len"] >= 2.0) & (q["mean_word_len"] <= 12.0)
+    score = (
+        length_ok.cast("double") * 0.4
+        + mwl_ok.cast("double") * 0.3
+        + F.least(q["stopword_ratio"] * F.lit(4.0), F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        q["n_words"].alias("n_words"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+# ------------------------------------------------------------ language ID
+
+# Tiny marker-word profiles (deterministic, self-contained). Real
+# deployments would load fastText/CLD3 profiles through the same
+# operator shape.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and is of to you that it with for".split(),
+    "de": "der die das und ist nicht ich du mit für".split(),
+    "fr": "le la les et est une pour que vous dans".split(),
+    "es": "el la los y es una para que usted en".split(),
+    "pt": "o a os e é uma para que você em".split(),
+    "it": "il la gli e è una per che lei in".split(),
+}
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score) — argmax marker-word hit rate,
+    ties broken by language code order; 'und' when nothing matches.
+    Vectorized pandas stage (set ops over token arrays)."""
+    langs = sorted(_LANG_MARKERS)
+    markers = {l: frozenset(_LANG_MARKERS[l]) for l in langs}
+
+    def _lid(batches):
+        for pdf in batches:
+            toks = pdf[text_col].str.lower().str.split()
+            scores = np.zeros((len(pdf), len(langs)))
+            for j, l in enumerate(langs):
+                m = markers[l]
+                scores[:, j] = [
+                    (sum(t in m for t in ts) / len(ts)) if ts else 0.0
+                    for ts in toks
+                ]
+            best = scores.argmax(axis=1)
+            best_score = scores.max(axis=1)
+            pred = np.where(
+                best_score > 0.0, np.asarray(langs, dtype=object)[best], "und"
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pred_lang": pred,
+                    "lang_score": np.round(best_score, 6),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _lid, schema="doc_id bigint, pred_lang string, lang_score double"
+    )
+
+
+# ---------------------------------------------------------- fingerprinting
+
+
+def content_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, md5, h64) — exact-content fingerprints, JVM-side."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("md5"),
+        F.xxhash64(F.col(text_col)).alias("h64"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fingerprints array<bigint>) — winnowing (Schleimer et al.
+    SIGMOD'03): rolling hashes of k-grams, keep the min hash of each
+    sliding window (rightmost min), dedup.  Local-algorithm guarantee:
+    any shared substring >= window+k-1 chars yields a shared
+    fingerprint.  numpy per doc over Arrow batches (modular prefix
+    hashes need a sequential pass; 31-bit modulus keeps products in
+    uint64)."""
+
+    def _fp(batches):
+        base = np.uint64(257)
+        mod = np.uint64((1 << 31) - 1)
+        for pdf in batches:
+            out = []
+            for s in pdf[text_col]:
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(
+                    np.uint64
+                )
+                if len(b) < k:
+                    out.append([])
+                    continue
+                # rolling polynomial hash of k-grams via prefix trick
+                pw = np.ones(len(b) + 1, dtype=np.uint64)
+                for i in range(1, len(pw)):
+                    pw[i] = (pw[i - 1] * base) % mod
+                pref = np.zeros(len(b) + 1, dtype=np.uint64)
+                for i in range(len(b)):
+                    pref[i + 1] = (pref[i] * base + b[i]) % mod
+                n = len(b) - k + 1
+                idx = np.arange(n)
+                kh = (pref[idx + k] + mod - (pref[idx] * pw[k]) % mod) % mod
+                if n < window:
+                    out.append(sorted({int(kh.min())}))
+                    continue
+                w = np.lib.stride_tricks.sliding_window_view(kh, window)
+                mins = w.min(axis=1)
+                out.append(sorted({int(x) for x in mins}))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprints": out})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _fp, schema="doc_id bigint, fingerprints array<bigint>"
+    )

@@ -120,6 +120,303 @@ def label_propagation_fixed_sql(iters: int) -> str:
     )
 
 
+# Top-k parts by interaction degree — the deterministic query/seed pick
+# shared with the Spark wrappers in __spark_entry__ (_top_parts).
+_TOP_PARTS = """
+tp AS MATERIALIZED (
+  SELECT dst AS t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, dst ASC) AS rk
+  FROM interactions GROUP BY dst
+  QUALIFY rk <= {k})
+"""
+
+
+def similarity_cosine_sql(min_cooccurrence: int = 2, round_to: int = 6) -> str:
+    """IntersectionSimilarity (cosine) vs query=top-1 part, seeds=top-2/3
+    parts; full candidate set (no top-k so the gate is limit-stable)."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + _TOP_PARTS.format(k=3).strip()
+        + ",\n"
+        + f"""
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM interactions),
+outd AS MATERIALIZED (SELECT src, COUNT(*) AS ldeg FROM e GROUP BY src),
+ind AS MATERIALIZED (SELECT dst, COUNT(*) AS rdeg FROM e GROUP BY dst),
+lw AS MATERIALIZED (
+  SELECT e.src, CAST(COUNT(DISTINCT tp.t) AS DOUBLE) AS weight
+  FROM e JOIN tp ON e.dst = tp.t GROUP BY e.src),
+hops AS MATERIALIZED (
+  SELECT DISTINCT e.src, e.dst, lw.weight, outd.ldeg
+  FROM e JOIN lw ON e.src = lw.src JOIN outd ON e.src = outd.src),
+cooc AS MATERIALIZED (
+  SELECT dst, SUM(weight) AS wc, CAST(SUM(weight) AS BIGINT) AS raw
+  FROM hops GROUP BY dst)
+SELECT cooc.dst AS id,
+       ROUND(wc / SQRT(ind.rdeg), {round_to}) AS score,
+       raw AS cooccurrence,
+       CAST(ind.rdeg AS BIGINT) AS degree
+FROM cooc JOIN ind ON cooc.dst = ind.dst
+WHERE raw >= {min_cooccurrence}
+""".strip()
+    )
+
+
+def second_degree_sql(max_edges_per_node: int = 500, k: int = 20) -> str:
+    """TopSecondDegreeByCount, seeds customers {1,2,3} weight 1.0; exact
+    double weights so the top-k boundary is deterministic."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + f"""
+seeds AS MATERIALIZED (SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE))) s(src, seed_weight)),
+latest AS MATERIALIZED (
+  SELECT src, dst, edge_type, seed_weight FROM (
+    SELECT i.src, i.dst, i.edge_type, s.seed_weight,
+           ROW_NUMBER() OVER (PARTITION BY i.src ORDER BY i.seq DESC) AS rn
+    FROM interactions i JOIN seeds s ON i.src = s.src
+  ) WHERE rn <= {max_edges_per_node}),
+ded AS MATERIALIZED (SELECT DISTINCT src, dst, edge_type, seed_weight FROM latest)
+SELECT dst AS id, SUM(seed_weight) AS weight, CAST(COUNT(*) AS BIGINT) AS visits
+FROM ded GROUP BY dst
+ORDER BY weight DESC, id ASC
+LIMIT {k}
+""".strip()
+    )
+
+
+def social_proof_sql(max_edges_per_node: int = 500, round_to: int = 6) -> str:
+    """TweetSocialProof analogue: inputs = top-5 parts, seed customers
+    {1: 1.0, 2: 2.0, 3: 0.5}, proof types {0, 1}."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + _TOP_PARTS.format(k=5).strip()
+        + ",\n"
+        + f"""
+seeds AS MATERIALIZED (SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(2.0 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(0.5 AS DOUBLE))) s(src, seed_weight)),
+matched AS MATERIALIZED (
+  SELECT t.t AS id, x.src, x.edge_type, x.seed_weight FROM (
+    SELECT i.src, i.dst, i.edge_type, s.seed_weight,
+           ROW_NUMBER() OVER (PARTITION BY i.src ORDER BY i.seq DESC) AS rn
+    FROM interactions i JOIN seeds s ON i.src = s.src
+  ) x JOIN tp t ON x.dst = t.t
+  WHERE x.rn <= {max_edges_per_node} AND x.edge_type IN (0, 1)),
+by_type AS MATERIALIZED (
+  SELECT id, edge_type, SUM(seed_weight) AS w FROM matched GROUP BY id, edge_type),
+agg AS MATERIALIZED (
+  SELECT id, SUM(w) AS weight, CAST(COUNT(*) AS INT) AS n_proof_types
+  FROM by_type GROUP BY id)
+SELECT tp.t AS id,
+       ROUND(COALESCE(agg.weight, 0.0), {round_to}) AS weight,
+       COALESCE(agg.n_proof_types, 0) AS n_proof_types
+FROM tp LEFT JOIN agg ON tp.t = agg.id
+""".strip()
+    )
+
+
+def salsa_subgraph_sql(
+    num_walks: int = 1000,
+    walk_length: int = 5,
+    reset_prob: float = 0.3,
+    query_weight_fraction: float = 0.9,
+    k: int = 20,
+    round_to: int = 6,
+) -> str:
+    """Unrolled deterministic subgraph SALSA over the reversed
+    interactions graph (part -> customer), query = top-1 part, seeds =
+    top-2/3 parts weight 1.0.  Mirrors plans/salsa.py step by step."""
+    qw_factor = repr(query_weight_fraction / (1.0 - query_weight_fraction))
+    parts = [
+        "rev AS MATERIALIZED (SELECT DISTINCT dst AS src, src AS dst FROM interactions)",
+        "sub AS MATERIALIZED (SELECT r.src, r.dst FROM rev r JOIN tp ON r.src = tp.t)",
+        "outd AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM sub GROUP BY src)",
+        "recip AS MATERIALIZED (SELECT dst, 1.0/COUNT(*) AS recip FROM sub GROUP BY dst)",
+        "qn AS MATERIALIZED (SELECT t FROM tp WHERE rk = 1)",
+        """seeds0 AS MATERIALIZED (
+  SELECT t AS id, CAST(1.0 AS DOUBLE) AS w FROM tp
+  WHERE rk > 1 AND t IN (SELECT src FROM outd))""",
+        f"""qrow AS MATERIALIZED (
+  SELECT t AS id,
+         CASE WHEN (SELECT COALESCE(SUM(w), 0.0) FROM seeds0) > 0
+              THEN (SELECT SUM(w) FROM seeds0) * {qw_factor}
+              ELSE 1.0 END AS w
+  FROM qn WHERE t IN (SELECT src FROM outd))""",
+        "seed_all AS MATERIALIZED (SELECT * FROM seeds0 UNION ALL SELECT * FROM qrow)",
+        f"""l0 AS MATERIALIZED (
+  SELECT id, w / (SELECT SUM(w) FROM seed_all) * {float(num_walks)} AS w
+  FROM seed_all)""",
+    ]
+    cum_prev = None
+    for step in range(walk_length):
+        if step % 2 == 0:  # forward
+            parts.append(
+                f"""f{step} AS MATERIALIZED (
+  SELECT sub.dst, SUM(l.w / outd.deg) AS c
+  FROM sub JOIN l{step} l ON sub.src = l.id JOIN outd ON sub.src = outd.src
+  GROUP BY sub.dst)"""
+            )
+            if cum_prev is None:
+                parts.append(f"cum{step} AS MATERIALIZED (SELECT * FROM f{step})")
+            else:
+                parts.append(
+                    f"""cum{step} AS MATERIALIZED (
+  SELECT dst, SUM(c) AS c FROM (
+    SELECT * FROM {cum_prev} UNION ALL SELECT * FROM f{step}
+  ) GROUP BY dst)"""
+                )
+            cum_prev = f"cum{step}"
+            parts.append(
+                f"""l{step + 1} AS MATERIALIZED (
+  SELECT t AS id, {reset_prob} * (SELECT SUM(w) FROM l{step}) AS w FROM qn)"""
+            )
+        else:  # backward
+            parts.append(
+                f"""l{step + 1} AS MATERIALIZED (
+  SELECT COALESCE(g.id, l.id) AS id,
+         COALESCE(g.g, 0.0) + COALESCE(l.w, 0.0) AS w
+  FROM (
+    SELECT sub.src AS id, SUM(c.c * r.recip) AS g
+    FROM sub JOIN {cum_prev} c ON sub.dst = c.dst
+    JOIN recip r ON sub.dst = r.dst
+    GROUP BY sub.src
+  ) g FULL OUTER JOIN l{step} l ON g.id = l.id)"""
+            )
+    body = ",\n".join(parts)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + _TOP_PARTS.format(k=3).strip()
+        + ",\n"
+        + body
+        + f"""
+SELECT dst AS id, ROUND(c / (SELECT SUM(c) FROM {cum_prev}), {round_to}) AS score
+FROM {cum_prev}
+ORDER BY score DESC, id ASC
+LIMIT {k}"""
+    )
+
+
+# --------------------------------------------------------- training-data
+
+
+def exact_dedup_sql() -> str:
+    return (
+        "SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
+        "FROM documents GROUP BY text"
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.9) -> str:
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {threshold}
+"""
+
+
+def embedding_near_dups_sql(threshold: float = 0.3) -> str:
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {threshold}
+"""
+
+
+def ann_topk_sql(query_ids: tuple[int, ...] = (0, 1, 2, 3, 4), k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN ({ids}))
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qe, v.e), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ROUND(list_cosine_similarity(q.qe, v.e), 6) DESC,
+                    v.vec_id ASC) AS rn
+  FROM q JOIN v ON v.vec_id <> q.query_id
+) WHERE rn <= {k}
+"""
+
+
+def token_count_sql() -> str:
+    return r"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+       AS INT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def quality_score_sql(stopwords: tuple[str, ...]) -> str:
+    sw = ", ".join(f"'{w}'" for w in stopwords)
+    return rf"""
+WITH q AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> list_contains([{sw}], lower(w)))) END AS n_stop
+  FROM documents)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+  ROUND(
+    (CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+    + (CASE WHEN n_words > 0 AND n_chars / n_words >= 2.0
+                 AND n_chars / n_words <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+    + LEAST((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words
+             ELSE 0.0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+FROM q
+"""
+
+
+def content_fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+
+def degree_histogram_sql() -> str:
+    """A9 power-law histogram over graph_edges out-degrees; bucket =
+    integer bit-length - 1 (cross-engine-stable floor(log2))."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + """
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM graph_edges),
+od AS MATERIALIZED (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src)
+SELECT CAST(LENGTH(BIN(out_degree)) - 1 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS nodes
+FROM od GROUP BY bucket ORDER BY bucket
+""".strip()
+    )
+
+
 def triangle_count_sql() -> str:
     """Degree-ordered triangle count (global). Orientation: each
     undirected edge points from lower (deg, id) to higher, so every

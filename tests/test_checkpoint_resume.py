@@ -1,0 +1,62 @@
+"""Layer-4 tests (SURVEY.md §5.2): determinism & mid-run resume.
+
+North rule: "resumable from checkpoint with per-partition lineage +
+metrics" — kill after superstep k, resume, reproduce the uninterrupted
+run."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphjet_spark.plans.checkpoints import CheckpointManager
+from graphjet_spark.plans.pagerank import pagerank
+
+from .conftest import edges_df
+
+PAIRS = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5), (5, 6), (6, 5), (1, 5), (6, 2)]
+
+
+def _ranks(df):
+    return {r["id"]: r["pagerank"] for r in df.collect()}
+
+
+def test_resume_matches_uninterrupted(spark, tmp_path):
+    e = edges_df(spark, PAIRS)
+    full = _ranks(pagerank(spark, e, fixed_iters=10))
+
+    # run 1: "killed" after 4 supersteps (fixed_iters=4 commits 4 iters)
+    mgr = CheckpointManager(str(tmp_path), "runA")
+    pagerank(spark, e, fixed_iters=4, checkpoint=mgr).collect()
+    assert mgr.last_committed() == 4
+
+    # run 2: same manager, full budget — must resume at iter 4, not 0
+    resumed = _ranks(pagerank(spark, e, fixed_iters=10, checkpoint=mgr))
+    assert mgr.last_committed() == 10
+    assert resumed.keys() == full.keys()
+    for v in full:
+        assert resumed[v] == pytest.approx(full[v], abs=1e-15)
+
+    # metrics: per-partition lineage rows present for every superstep
+    rows = mgr.read_metrics()
+    assert [m["iteration"] for m in rows] == list(range(1, 11))
+    assert all(m["partitions"] and "delta_l1" in m["partitions"][0] for m in rows)
+    # convergence metrics monotone-ish: final delta far below first
+    assert rows[-1]["delta_linf"] < rows[0]["delta_linf"]
+
+
+def test_commit_is_idempotent_and_atomic(spark, tmp_path):
+    e = edges_df(spark, PAIRS)
+    mgr = CheckpointManager(str(tmp_path), "runB")
+    pagerank(spark, e, fixed_iters=3, checkpoint=mgr).collect()
+    st3 = {r["id"]: r["rank"] for r in mgr.read_state(spark, 3).collect()}
+
+    # re-running the same window overwrites identically (idempotent)
+    pagerank(spark, e, fixed_iters=3, checkpoint=CheckpointManager(str(tmp_path), "runB")).collect()
+    st3b = {r["id"]: r["rank"] for r in mgr.read_state(spark, 3).collect()}
+    assert st3 == st3b
+
+    # a dangling .tmp directory is never treated as committed
+    import os
+
+    os.makedirs(os.path.join(mgr.state_dir, "iter=99.tmp"))
+    assert mgr.last_committed() == 3

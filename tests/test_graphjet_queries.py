@@ -1,0 +1,288 @@
+"""Layer-3 parity tests (SURVEY.md §5.2): GraphJet query-surface
+analogues vs literal-minded pure-Python oracles.
+
+Fixture: GraphJet's canonical 3x11 bipartite graph (reference:
+graphjet-core/src/test/java/com/twitter/graphjet/algorithms/
+BipartiteGraphTestHelper.java:75-95):
+    1 -> {2, 3, 4, 5};  2 -> {5, 6, 10};  3 -> {7, 8, 5, 9, 2, 10, 11, 1}
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from graphjet_spark.operators.filters import (
+    apply_filter_chain,
+    direct_interactions_exclude,
+    min_interactions_filter,
+    requested_set_filter,
+)
+from graphjet_spark.operators.sampling import (
+    build_alias_table,
+    random_multigraph_neighbors,
+    sample_alias,
+)
+from graphjet_spark.operators.secondary import top_second_degree_by_count
+from graphjet_spark.operators.similarity import NORMS, intersection_similarity
+from graphjet_spark.operators.socialproof import social_proof
+from graphjet_spark.plans.salsa import salsa
+
+CANON = (
+    [(1, r) for r in (2, 3, 4, 5)]
+    + [(2, r) for r in (5, 6, 10)]
+    + [(3, r) for r in (7, 8, 5, 9, 2, 10, 11, 1)]
+)
+
+
+def typed_edges_df(spark, pairs):
+    """(src, dst, edge_type=0, seq=insertion order)."""
+    rows = [(s, d, 0, i) for i, (s, d) in enumerate(pairs)]
+    return spark.createDataFrame(
+        rows, "src bigint, dst bigint, edge_type int, seq bigint"
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def oracle_intersection(pairs, query, seeds, norm_name, min_cooc=1, min_deg=1):
+    """Literal mirror of IntersectionSimilarity.java:77-184 (exact mode)."""
+    out = defaultdict(set)
+    inn = defaultdict(set)
+    for s, d in set(pairs):
+        out[s].add(d)
+        inn[d].add(s)
+    targets = set(seeds) | {query}
+    weight = Counter()
+    for t in targets:
+        for u in inn[t]:
+            weight[u] += 1
+    f = {
+        "cosine": lambda d: 1.0,
+        "jaccard": lambda d: 1.0,
+        "overlap": lambda d: 1.0,
+        "inverse_degree": lambda d: 1.0 / d,
+        "scaled": lambda d: math.log(2) / math.log(d) if d > 1 else 0.0,
+    }[norm_name]
+    g = {
+        "cosine": lambda c, sd, qd: 1.0 / math.sqrt(sd),
+        "jaccard": lambda c, sd, qd: 1.0 / (sd + qd - c),
+        "overlap": lambda c, sd, qd: 1.0,
+        "inverse_degree": lambda c, sd, qd: 1.0,
+        "scaled": lambda c, sd, qd: 1.0
+        / (math.sqrt(sd) * math.sqrt(abs(sd - qd) + 1.0)),
+    }[norm_name]
+    weighted, raw = Counter(), Counter()
+    for u, wu in weight.items():
+        if len(out[u]) < min_deg:
+            continue
+        for r in out[u]:
+            weighted[r] += wu * f(len(out[u]))
+            raw[r] += wu
+    qdeg = len(inn[query])
+    res = []
+    for r, wc in weighted.items():
+        if raw[r] < min_cooc:
+            continue
+        res.append((r, wc * g(wc, len(inn[r]), qdeg), raw[r], len(inn[r])))
+    res.sort(key=lambda t: (-t[1], t[0]))
+    return res
+
+
+def oracle_salsa(pairs, query, seeds, *, num_walks, walk_length, alpha, frac):
+    """Literal mirror of SalsaSubgraphInternalState.java:124-208 +
+    SalsaIterations.java:105-146, float mass, exact subgraph."""
+    left_set = set(seeds) | {query}
+    sub = sorted({(s, d) for s, d in pairs if s in left_set})
+    out = defaultdict(list)
+    inn = defaultdict(list)
+    for s, d in sub:
+        out[s].append(d)
+        inn[d].append(s)
+    w = {s: 1.0 for s in seeds if out[s]}  # request weights default 1.0
+    total = float(sum(w.values()))
+    if query not in w and out[query]:
+        qw = total * frac / (1.0 - frac) if total > 0 else 1.0
+        w[query] = qw
+        total += qw
+    w = {u: wt / total * num_walks for u, wt in w.items()}
+    cum = Counter()
+    final_contrib = defaultdict(list)
+    for step in range(walk_length):
+        if step % 2 == 0:
+            for u, wu in w.items():
+                for v in out[u]:
+                    c = wu / len(out[u])
+                    cum[v] += c
+                    if step == walk_length - 1:
+                        final_contrib[v].append((c, u))
+            w = {query: alpha * sum(w.values())}
+        else:
+            new_w = {}
+            for u in out:
+                g = sum(cum[v] / len(inn[v]) for v in out[u])
+                new_w[u] = w.get(u, 0.0) + g
+            w = new_w
+    total_mass = sum(cum.values())
+    return {v: c / total_mass for v, c in cum.items()}, final_contrib
+
+
+# ------------------------------------------------------------------ tests
+
+
+@pytest.mark.parametrize("norm", sorted(NORMS))
+def test_intersection_similarity_all_norms(spark, norm):
+    got = intersection_similarity(
+        typed_edges_df(spark, CANON),
+        query_node=5,
+        seed_set=[10],
+        normalization=norm,
+        max_results=20,
+        min_cooccurrence=1,
+    ).collect()
+    want = oracle_intersection(CANON, 5, [10], norm)
+    assert [r["id"] for r in got] == [t[0] for t in want]
+    for r, t in zip(got, want):
+        assert r["score"] == pytest.approx(t[1], abs=1e-12)
+        assert r["cooccurrence"] == t[2]
+        assert r["degree"] == t[3]
+
+
+def test_intersection_zero_degree_query_empty(spark):
+    got = intersection_similarity(typed_edges_df(spark, CANON), query_node=999)
+    assert got.count() == 0
+
+
+def test_salsa_deterministic_parity(spark):
+    got = salsa(
+        typed_edges_df(spark, CANON),
+        query_node=1,
+        seeds_with_weight={2: 1.0, 3: 1.0},
+        num_walks=1000,
+        walk_length=5,
+        reset_prob=0.3,
+        query_weight_fraction=0.9,
+        max_results=11,
+        max_social_proof=2,
+    ).collect()
+    scores, proofs = oracle_salsa(
+        CANON, 1, [2, 3], num_walks=1000, walk_length=5, alpha=0.3, frac=0.9
+    )
+    want = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+    assert [r["id"] for r in got] == [v for v, _ in want]
+    for r, (v, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    # scores normalized: the full result mass sums to 1
+    assert sum(r["score"] for r in got) == pytest.approx(1.0, abs=1e-9)
+    # social proof: top contributors of the final forward step
+    by_id = {r["id"]: r for r in got}
+    for v, contribs in proofs.items():
+        want_proof = sorted(contribs, key=lambda t: (-t[0], -t[1]))[:2]
+        got_proof = [(p["w"], p["src"]) for p in by_id[v]["social_proof"]]
+        assert len(got_proof) == len(want_proof)
+        for (gw, gs), (ww, ws) in zip(got_proof, want_proof):
+            assert gw == pytest.approx(ww, rel=1e-9)
+
+
+def test_salsa_rejects_even_walk_length(spark):
+    with pytest.raises(ValueError):
+        salsa(typed_edges_df(spark, CANON), 1, walk_length=4)
+
+
+def test_top_second_degree_by_count(spark):
+    got = top_second_degree_by_count(
+        typed_edges_df(spark, CANON),
+        {1: 1.5, 2: 1.0},
+        max_results=11,
+        max_social_proof=2,
+    ).collect()
+    # oracle: weight[dst] = sum of seed weights over deduped (seed,dst,type)
+    w = Counter()
+    visits = Counter()
+    for s, wt in [(1, 1.5), (2, 1.0)]:
+        for d in {d for ss, d in CANON if ss == s}:
+            w[d] += wt
+            visits[d] += 1
+    want = sorted(w.items(), key=lambda t: (-t[1], t[0]))
+    assert [(r["id"], r["weight"]) for r in got] == want
+    by_id = {r["id"]: r for r in got}
+    assert by_id[5]["visits"] == 2
+    assert {p["src"] for p in by_id[5]["social_proof"]} == {1, 2}
+    assert by_id[5]["proof_types"] == [0]
+
+
+def test_top_second_degree_edge_cap(spark):
+    # cap=2 keeps only the 2 latest edges per seed (by seq desc)
+    got = top_second_degree_by_count(
+        typed_edges_df(spark, CANON), {1: 1.0}, max_edges_per_node=2, max_results=11
+    ).collect()
+    assert {r["id"] for r in got} == {4, 5}  # last two of 1 -> {2,3,4,5}
+
+
+def test_social_proof(spark):
+    got = social_proof(
+        typed_edges_df(spark, CANON),
+        input_nodes=[5, 10, 99],
+        seeds_with_weight={1: 1.0, 2: 2.0, 3: 0.5},
+        proof_types=[0],
+    ).collect()
+    by_id = {r["id"]: r for r in got}
+    assert set(by_id) == {5, 10, 99}  # every input present (:130-136)
+    assert by_id[5]["weight"] == pytest.approx(3.5)  # 1.0 + 2.0 + 0.5
+    assert by_id[10]["weight"] == pytest.approx(2.5)
+    assert by_id[99]["weight"] == 0.0 and by_id[99]["proofs"] == []
+    assert by_id[5]["proofs"][0]["users"] == [1, 2, 3]
+
+
+def test_filter_chain(spark):
+    df = typed_edges_df(spark, CANON).groupBy("dst").count().select(
+        "dst", "count"
+    ).withColumnRenamed("dst", "id").withColumnRenamed("count", "degree")
+    out = apply_filter_chain(
+        df,
+        [requested_set_filter([5]), min_interactions_filter(2)],
+        exclude_tables=[
+            direct_interactions_exclude(typed_edges_df(spark, CANON), 1)
+        ],
+    )
+    ids = {r["id"] for r in out.collect()}
+    # degree>=2: {2,5,10}; minus requested {5}; minus 1's neighbors {2,3,4,5}
+    assert ids == {10}
+
+
+def test_alias_table_statistics():
+    import numpy as np
+
+    weights = np.array([1.0, 2.0, 7.0])
+    prob, alias = build_alias_table(weights)
+    rng = np.random.default_rng(7)
+    draws = sample_alias(prob, alias, 200_000, rng)
+    freq = np.bincount(draws, minlength=3) / 200_000
+    np.testing.assert_allclose(freq, weights / weights.sum(), atol=0.01)
+
+
+def test_random_multigraph_neighbors(spark):
+    got = random_multigraph_neighbors(
+        typed_edges_df(spark, CANON),
+        {1: 1.0, 3: 1.0},
+        max_num_samples=20_000,
+        max_results=11,
+        seed=42,
+    )
+    rows = got.collect()
+    # deterministic: same seed -> identical result
+    rows2 = random_multigraph_neighbors(
+        typed_edges_df(spark, CANON),
+        {1: 1.0, 3: 1.0},
+        max_num_samples=20_000,
+        max_results=11,
+        seed=42,
+    ).collect()
+    assert rows == rows2
+    # statistics: P(5) = P(draw 1)*1/4 + P(draw 3)*1/8 = (1/3)/4 + (2/3)/8
+    by_id = {r["id"]: r["score"] for r in rows}
+    assert by_id[5] == pytest.approx(1 / 12 + 1 / 12, abs=0.02)
+    assert sum(by_id.values()) == pytest.approx(1.0, abs=1e-9)

@@ -1,0 +1,216 @@
+"""Tests for the training-data pipeline operators: dedup families,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphjet_spark.operators import multimodal
+from graphjet_spark.operators.ann import brute_force_topk, lsh_bucketed_topk
+from graphjet_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    token_sets,
+)
+from graphjet_spark.operators.textstats import (
+    content_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    winnowing_fingerprints,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 0
+    (3, "completely different content about spark shuffles and partitions here"),
+    (4, "der schnelle braune fuchs springt über den faulen hund im wald"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    got = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert got[0] == 2  # docs 0 and 1 identical, keep min id
+    assert 1 not in got
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_token_sets_ngrams(spark, docs):
+    uni = token_sets(docs.filter("doc_id = 3"), n=1).count()
+    assert uni == 9  # 9 distinct words
+    bi = {
+        r["tok"]
+        for r in token_sets(docs.filter("doc_id = 3"), n=2).collect()
+    }
+    assert "spark shuffles" in bi and len(bi) == 8
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    # doc 2 differs from 0 by one word (12 distinct each): |∩|=11, |∪|=13
+    assert got[(0, 2)] == pytest.approx(11 / 13, abs=1e-6)
+    assert (0, 3) not in got
+
+
+def test_minhash_dedup_finds_near_dups(spark, docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_dedup(docs, shingle_n=2, threshold=0.5).collect()
+    }
+    assert got[(0, 1)] == 1.0  # identical signatures
+    assert (0, 2) in got  # near dup caught by LSH
+    assert all((a, b) != (0, 3) for a, b in got)
+
+
+def test_minhash_signature_determinism(spark, docs):
+    a = minhash_signatures(docs, num_hashes=32).collect()
+    b = minhash_signatures(docs.repartition(4), num_hashes=32).collect()
+    sa = {r["doc_id"]: r["sig"] for r in a}
+    sb = {r["doc_id"]: r["sig"] for r in b}
+    assert sa == sb  # partitioning-independent
+
+
+def test_simhash_near_dups(spark, docs):
+    fps = simhash_near_dups(docs, max_hamming=16, shingle_n=1).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in fps}
+    assert got[(0, 1)] == 0
+    if (0, 2) in got:
+        assert got[(0, 2)] <= 16
+    # unrelated docs must not appear at small distance
+    assert all(h > 0 for (a, b), h in got.items() if (a, b) != (0, 1))
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(emb, threshold=0.95).collect()
+    }
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] > 0.99
+
+
+def test_brute_force_topk_exact(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = brute_force_topk(emb, [0, 1], k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine"]))
+    # numpy oracle
+    v64 = vecs.astype(np.float64)
+    sims = v64 @ v64.T / (
+        np.linalg.norm(v64, axis=1)[:, None] * np.linalg.norm(v64, axis=1)[None, :]
+    )
+    for q in (0, 1):
+        order = sorted(
+            ((round(sims[q, j], 6), -j) for j in range(50) if j != q), reverse=True
+        )[:5]
+        want = [(-nj, c) for c, nj in order]
+        assert by_q[q] == [(n, pytest.approx(c, abs=1e-9)) for n, c in want]
+
+
+def test_lsh_topk_subset_of_exact_schema(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((80, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = lsh_bucketed_topk(emb, [3], k=5, n_planes=4, n_tables=6, seed=7)
+    rows = got.collect()
+    assert [f.name for f in got.schema.fields] == ["query_id", "neighbor_id", "cosine"]
+    assert 0 < len(rows) <= 5
+    # deterministic given seed
+    rows2 = lsh_bucketed_topk(emb, [3], k=5, n_planes=4, n_tables=6, seed=7).collect()
+    assert rows == rows2
+
+
+# ------------------------------------------------------------- text stats
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: (r["ws_tokens"], r["bpe_ish_tokens"]) for r in token_count(docs).collect()}
+    assert got[3] == (9, 9)
+    assert got[5] == (0, 0)
+
+
+def test_quality_score_bounds(spark, docs):
+    got = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert all(0.0 <= q <= 1.0 for q in got.values())
+    assert got[0] > got[5]  # real sentence beats empty string
+    assert got[0] > got[4]  # English stopwords present
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+    assert got[5] == "und"
+
+
+def test_content_fingerprint_matches_hashlib(spark, docs):
+    import hashlib
+
+    got = {r["doc_id"]: r["md5"] for r in content_fingerprint(docs).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_winnowing_shared_substring_guarantee(spark, docs):
+    got = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnowing_fingerprints(docs, k=5, window=4).collect()
+    }
+    assert got[0] == got[1]  # identical docs -> identical fingerprint sets
+    assert got[0] & got[2]  # long shared prefix -> shared fingerprints
+    assert got[5] == set()
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=24)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 24
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # content-seeded: independent of partitioning
+    rows2 = multimodal.extract_features(media.repartition(5)).collect()
+    assert {r["media_id"]: r["features"] for r in rows} == {
+        r["media_id"]: r["features"] for r in rows2
+    }
+    # real decode path is stubbed
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    plan = multimodal.frame_sample_plan(media, every_ms=5000)
+    assert plan.count() > 0
+    rp = multimodal.resize_plan(media, max_side=64).collect()
+    assert all(max(r["target_width"], r["target_height"]) <= 64 for r in rp)
