@@ -120,7 +120,7 @@ def _q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_set=top3[1:],
         normalization="cosine",
         min_cooccurrence=2,
-        max_results=1_000_000_000,  # gate compares the full candidate set
+        max_results=None,  # gate compares the full candidate set
     )
     return res.select(
         "id", F.round("score", 6).alias("score"), "cooccurrence", "degree"
@@ -160,7 +160,7 @@ def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds_with_weight={s: 1.0 for s in top3[1:]},
         num_walks=1000,
         walk_length=5,
-        max_results=1_000_000_000,
+        max_results=None,
     )
     # top-k on the ROUNDED score so the limit boundary is stable across
     # engines (raw float sums differ at ~1e-16 by summation order)

@@ -91,7 +91,7 @@ def intersection_similarity(
     seed_set: list[int] | None = None,
     *,
     normalization: str | Normalization = "cosine",
-    max_results: int = 10,
+    max_results: int | None = 10,
     min_cooccurrence: int = 2,
     min_neighbor_degree: int = 1,
 ) -> DataFrame:
@@ -108,9 +108,10 @@ def intersection_similarity(
         spark.createDataFrame([(t,) for t in targets], "seed bigint")
     )
 
-    e = edges.select("src", "dst")
-    out_deg = e.distinct().groupBy("src").agg(F.count(F.lit(1)).alias("left_degree"))
-    in_deg = e.distinct().groupBy("dst").agg(F.count(F.lit(1)).alias("right_degree"))
+    # the simple pair set is referenced 4x in the plan — materialize once
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("left_degree"))
+    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("right_degree"))
 
     # 1. left neighbors of query+seeds, deduped per seed; weight = #seeds
     left_neighbors = (
@@ -127,7 +128,8 @@ def intersection_similarity(
         .join(out_deg, "src")
         .filter(F.col("left_degree") >= min_neighbor_degree)
         .select("src", "dst", "weight", "left_degree")
-        .distinct()  # (left, right) dedup == the reference's per-u seen set
+        # (left, right) dedup (the reference's per-u seen set) is already
+        # guaranteed: e is distinct and both joins are N:1
     )
     cooc = hops.groupBy("dst").agg(
         F.sum(
@@ -163,4 +165,7 @@ def intersection_similarity(
             F.col("right_degree").alias("degree"),
         )
     )
-    return scored.orderBy(F.desc("score"), F.asc("id")).limit(max_results)
+    out = scored.orderBy(F.desc("score"), F.asc("id"))
+    # NOTE: only apply a real limit — limit(huge N) makes Spark's
+    # TakeOrderedAndProject allocate an N-capacity heap per partition.
+    return out.limit(max_results) if max_results is not None else out

@@ -54,7 +54,7 @@ def salsa(
     walk_length: int = 5,
     reset_prob: float = 0.3,
     query_weight_fraction: float = 0.9,
-    max_results: int = 10,
+    max_results: int | None = 10,
     max_social_proof: int = 2,
 ) -> DataFrame:
     """Returns (id, score, social_proof array<struct<w,src>>) ordered by
@@ -102,6 +102,11 @@ def salsa(
     right_cum: DataFrame | None = None
     final_contrib: DataFrame | None = None
 
+    # The whole walk is ONE lazy plan: reset/normalization scalars are
+    # single-row aggregate frames cross-joined in, never collected —
+    # walk_length is small (default 5) so lineage depth stays bounded
+    # without per-step checkpoints, and the entire query runs as a
+    # single Spark job.
     for step in range(walk_length):
         forward = step % 2 == 0
         if forward:
@@ -121,12 +126,15 @@ def salsa(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("c"))
             )
-            right_cum = right_cum.localCheckpoint(eager=True)
             if step == walk_length - 1:  # final forward: social proof
-                final_contrib = contrib.localCheckpoint(eager=True)
-            total_left = left_w.agg(F.sum("w")).first()[0] or 0.0
-            left_w = spark.createDataFrame(
-                [(int(query_node), reset_prob * total_left)], "id bigint, w double"
+                final_contrib = contrib
+            # reset: the left side collapses to the query node holding
+            # alpha * total left mass (lazy single-row aggregate)
+            left_w = left_w.agg(
+                F.sum("w").alias("s")
+            ).select(
+                F.lit(int(query_node)).alias("id"),
+                (F.lit(reset_prob) * F.coalesce(F.col("s"), F.lit(0.0))).alias("w"),
             )
         else:
             gathered = (
@@ -144,10 +152,9 @@ def salsa(
                         + F.coalesce(F.col("g"), F.lit(0.0))
                     ).alias("w"),
                 )
-                .localCheckpoint(eager=True)
             )
 
-    total_mass = right_cum.agg(F.sum("c")).first()[0] or 1.0
+    total_mass = right_cum.agg(F.sum("c").alias("tm"))
     proofs = (
         final_contrib.groupBy("dst")
         .agg(
@@ -165,13 +172,14 @@ def salsa(
     )
     result = (
         right_cum.join(proofs, "dst", "left")
+        .crossJoin(broadcast(total_mass))
         .select(
             F.col("dst").alias("id"),
-            (F.col("c") / F.lit(total_mass)).alias("score"),
+            (F.col("c") / F.col("tm")).alias("score"),
             "social_proof",
         )
         .orderBy(F.desc("score"), F.asc("id"))
-        .limit(max_results)
     )
-    links.unpersist()
+    if max_results is not None:
+        result = result.limit(max_results)
     return result
