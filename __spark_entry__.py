@@ -32,6 +32,7 @@ from graphjet_spark.operators.textstats import (
     quality_score,
     token_count,
 )
+from graphjet_spark.operators.metadata import metadata_recs
 from graphjet_spark.operators.sampling import random_multigraph_neighbors
 from graphjet_spark.operators.secondary import top_second_degree_by_count
 from graphjet_spark.operators.similarity import intersection_similarity
@@ -171,6 +172,16 @@ def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_metadata_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = testdata.interactions(spark, sf_dir)
+    cands = top_second_degree_by_count(
+        inter, {1: 1.0, 2: 1.0, 3: 1.0}, max_results=20
+    ).select("id", "weight")
+    meta = testdata.node_meta(spark, sf_dir)
+    res = metadata_recs(cands, meta, meta_type=1, max_results=None)
+    return res.select("meta_id", "weight", "n_candidates")
+
+
 def _q_rmgn(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = testdata.interactions(spark, sf_dir)
     return random_multigraph_neighbors(
@@ -264,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_second_degree_by_count": _q_second_degree,
         "social_proof": _q_social_proof,
         "salsa_subgraph_det": _q_salsa,
+        "metadata_recs_ptype": _q_metadata_recs,
         "random_multigraph_neighbors": _q_rmgn,
         "degree_histogram": _q_degree_histogram,
         "exact_dedup": _q_exact_dedup,
@@ -307,6 +319,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "top_second_degree_by_count": oracles.second_degree_sql(),
         "social_proof": oracles.social_proof_sql(),
         "salsa_subgraph_det": oracles.salsa_subgraph_sql(),
+        "metadata_recs_ptype": oracles.metadata_recs_sql(),
         # random_multigraph_neighbors: seeded RNG — rows-only check
         "degree_histogram": oracles.degree_histogram_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),

@@ -302,6 +302,38 @@ LIMIT {k}"""
     )
 
 
+def metadata_recs_sql(max_edges_per_node: int = 500, k: int = 20) -> str:
+    """Metadata rollup (meta_type 1 = part-type bucket) over the
+    top-second-degree candidate set — the HASHTAG/URL rec analogue."""
+    from graphjet_spark.sources.testdata import NODE_META_SQL
+
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + f"""
+nm AS MATERIALIZED ({NODE_META_SQL}),
+seeds AS MATERIALIZED (SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE))) s(src, seed_weight)),
+latest AS MATERIALIZED (
+  SELECT src, dst, edge_type, seed_weight FROM (
+    SELECT i.src, i.dst, i.edge_type, s.seed_weight,
+           ROW_NUMBER() OVER (PARTITION BY i.src ORDER BY i.seq DESC) AS rn
+    FROM interactions i JOIN seeds s ON i.src = s.src
+  ) WHERE rn <= {max_edges_per_node}),
+ded AS MATERIALIZED (SELECT DISTINCT src, dst, edge_type, seed_weight FROM latest),
+cand AS MATERIALIZED (
+  SELECT dst AS id, SUM(seed_weight) AS weight
+  FROM ded GROUP BY dst ORDER BY weight DESC, id ASC LIMIT {k})
+SELECT nm.meta_id, SUM(cand.weight) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates
+FROM cand JOIN nm ON cand.id = nm.id AND nm.meta_type = 1
+GROUP BY nm.meta_id
+""".strip()
+    )
+
+
 # --------------------------------------------------------- training-data
 
 

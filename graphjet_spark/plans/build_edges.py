@@ -130,6 +130,27 @@ def vertex_table(edges: DataFrame) -> DataFrame:
     )
 
 
+def node_meta_table(pages: DataFrame) -> DataFrame:
+    """(id, meta_type, meta_id) — per-vertex metadata (FIXTURES.md §2):
+    meta_type 0 = language bucket, 1 = domain id.  The analogue of
+    GraphJet's int[][] node metadata (reference: graphjet-core/src/main/
+    java/com/twitter/graphjet/bipartite/api/
+    NodeMetadataDynamicBipartiteGraph.java:36-56, with HASHTAG/URL slots
+    per algorithms/RecommendationType.java:20-24)."""
+    base = pages.select(
+        F.xxhash64(F.col("url")).alias("id"),
+        F.col("lang"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("domain"),
+    )
+    lang_meta = base.select(
+        "id", F.lit(0).alias("meta_type"), F.crc32(F.col("lang")).alias("meta_id")
+    )
+    dom_meta = base.select(
+        "id", F.lit(1).alias("meta_type"), F.xxhash64(F.col("domain")).alias("meta_id")
+    )
+    return lang_meta.unionByName(dom_meta).distinct()
+
+
 def assert_no_id_collisions(vertices: DataFrame) -> None:
     """xxhash64 collision check (FIXTURES.md: 'collision-checked')."""
     row = vertices.agg(

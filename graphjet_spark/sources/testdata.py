@@ -83,6 +83,25 @@ FROM lineitem
 """
 
 
+# Part metadata dimension — the node_meta analogue over testdata
+# (meta_type 0 = brand bucket, 1 = part-type bucket); dense ranks keep
+# meta ids engine-independent (no hash functions shared across engines).
+NODE_META_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS id, 0 AS meta_type,
+       CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT) AS meta_id
+FROM part
+UNION ALL
+SELECT CAST(p_partkey AS BIGINT) AS id, 1 AS meta_type,
+       CAST(DENSE_RANK() OVER (ORDER BY p_type) AS BIGINT) AS meta_id
+FROM part
+"""
+
+
+def node_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(NODE_META_SQL)
+
+
 def oracle_cte() -> str:
     """CTE prefix (``WITH interactions AS (...), graph_edges AS (...)``)
     for DuckDB oracle SQL — byte-identical derivation text to the Spark

@@ -39,9 +39,11 @@ def synth_edges(spark, n_vertices: int, n_edges: int):
 
     avg = max(1, n_edges // n_vertices)
     v = spark.range(n_vertices).select(F.col("id").alias("src"))
+    # E[(h % 64)^2] = 1365 -> scale so E[deg] ~= avg (power-law-ish tail)
     deg = (
         F.lit(1)
-        + F.pow(F.pmod(F.xxhash64("src"), F.lit(64)), F.lit(2.0)) / F.lit(64.0 / avg)
+        + F.pow(F.pmod(F.xxhash64("src"), F.lit(64)), F.lit(2.0))
+        * F.lit((avg - 1) / 1365.0)
     ).cast("int")
     edges = (
         v.select("src", F.explode(F.sequence(F.lit(1), deg)).alias("j"))

@@ -253,6 +253,42 @@ def test_filter_chain(spark):
     assert ids == {10}
 
 
+def test_metadata_recs_rollup(spark):
+    from graphjet_spark.operators.metadata import metadata_recs
+
+    cands = spark.createDataFrame(
+        [(2, 2.5), (5, 1.0), (10, 0.5)], "id bigint, weight double"
+    )
+    meta = spark.createDataFrame(
+        # right nodes 2,5 share meta 100; 10 has meta 200; type 1 rows noise
+        [(2, 0, 100), (5, 0, 100), (10, 0, 200), (2, 1, 999)],
+        "id bigint, meta_type int, meta_id bigint",
+    )
+    got = metadata_recs(cands, meta, meta_type=0, max_results=10).collect()
+    assert [(r["meta_id"], r["weight"], r["n_candidates"]) for r in got] == [
+        (100, 3.5, 2),
+        (200, 0.5, 1),
+    ]
+    assert got[0]["sources"] == [2, 5]
+    # min_candidates filter (reference's min-count rule)
+    got2 = metadata_recs(cands, meta, meta_type=0, min_candidates=2).collect()
+    assert [r["meta_id"] for r in got2] == [100]
+
+
+def test_node_meta_table_from_pages(spark):
+    from graphjet_spark.plans.build_edges import node_meta_table
+    from graphjet_spark.sources.pages import CorpusSpec, synthesize_pages
+
+    pdf, _ = synthesize_pages(CorpusSpec(64))
+    meta = node_meta_table(spark.createDataFrame(pdf))
+    rows = meta.collect()
+    assert {r["meta_type"] for r in rows} == {0, 1}
+    # every vertex has exactly one lang and one domain meta row
+    n = len(pdf)
+    assert sum(1 for r in rows if r["meta_type"] == 0) == n
+    assert sum(1 for r in rows if r["meta_type"] == 1) == n
+
+
 def test_alias_table_statistics():
     import numpy as np
 

@@ -1,0 +1,74 @@
+"""Streaming ingest parity tests: file-stream -> extraction -> segment
+append -> drop-oldest retention (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import os
+
+from graphjet_spark.sources.pages import CorpusSpec, synthesize_pages
+from graphjet_spark.streaming import ingest
+
+
+def test_stream_ingest_matches_batch_extraction(spark, tmp_path):
+    pdf, true_links = synthesize_pages(CorpusSpec(200, n_components=2))
+    pages_dir = str(tmp_path / "pages")
+    # 4 arrival batches = 4 files
+    for i in range(4):
+        spark.createDataFrame(pdf.iloc[i * 50 : (i + 1) * 50]).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+
+    out_dir = str(tmp_path / "edges")
+    ck_dir = str(tmp_path / "ck")
+    stream = ingest.edge_stream(
+        ingest.stream_pages(spark, pages_dir), segment_seconds=60
+    )
+    q = ingest.write_edge_segments(stream, out_dir, ck_dir)
+    q.awaitTermination(120)
+
+    got = ingest.read_edges(spark, out_dir)
+    rows = got.select("src_url", "dst_url").collect()
+    want = sorted(map(tuple, true_links.itertuples(index=False)))
+    assert sorted((r["src_url"], r["dst_url"]) for r in rows) == want
+
+    # segments: warc_ts advances 1s per page -> 200s span -> >=3 buckets
+    segs = {r["segment"] for r in got.select("segment").distinct().collect()}
+    assert len(segs) >= 3
+
+    # restart with no new data: exactly-once, nothing duplicated
+    q2 = ingest.write_edge_segments(
+        ingest.edge_stream(
+            ingest.stream_pages(spark, pages_dir), segment_seconds=60
+        ),
+        out_dir,
+        ck_dir,
+    )
+    q2.awaitTermination(60)
+    assert ingest.read_edges(spark, out_dir).count() == len(want)
+
+
+def test_expire_segments_drop_oldest(spark, tmp_path):
+    pdf, _ = synthesize_pages(CorpusSpec(120))
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(pages_dir)
+    out_dir = str(tmp_path / "edges")
+    q = ingest.write_edge_segments(
+        ingest.edge_stream(
+            ingest.stream_pages(spark, pages_dir), segment_seconds=30
+        ),
+        out_dir,
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    all_segs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("segment=")
+    )
+    assert len(all_segs) >= 4
+    dropped = ingest.expire_segments(out_dir, max_segments=2)
+    assert dropped == all_segs[:-2]
+    left = ingest.read_edges(spark, out_dir)
+    assert {r["segment"] for r in left.select("segment").distinct().collect()} == set(
+        all_segs[-2:]
+    )
