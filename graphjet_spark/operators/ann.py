@@ -86,6 +86,146 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) coarse index.
+
+    Centroids: a seeded deterministic sample of ``n_cells`` vectors,
+    refined by one Lloyd step (assign + mean) — training is one cheap
+    pass, no iterative k-means needed for a coarse quantizer.  Every
+    vector is assigned to its nearest centroid cell (one narrow Arrow
+    pass); a query scores only vectors in its ``n_probe`` nearest cells.
+    At 100 TB: the table is written bucketed by ``cell`` so a probe is a
+    partition-pruned scan; the centroid matrix is a broadcast.
+    Output schema matches brute_force_topk.
+    """
+    spark = embeddings.sparkSession
+    # --- train: seeded sample + one Lloyd refinement (driver-side numpy,
+    # on a bounded sample — never the full table) -----------------------
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(997)), F.col(id_col))
+        .limit(max(n_cells * 32, 256))
+        .toPandas()
+    )
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cent = Xn[:n_cells].copy()
+    assign = np.argmax(Xn @ cent.T, axis=1)
+    for c in range(n_cells):
+        members = Xn[assign == c]
+        if len(members):
+            m = members.mean(axis=0)
+            cent[c] = m / np.linalg.norm(m)
+    cent_b = spark.sparkContext.broadcast(cent)
+
+    def _assign(batches):
+        C = cent_b.value
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            cells = np.argmax(vecs @ C.T, axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "cell": cells.astype(np.int32)})
+
+    cells = embeddings.select(id_col, vec_col).mapInPandas(
+        _assign, schema="id bigint, cell int"
+    )
+    # query -> its n_probe nearest cells (tiny, driver-side)
+    qrows = (
+        embeddings.join(
+            broadcast(
+                spark.createDataFrame([(int(i),) for i in query_ids], "id bigint")
+            ),
+            F.col(id_col) == F.col("id"),
+        )
+        .select(F.col(id_col).alias("qid"), vec_col)
+        .toPandas()
+    )
+    Q = np.stack(qrows[vec_col].to_numpy()).astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, sims in zip(qrows["qid"], Q @ cent.T)
+        for c in np.argsort(-sims)[:n_probe]
+    ]
+    probes = broadcast(
+        spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    )
+    cand = (
+        cells.join(probes, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    return _score_candidates(embeddings, cand, query_ids, k, id_col, vec_col)
+
+
+def _score_candidates(
+    embeddings: DataFrame,
+    cand: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact float64 cosine on a candidate set + per-query top-k."""
+    spark = embeddings.sparkSession
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v"), norm.alias("nrm")
+    )
+    qv = broadcast(
+        v.join(
+            broadcast(
+                spark.createDataFrame([(int(i),) for i in query_ids], "id bigint")
+            ),
+            "id",
+        ).select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(v, cand.neighbor_id == v.id)
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -148,46 +288,5 @@ def lsh_bucketed_topk(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .distinct()
     )
-    # score only the candidates (exact cosine on the reduced set)
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    v = embeddings.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v"), norm.alias("nrm")
-    )
-    qv = broadcast(
-        v.join(
-            broadcast(
-                spark.createDataFrame([(int(i),) for i in query_ids], "id bigint")
-            ),
-            "id",
-        ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        cand.join(v, cand.neighbor_id == v.id)
-        .join(qv, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("cosine"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    # exact cosine on the reduced candidate set only
+    return _score_candidates(embeddings, cand, query_ids, k, id_col, vec_col)

@@ -41,7 +41,15 @@ def connected_components(
     """Returns ``(id, component)`` — component = min vertex id reachable."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    sym = symmetrize(edges).repartition(partitions, "b").persist()
+    # gather-key partitioned AND sorted (CSR layout): the cached
+    # relation's ordering lets every superstep's sort-merge join skip
+    # re-sorting the big edge side
+    sym = (
+        symmetrize(edges)
+        .repartition(partitions, "b")
+        .sortWithinPartitions("b")
+        .persist()
+    )
     vertices = sym.select(F.col("a").alias("id")).distinct()
 
     start_iter = 0
@@ -72,7 +80,8 @@ def connected_components(
                 "prev",
             )
         )
-        new = new.localCheckpoint(eager=True)
+        # lazy checkpoint: the stats collect is the materializing action
+        new = new.localCheckpoint(eager=False)
         stats = (
             new.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(

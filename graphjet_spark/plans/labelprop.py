@@ -38,7 +38,12 @@ def label_propagation(
     """
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    sym = symmetrize(edges).repartition(partitions, "b").persist()
+    sym = (
+        symmetrize(edges)
+        .repartition(partitions, "b")
+        .sortWithinPartitions("b")
+        .persist()
+    )
 
     start_iter = 0
     labels = None

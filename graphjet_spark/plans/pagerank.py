@@ -54,6 +54,11 @@ def _prepare(edges: DataFrame, partitions: int, assume_simple: bool):
         e.join(out_deg, "src")
         .select("src", "dst", "out_degree")
         .repartition(partitions, "src")
+        # src-sorted within blocks (the CSR layout): the cached relation
+        # keeps its outputOrdering, so the per-superstep sort-merge join
+        # against ranks never re-sorts the (large) edge side — only the
+        # narrow rank state sorts each iteration.
+        .sortWithinPartitions("src")
         .persist()
     )
     dangling = (
@@ -107,9 +112,11 @@ def pagerank(
 
     for it in range(start_iter, total_iters):
         t0 = time.time()
-        dangling_mass = (
-            ranks.join(dangling, "id", "left_semi").agg(F.sum("rank")).first()[0]
-            or 0.0
+        # Dangling mass as a lazy single-row aggregate broadcast into the
+        # superstep plan — no separate driver action/job per iteration.
+        dm_df = (
+            ranks.join(dangling, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
 
         contrib_rows = links.join(ranks, links.src == ranks.id).select(
@@ -133,58 +140,71 @@ def pagerank(
         else:
             contribs = contrib_rows.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
-        base = (1.0 - damping) / n_f + damping * dangling_mass / n_f
+        base = (
+            F.lit((1.0 - damping) / n_f)
+            + F.lit(damping) * F.col("dm") / F.lit(n_f)
+        )
         new_ranks = (
             ranks.withColumnRenamed("rank", "prev_rank")
             .join(contribs, ranks.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dm_df))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                (base + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
                     "rank"
                 ),
                 "prev_rank",
+                "dm",
             )
         )
 
-        if checkpoint is not None:
-            # Materialize through the committed parquet — truncates
-            # lineage AND is the resume point.
-            part_stats_df = new_ranks
-        new_ranks = new_ranks.localCheckpoint(eager=True)
+        # lazy checkpoint: the materializing action below is the single
+        # pass over new_ranks
+        new_ranks = new_ranks.localCheckpoint(eager=False)
 
-        stats = (
-            new_ranks.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d_linf"),
-                F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d_l1"),
+        need_stats = checkpoint is not None or fixed_iters is None
+        if need_stats:
+            stats = (
+                new_ranks.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d_linf"),
+                    F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d_l1"),
+                    F.first("dm").alias("dm"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        delta_linf = max((r["d_linf"] for r in stats), default=0.0)
-        delta_l1 = sum(r["d_l1"] for r in stats)
-        n_rows = sum(r["rows"] for r in stats)
-        metrics = {
-            "algo": "pagerank",
-            "rows": n_rows,
-            "edges": None,
-            "dangling_mass": dangling_mass,
-            "delta_linf": delta_linf,
-            "delta_l1": delta_l1,
-            "elapsed_s": time.time() - t0,
-            "partitions": [
-                {"partition_id": r["partition_id"], "rows": r["rows"], "delta_l1": r["d_l1"]}
-                for r in stats
-            ],
-        }
+            delta_linf = max((r["d_linf"] for r in stats), default=0.0)
+            metrics = {
+                "algo": "pagerank",
+                "rows": sum(r["rows"] for r in stats),
+                "edges": None,
+                "dangling_mass": stats[0]["dm"] if stats else 0.0,
+                "delta_linf": delta_linf,
+                "delta_l1": sum(r["d_l1"] for r in stats),
+                "elapsed_s": time.time() - t0,
+                "partitions": [
+                    {
+                        "partition_id": r["partition_id"],
+                        "rows": r["rows"],
+                        "delta_l1": r["d_l1"],
+                    }
+                    for r in stats
+                ],
+            }
+        else:
+            # fixed-iteration fire-and-forget mode (benchmarks): no
+            # convergence scan — materialize via a cheap count only
+            new_ranks.count()
+            delta_linf = None
+            metrics = None
 
-        old = ranks
         ranks = new_ranks.select("id", "rank")
         if checkpoint is not None:
             committed = checkpoint.commit_state(it + 1, ranks, metrics)
             ranks = spark.read.parquet(committed)
 
-        if fixed_iters is None and delta_linf < tol:
+        if fixed_iters is None and delta_linf is not None and delta_linf < tol:
             break
 
     links.unpersist()

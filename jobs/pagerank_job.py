@@ -68,20 +68,35 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
+    # Partition count is sized to the DATA, identical at every
+    # parallelism level (exactly as on a real cluster, where the table's
+    # bucketing doesn't change when executors are added) — cores only
+    # control concurrency. Tying partitions to cores would give the
+    # small run giant spilling partitions and corrupt the comparison.
+    partitions = max(32, args.edges // 1_000_000)
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cores)
-    os.environ["SPARK_GRAFT_SHUFFLE"] = str(args.cores * 2)
+    os.environ["SPARK_GRAFT_SHUFFLE"] = str(partitions)
     from graphjet_spark.plans.pagerank import pagerank
     from graphjet_spark.session import get_spark
 
-    spark = get_spark(f"pagerank_scaling_{args.cores}", master=f"local[{args.cores}]")
+    spark = get_spark(
+        f"pagerank_scaling_{args.cores}",
+        master=f"local[{args.cores}]",
+        extra_conf={
+            # partitioning here is explicit and data-sized; AQE
+            # coalescing would merge the narrow state stages down to
+            # ~64MB/partition and serialize them (measured: +28% wall)
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
     edges = synth_edges(spark, args.vertices, args.edges)
-    edges = edges.repartition(args.cores * 2, "src").persist()
+    edges = edges.repartition(partitions, "src").persist()
     n_edges = edges.count()  # materialize input outside the timed region
 
     t0 = time.time()
     pr = pagerank(
         spark, edges, fixed_iters=args.iters, assume_simple=True,
-        partitions=args.cores * 2,
+        partitions=partitions,
     )
     top = pr.orderBy("id").limit(5).collect()  # force full evaluation
     total = time.time() - t0

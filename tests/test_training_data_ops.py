@@ -7,7 +7,11 @@ import numpy as np
 import pytest
 
 from graphjet_spark.operators import multimodal
-from graphjet_spark.operators.ann import brute_force_topk, lsh_bucketed_topk
+from graphjet_spark.operators.ann import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from graphjet_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
@@ -150,6 +154,27 @@ def test_lsh_topk_subset_of_exact_schema(spark):
     # deterministic given seed
     rows2 = lsh_bucketed_topk(emb, [3], k=5, n_planes=4, n_tables=6, seed=7).collect()
     assert rows == rows2
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.default_rng(3)
+    # clustered vectors so IVF cells are meaningful
+    centers = rng.standard_normal((4, 8)) * 4
+    vecs = np.vstack(
+        [centers[i % 4] + rng.standard_normal(8) * 0.5 for i in range(120)]
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id bigint, embedding array<float>",
+    )
+    exact = brute_force_topk(emb, [7], k=5).collect()
+    approx = ivf_topk(emb, [7], k=5, n_cells=4, n_probe=2, seed=9).collect()
+    exact_ids = [r["neighbor_id"] for r in exact]
+    approx_ids = [r["neighbor_id"] for r in approx]
+    # high recall on clustered data; deterministic given the seed
+    assert len(set(exact_ids) & set(approx_ids)) >= 4
+    approx2 = ivf_topk(emb, [7], k=5, n_cells=4, n_probe=2, seed=9).collect()
+    assert approx == approx2
 
 
 # ------------------------------------------------------------- text stats
