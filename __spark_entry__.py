@@ -41,7 +41,7 @@ from graphjet_spark.plans.components import connected_components
 from graphjet_spark.plans.labelprop import label_propagation
 from graphjet_spark.plans.pagerank import pagerank
 from graphjet_spark.plans.salsa import salsa
-from graphjet_spark.plans.triangles import triangle_count
+from graphjet_spark.plans.triangles import per_vertex_triangles, triangle_count
 from graphjet_spark.sources import testdata
 
 PR_ITERS = 10
@@ -96,6 +96,11 @@ def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
     return triangle_count(spark, edges)
+
+
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = testdata.graph_edges(spark, sf_dir)
+    return per_vertex_triangles(spark, edges)
 
 
 def _top_parts(spark: SparkSession, sf_dir: str, k: int) -> list[int]:
@@ -275,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "label_propagation_5": _q_labelprop,
         "triangle_count": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
         "intersection_similarity_cosine": _q_similarity,
         "top_second_degree_by_count": _q_second_degree,
         "social_proof": _q_social_proof,
@@ -319,6 +325,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "connected_components": oracles.connected_components_fixed_sql(CC_ITERS),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
+        "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),
         "top_second_degree_by_count": oracles.second_degree_sql(),
         "social_proof": oracles.social_proof_sql(),

@@ -302,6 +302,38 @@ LIMIT {k}"""
     )
 
 
+def triangles_per_vertex_sql() -> str:
+    """Per-vertex triangle participation counts (vertices in >=1
+    triangle), same degree-ordered orientation as triangle_count_sql."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + """
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM graph_edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY id),
+orient AS MATERIALIZED (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi
+  FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id
+),
+closed AS MATERIALIZED (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM orient e1
+  JOIN orient e2 ON e1.hi = e2.lo
+  JOIN orient e3 ON e1.lo = e3.lo AND e2.hi = e3.hi
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+  SELECT x AS id FROM closed
+  UNION ALL SELECT y FROM closed
+  UNION ALL SELECT z FROM closed
+) GROUP BY id
+""".strip()
+    )
+
+
 def metadata_recs_sql(max_edges_per_node: int = 500, k: int = 20) -> str:
     """Metadata rollup (meta_type 1 = part-type bucket) over the
     top-second-degree candidate set — the HASHTAG/URL rec analogue."""
