@@ -194,6 +194,21 @@ def _q_rmgn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2-analogue over the events stream table: top users by total
+    engagement value (ties -> larger id, recency semantics)."""
+    events = testdata.load_tables(spark, sf_dir)["events"]
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.desc("user_id"))
+        .limit(20)
+    )
+
+
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 power-law histogram: #nodes per floor(log2(out_degree)) bucket.
 
@@ -286,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_proof": _q_social_proof,
         "salsa_subgraph_det": _q_salsa,
         "metadata_recs_ptype": _q_metadata_recs,
+        "events_top_users": _q_events_top_users,
         "random_multigraph_neighbors": _q_rmgn,
         "degree_histogram": _q_degree_histogram,
         "exact_dedup": _q_exact_dedup,
@@ -331,6 +347,12 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "social_proof": oracles.social_proof_sql(),
         "salsa_subgraph_det": oracles.salsa_subgraph_sql(),
         "metadata_recs_ptype": oracles.metadata_recs_sql(),
+        "events_top_users": """
+SELECT user_id, ROUND(SUM(value), 6) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id DESC LIMIT 20
+""",
         # random_multigraph_neighbors: seeded RNG — rows-only check
         "degree_histogram": oracles.degree_histogram_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),

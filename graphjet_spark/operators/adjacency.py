@@ -80,6 +80,59 @@ def block_summary(adjacency: DataFrame) -> DataFrame:
     )
 
 
+def numbered_edge(adjacency: DataFrame, node: int, i: int) -> DataFrame:
+    """The i-th (1-based) neighbor of a node in block order — the
+    getNumberedEdge lookup (reference: graphjet-core/src/main/java/com/
+    twitter/graphjet/bipartite/edgepool/PowerLawDegreeEdgePool.java:
+    414-420).  Spans split sub-vertices via a running offset."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("sub")
+    rows = (
+        adjacency.filter(F.col("src") == node)
+        .withColumn("offset", F.coalesce(
+            F.sum("degree").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ))
+    )
+    return rows.filter(
+        (F.lit(i) > F.col("offset")) & (F.lit(i) <= F.col("offset") + F.col("degree"))
+    ).select(
+        F.element_at("neighbors", (F.lit(i) - F.col("offset")).cast("int")).alias("dst")
+    )
+
+
+def skip_neighbors(adjacency: DataFrame, node: int, n: int) -> DataFrame:
+    """All neighbors after skipping the first n (iterator ``skip(n)``
+    pagination — reference bipartite/api/EdgeIterator.java:47)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("sub")
+    rows = (
+        adjacency.filter(F.col("src") == node)
+        .withColumn("offset", F.coalesce(
+            F.sum("degree").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ))
+    )
+    return rows.select(
+        F.explode(
+            F.when(
+                F.col("offset") >= n, F.col("neighbors")
+            ).otherwise(
+                F.slice(
+                    "neighbors",
+                    (F.lit(n) - F.col("offset") + 1).cast("int"),
+                    F.greatest(
+                        (F.col("degree") - (F.lit(n) - F.col("offset"))).cast("int"),
+                        F.lit(0),
+                    ),
+                )
+            )
+        ).alias("dst")
+    )
+
+
 def neighbors_of(adjacency: DataFrame, node: int) -> DataFrame:
     """Point adjacency lookup (reference: LeftIndexedBipartiteGraph.java:58
     getLeftNodeEdges). The src filter prunes row groups via parquet

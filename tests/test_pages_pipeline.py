@@ -95,6 +95,25 @@ def test_column_pruning_reaches_scan(corpus, tmp_path):
     assert "text" not in scan_line and "lang" not in scan_line
 
 
+def test_adjacency_point_ops(spark):
+    from graphjet_spark.operators.adjacency import numbered_edge, skip_neighbors
+
+    pairs = [(1, d) for d in range(100, 140)] + [(2, 200)]
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    adj = adjacency_blocks(e, partitions=4, split_threshold=8).cache()
+    # full ordered neighbor list via offsets: i-th lookup is consistent
+    seq = [numbered_edge(adj, 1, i).first()["dst"] for i in (1, 8, 9, 40)]
+    assert all(s is not None for s in seq)
+    all_n = {r["dst"] for r in neighbors_of(adj, 1).collect()}
+    assert set(seq) <= all_n and len(all_n) == 40
+    # skip(n): exactly deg-n neighbors remain, disjoint from first n
+    rest = [r["dst"] for r in skip_neighbors(adj, 1, 35).collect()]
+    assert len(rest) == 5
+    got_first35 = {numbered_edge(adj, 1, i).first()["dst"] for i in range(1, 36)}
+    assert set(rest) == all_n - got_first35
+    adj.unpersist()
+
+
 def test_adjacency_blocks_invariants(corpus):
     _, true_links, pages = corpus
     edges = simple_graph(build_edges(pages))
