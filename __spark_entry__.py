@@ -133,6 +133,22 @@ def _q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top3 = _top_parts(spark, sf_dir, 3)
+    inter = testdata.interactions(spark, sf_dir)
+    res = intersection_similarity(
+        inter,
+        query_node=top3[0],
+        seed_set=top3[1:],
+        normalization="jaccard",
+        min_cooccurrence=2,
+        max_results=None,
+    )
+    return res.select(
+        "id", F.round("score", 6).alias("score"), "cooccurrence", "degree"
+    )
+
+
 def _q_second_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = testdata.interactions(spark, sf_dir)
     res = top_second_degree_by_count(
@@ -297,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "intersection_similarity_cosine": _q_similarity,
+        "intersection_similarity_jaccard": _q_similarity_jaccard,
         "top_second_degree_by_count": _q_second_degree,
         "social_proof": _q_social_proof,
         "salsa_subgraph_det": _q_salsa,
@@ -343,6 +360,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),
+        "intersection_similarity_jaccard": oracles.similarity_jaccard_sql(),
         "top_second_degree_by_count": oracles.second_degree_sql(),
         "social_proof": oracles.social_proof_sql(),
         "salsa_subgraph_det": oracles.salsa_subgraph_sql(),

@@ -130,15 +130,7 @@ tp AS MATERIALIZED (
 """
 
 
-def similarity_cosine_sql(min_cooccurrence: int = 2, round_to: int = 6) -> str:
-    """IntersectionSimilarity (cosine) vs query=top-1 part, seeds=top-2/3
-    parts; full candidate set (no top-k so the gate is limit-stable)."""
-    return (
-        oracle_cte().rstrip()
-        + ",\n"
-        + _TOP_PARTS.format(k=3).strip()
-        + ",\n"
-        + f"""
+_SIMILARITY_PRELUDE = """
 e AS MATERIALIZED (SELECT DISTINCT src, dst FROM interactions),
 outd AS MATERIALIZED (SELECT src, COUNT(*) AS ldeg FROM e GROUP BY src),
 ind AS MATERIALIZED (SELECT dst, COUNT(*) AS rdeg FROM e GROUP BY dst),
@@ -150,14 +142,45 @@ hops AS MATERIALIZED (
   FROM e JOIN lw ON e.src = lw.src JOIN outd ON e.src = outd.src),
 cooc AS MATERIALIZED (
   SELECT dst, SUM(weight) AS wc, CAST(SUM(weight) AS BIGINT) AS raw
-  FROM hops GROUP BY dst)
+  FROM hops GROUP BY dst),
+qdeg AS MATERIALIZED (
+  SELECT CAST(ind.rdeg AS DOUBLE) AS qd FROM ind JOIN tp ON ind.dst = tp.t
+  WHERE tp.rk = 1)
+"""
+
+
+def _similarity_sql(score_expr: str, min_cooccurrence: int, round_to: int) -> str:
+    """Shared skeleton for the intersection-similarity oracles
+    (normalizations with contribution f=1); full candidate set (no
+    top-k so the gate is limit-stable)."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + _TOP_PARTS.format(k=3).strip()
+        + ",\n"
+        + _SIMILARITY_PRELUDE.strip()
+        + f"""
 SELECT cooc.dst AS id,
-       ROUND(wc / SQRT(ind.rdeg), {round_to}) AS score,
+       ROUND({score_expr}, {round_to}) AS score,
        raw AS cooccurrence,
        CAST(ind.rdeg AS BIGINT) AS degree
 FROM cooc JOIN ind ON cooc.dst = ind.dst
 WHERE raw >= {min_cooccurrence}
-""".strip()
+""".rstrip()
+    )
+
+
+def similarity_cosine_sql(min_cooccurrence: int = 2, round_to: int = 6) -> str:
+    """IntersectionSimilarity (cosine) vs query=top-1 part, seeds=top-2/3
+    parts (intersection/CosineUpdateNormalization.java:47-50)."""
+    return _similarity_sql("wc / SQRT(ind.rdeg)", min_cooccurrence, round_to)
+
+
+def similarity_jaccard_sql(min_cooccurrence: int = 2, round_to: int = 6) -> str:
+    """Jaccard normalization: score = wc / (rdeg + qdeg - wc)
+    (intersection/JaccardUpdateNormalization.java:47)."""
+    return _similarity_sql(
+        "wc / (ind.rdeg + (SELECT qd FROM qdeg) - wc)", min_cooccurrence, round_to
     )
 
 

@@ -56,9 +56,17 @@ def salsa(
     query_weight_fraction: float = 0.9,
     max_results: int | None = 10,
     max_social_proof: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns (id, score, social_proof array<struct<w,src>>) ordered by
-    score desc, id asc."""
+    score desc, id asc.
+
+    ``weight_col``: optional edge-weight column — transitions become
+    proportional to edge weight in both directions (the WeightedNodeVisitor
+    generalization, reference algorithms/salsa/SalsaNodeVisitor.java:
+    93-115); default is the reference subgraph semantics (uniform over
+    distinct edges).
+    """
     if walk_length % 2 != 1:
         raise ValueError("walk_length must be odd")  # reference :74-76
     spark = edges.sparkSession
@@ -68,11 +76,21 @@ def salsa(
     left_df = broadcast(
         spark.createDataFrame([(v,) for v in all_left], "src bigint")
     )
-    sub = edges.select("src", "dst").join(left_df, "src").distinct()
+    if weight_col is None:
+        sub = edges.select("src", "dst").join(left_df, "src").distinct()
+        sub = sub.withColumn("ew", F.lit(1.0))
+    else:
+        # multi-edges collapse by summing their weights
+        sub = (
+            edges.select("src", "dst", F.col(weight_col).alias("w"))
+            .join(left_df, "src")
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("ew"))
+        )
     sub = sub.localCheckpoint(eager=True)  # freeze the subgraph
 
-    out_deg = sub.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    in_recip = sub.groupBy("dst").agg((1.0 / F.count(F.lit(1))).alias("recip"))
+    out_deg = sub.groupBy("src").agg(F.sum("ew").alias("deg"))
+    in_recip = sub.groupBy("dst").agg((1.0 / F.sum("ew")).alias("recip"))
     links = (
         sub.join(out_deg, "src").join(in_recip, "dst").persist()
     )
@@ -114,7 +132,7 @@ def salsa(
                 links.join(broadcast(left_w), links.src == F.col("id"))
                 .select(
                     links.dst,
-                    (F.col("w") / F.col("deg")).alias("c"),
+                    (F.col("w") * F.col("ew") / F.col("deg")).alias("c"),
                     links.src.alias("proof_src"),
                 )
             )
@@ -140,7 +158,7 @@ def salsa(
             gathered = (
                 links.join(right_cum, "dst")
                 .groupBy("src")
-                .agg(F.sum(F.col("c") * F.col("recip")).alias("g"))
+                .agg(F.sum(F.col("c") * F.col("ew") * F.col("recip")).alias("g"))
                 .withColumnRenamed("src", "id")
             )
             left_w = (

@@ -187,6 +187,41 @@ def test_salsa_deterministic_parity(spark):
             assert gw == pytest.approx(ww, rel=1e-9)
 
 
+def test_salsa_weighted_transitions(spark):
+    # weighted edges: (src, dst, weight); uniform weights must reproduce
+    # the unweighted result exactly, non-uniform must shift mass
+    rows = [(s, d, 0, i) for i, (s, d) in enumerate(CANON)]
+    uni = spark.createDataFrame(
+        [(s, d, t, q, 1.0) for s, d, t, q in rows],
+        "src bigint, dst bigint, edge_type int, seq bigint, weight double",
+    )
+    base = salsa(
+        typed_edges_df(spark, CANON), 1, {2: 1.0, 3: 1.0}, max_results=11
+    ).collect()
+    w_uni = salsa(
+        uni, 1, {2: 1.0, 3: 1.0}, max_results=11, weight_col="weight"
+    ).collect()
+    assert [(r["id"], pytest.approx(r["score"], rel=1e-12)) for r in base] == [
+        (r["id"], r["score"]) for r in w_uni
+    ]
+    # now overweight edge 1->5: node 5's score must strictly increase
+    skew = spark.createDataFrame(
+        [
+            (s, d, t, q, 10.0 if (s, d) == (1, 5) else 1.0)
+            for s, d, t, q in rows
+        ],
+        "src bigint, dst bigint, edge_type int, seq bigint, weight double",
+    )
+    w_skew = {
+        r["id"]: r["score"]
+        for r in salsa(
+            skew, 1, {2: 1.0, 3: 1.0}, max_results=11, weight_col="weight"
+        ).collect()
+    }
+    base_scores = {r["id"]: r["score"] for r in base}
+    assert w_skew[5] > base_scores[5]
+
+
 def test_salsa_rejects_even_walk_length(spark):
     with pytest.raises(ValueError):
         salsa(typed_edges_df(spark, CANON), 1, walk_length=4)

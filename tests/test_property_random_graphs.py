@@ -1,0 +1,95 @@
+"""Randomized structural tests (hypothesis) — the engine analogue of the
+reference's random-graph consistency suites (graphjet-core/src/test/
+java/com/twitter/graphjet/bipartite/MultiSegmentPowerLawBipartiteGraph
+Test.java:216-258, random graphs via BipartiteGraphTestHelper.
+buildRandomBipartiteGraph checked for iterator/degree consistency)."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphjet_spark.operators.degrees import degree_table
+from graphjet_spark.plans.components import connected_components
+from graphjet_spark.plans.triangles import triangle_count
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(1, 10), st.integers(1, 10)),
+    min_size=1,
+    max_size=25,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_degree_table_consistent(spark, pairs):
+    got = {
+        r["id"]: (r["out_degree"], r["in_degree"])
+        for r in degree_table(_df(spark, pairs)).collect()
+    }
+    out_c, in_c = Counter(s for s, _ in pairs), Counter(d for _, d in pairs)
+    for v in set(out_c) | set(in_c):
+        assert got[v] == (out_c[v], in_c[v])
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_components_match_union_find(spark, pairs):
+    pairs = [(s, d) for s, d in pairs if s != d]
+    if not pairs:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        parent[find(s)] = find(d)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, _df(spark, pairs)).collect()
+    }
+    # same partition of the vertex set, and labels are component minima
+    roots = {}
+    for v in got:
+        roots.setdefault(find(v), []).append(v)
+    for members in roots.values():
+        labels = {got[v] for v in members}
+        assert labels == {min(members)}
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_triangles_match_enumeration_and_orientation(spark, pairs):
+    und = {frozenset(p) for p in pairs if p[0] != p[1]}
+    if not und:
+        return
+    verts = sorted({x for e in und for x in e})
+    want = sum(
+        1
+        for a, b, c in combinations(verts, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+    got = triangle_count(spark, _df(spark, pairs)).first()["triangles"]
+    assert got == want
+    # orientation invariance: reversing every edge changes nothing
+    rev = [(d, s) for s, d in pairs]
+    assert triangle_count(spark, _df(spark, rev)).first()["triangles"] == want
