@@ -44,6 +44,26 @@ def test_resume_matches_uninterrupted(spark, tmp_path):
     assert rows[-1]["delta_linf"] < rows[0]["delta_linf"]
 
 
+def test_cc_resume_matches_uninterrupted(spark, tmp_path):
+    from graphjet_spark.plans.components import connected_components
+
+    e = edges_df(spark, PAIRS)
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, e, fixed_iters=6).collect()
+    }
+    mgr = CheckpointManager(str(tmp_path), "cc")
+    connected_components(spark, e, fixed_iters=3, checkpoint=mgr).collect()
+    assert mgr.last_committed() == 3
+    resumed = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark, e, fixed_iters=6, checkpoint=mgr
+        ).collect()
+    }
+    assert resumed == full
+
+
 def test_commit_is_idempotent_and_atomic(spark, tmp_path):
     e = edges_df(spark, PAIRS)
     mgr = CheckpointManager(str(tmp_path), "runB")
