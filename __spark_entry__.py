@@ -83,6 +83,16 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SEEDS = {1: 2.0, 2: 1.0, 3: 1.0}
+PPR_ITERS = 8
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = testdata.graph_edges(spark, sf_dir)
+    pr = pagerank(spark, edges, fixed_iters=PPR_ITERS, teleport=PPR_SEEDS)
+    return pr.select("id", F.round("pagerank", 9).alias("ppr"))
+
+
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
     return connected_components(spark, edges, fixed_iters=CC_ITERS)
@@ -308,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "top_parts_by_engagement": _q_top_parts,
         "pagerank_fixed10": _q_pagerank,
+        "personalized_pagerank": _q_ppr,
         "connected_components": _q_components,
         "label_propagation_5": _q_labelprop,
         "triangle_count": _q_triangles,
@@ -355,6 +366,9 @@ FROM interactions GROUP BY dst
 ORDER BY degree DESC, id DESC LIMIT 20
 """,
         "pagerank_fixed10": oracles.pagerank_fixed_sql(PR_ITERS),
+        "personalized_pagerank": oracles.personalized_pagerank_fixed_sql(
+            PPR_ITERS, PPR_SEEDS
+        ),
         "connected_components": oracles.connected_components_fixed_sql(CC_ITERS),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),

@@ -65,6 +65,56 @@ def pagerank_fixed_sql(iters: int, damping: float = 0.85, round_to: int = 4) -> 
     )
 
 
+def personalized_pagerank_fixed_sql(
+    iters: int,
+    seeds: dict[int, float],
+    damping: float = 0.85,
+    round_to: int = 9,
+) -> str:
+    """Unrolled personalized PageRank: restart + dangling mass follow
+    the normalized seed distribution; init = that distribution.
+    Output (id, ppr) rounded."""
+    d = damping
+    total = float(sum(seeds.values()))
+    vals = ", ".join(
+        f"(CAST({int(v)} AS BIGINT), CAST({w / total!r} AS DOUBLE))"
+        for v, w in sorted(seeds.items())
+    )
+    parts = [
+        f"seedp AS MATERIALIZED (SELECT * FROM (VALUES {vals}) s(id, p))",
+        """pvec AS MATERIALIZED (
+  SELECT v.id, COALESCE(seedp.p, 0.0) AS p
+  FROM v LEFT JOIN seedp ON v.id = seedp.id)""",
+        "p0 AS MATERIALIZED (SELECT id, p AS rank FROM pvec)",
+    ]
+    for i in range(iters):
+        prev, cur = f"p{i}", f"p{i + 1}"
+        parts.append(
+            f"""pd{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev}
+  LEFT JOIN od ON {prev}.id = od.src WHERE od.src IS NULL)"""
+        )
+        parts.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT pvec.id,
+         pvec.p * ((1.0 - {d}) + {d} * (SELECT dm FROM pd{i}))
+         + {d} * COALESCE(c.contrib, 0.0) AS rank
+  FROM pvec LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / od.deg) AS contrib
+    FROM {prev} r JOIN e ON r.id = e.src JOIN od ON e.src = od.src
+    GROUP BY e.dst
+  ) c ON pvec.id = c.id)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + body
+        + f"\nSELECT id, ROUND(rank, {round_to}) AS ppr FROM p{iters}"
+    )
+
+
 def connected_components_fixed_sql(iters: int) -> str:
     """Unrolled hash-min label flooding; output (id, component)."""
     parts = ["c0 AS MATERIALIZED (SELECT id, id AS comp FROM v)"]

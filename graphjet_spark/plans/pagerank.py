@@ -84,6 +84,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     partitions: int | None = None,
     assume_simple: bool = False,
+    teleport: dict[int, float] | None = None,
 ) -> DataFrame:
     """Compute PageRank; returns ``(id, pagerank)``.
 
@@ -91,11 +92,33 @@ def pagerank(
     mode); otherwise iterate until ``L∞ delta < tol`` or ``max_iter``.
     With ``checkpoint``, every superstep commits state + metrics and an
     interrupted run resumes from the last committed iteration.
+
+    ``teleport``: optional seed->weight dict for **personalized**
+    PageRank — the (1-d) restart mass and all dangling mass return to
+    the seed distribution instead of uniform (the batch cousin of
+    GraphJet's query-biased SALSA reset, reference algorithms/salsa/
+    fullgraph/LeftSalsaIteration.java:63-95 — resets return to the
+    query node).  Initial state is the teleport distribution.
     """
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     links, vertices, dangling, n = _prepare(edges, partitions, assume_simple)
     n_f = float(n)
+
+    tele = None
+    if teleport is not None:
+        total_w = float(sum(teleport.values()))
+        tele_df = spark.createDataFrame(
+            [(int(v), w / total_w) for v, w in teleport.items()],
+            "id bigint, p double",
+        )
+        tele = (
+            vertices.join(F.broadcast(tele_df), "id", "left")
+            .select("id", F.coalesce("p", F.lit(0.0)).alias("p"))
+            .repartition(partitions, "id")
+            .persist()
+        )
+        tele.count()
 
     start_iter = 0
     ranks = None
@@ -105,7 +128,10 @@ def pagerank(
             start_iter = last
             ranks = checkpoint.read_state(spark, last).select("id", "rank")
     if ranks is None:
-        ranks = vertices.select("id", F.lit(1.0 / n_f).alias("rank"))
+        if tele is not None:
+            ranks = tele.select("id", F.col("p").alias("rank"))
+        else:
+            ranks = vertices.select("id", F.lit(1.0 / n_f).alias("rank"))
         ranks = ranks.localCheckpoint(eager=True)
 
     total_iters = fixed_iters if fixed_iters is not None else max_iter
@@ -140,13 +166,21 @@ def pagerank(
         else:
             contribs = contrib_rows.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
-        base = (
-            F.lit((1.0 - damping) / n_f)
-            + F.lit(damping) * F.col("dm") / F.lit(n_f)
-        )
+        if tele is not None:
+            # personalized: restart + dangling mass follow the seed
+            # distribution p(v) instead of 1/N
+            base = F.col("p") * (
+                F.lit(1.0 - damping) + F.lit(damping) * F.col("dm")
+            )
+            state = ranks.withColumnRenamed("rank", "prev_rank").join(tele, "id")
+        else:
+            base = (
+                F.lit((1.0 - damping) / n_f)
+                + F.lit(damping) * F.col("dm") / F.lit(n_f)
+            )
+            state = ranks.withColumnRenamed("rank", "prev_rank")
         new_ranks = (
-            ranks.withColumnRenamed("rank", "prev_rank")
-            .join(contribs, ranks.id == contribs.dst, "left")
+            state.join(contribs, state.id == contribs.dst, "left")
             .crossJoin(F.broadcast(dm_df))
             .select(
                 "id",
@@ -207,6 +241,8 @@ def pagerank(
         if fixed_iters is None and delta_linf is not None and delta_linf < tol:
             break
 
+    if tele is not None:
+        tele.unpersist()
     links.unpersist()
     dangling.unpersist()
     vertices.unpersist()

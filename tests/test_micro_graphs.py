@@ -67,6 +67,48 @@ def test_pagerank_micro(spark, pairs):
         assert got[v] == pytest.approx(want[v], abs=1e-6)
 
 
+def numpy_personalized_pagerank(pairs, seeds, damping=0.85, iters=50):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in set(pairs):
+        out[idx[s]] += 1
+    total = sum(seeds.values())
+    p = np.zeros(n)
+    for v, w in seeds.items():
+        p[idx[v]] = w / total
+    r = p.copy()
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        new = p * ((1 - damping) + damping * dangling)
+        for s, d in set(pairs):
+            new[idx[d]] += damping * r[idx[s]] / out[idx[s]]
+        r = new
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_personalized_pagerank_micro(spark):
+    pairs = PR_TRAP
+    seeds = {1: 1.0, 5: 3.0}
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(
+            spark, edges_df(spark, pairs), fixed_iters=50, teleport=seeds
+        ).collect()
+    }
+    want = numpy_personalized_pagerank(pairs, seeds, iters=50)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # teleport bias: seed-adjacent mass beats the uniform variant's
+    uni = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(spark, edges_df(spark, pairs), fixed_iters=50).collect()
+    }
+    assert got[5] > uni[5]
+
+
 def test_pagerank_mass_conserved(spark):
     got = pagerank(spark, edges_df(spark, PR_TRAP), tol=1e-8).collect()
     assert sum(r["pagerank"] for r in got) == pytest.approx(1.0, abs=1e-9)
