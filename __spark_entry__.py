@@ -220,6 +220,25 @@ def _q_rmgn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed 2-hop reach over the bipartite graph: #distinct
+    customers reachable through shared parts (the SalsaStats
+    numRightNodesReached analogue, reference algorithms/salsa/
+    SalsaStats.java:34; J2 co-occurrence join shape)."""
+    inter = testdata.interactions(spark, sf_dir)
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "seed bigint")
+    e = inter.select("src", "dst").distinct()
+    e1 = e.join(F.broadcast(seeds), e.src == F.col("seed")).select("seed", "dst")
+    e2 = e.select(F.col("dst").alias("dst"), F.col("src").alias("peer"))
+    return (
+        e1.join(e2, "dst")
+        .filter(F.col("peer") != F.col("seed"))
+        .groupBy("seed")
+        .agg(F.countDistinct("peer").alias("reach"))
+        .orderBy("seed")
+    )
+
+
 def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2-analogue over the events stream table: top users by total
     engagement value (ties -> larger id, recency semantics)."""
@@ -330,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_subgraph_det": _q_salsa,
         "metadata_recs_ptype": _q_metadata_recs,
         "events_top_users": _q_events_top_users,
+        "reach_2hop": _q_reach_2hop,
         "random_multigraph_neighbors": _q_rmgn,
         "degree_histogram": _q_degree_histogram,
         "exact_dedup": _q_exact_dedup,
@@ -384,6 +404,16 @@ SELECT user_id, ROUND(SUM(value), 6) AS total_value,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id DESC LIMIT 20
+""",
+        "reach_2hop": testdata.oracle_cte()
+        + """
+, e AS MATERIALIZED (SELECT DISTINCT src, dst FROM interactions),
+seeds(seed) AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (3)))
+SELECT s.seed, CAST(COUNT(DISTINCT e2.src) AS BIGINT) AS reach
+FROM seeds s
+JOIN e e1 ON e1.src = s.seed
+JOIN e e2 ON e2.dst = e1.dst AND e2.src <> s.seed
+GROUP BY s.seed ORDER BY s.seed
 """,
         # random_multigraph_neighbors: seeded RNG — rows-only check
         "degree_histogram": oracles.degree_histogram_sql(),
