@@ -272,6 +272,41 @@ def test_social_proof(spark):
     assert by_id[5]["proofs"][0]["users"] == [1, 2, 3]
 
 
+def test_time_range_and_type_filters(spark):
+    from datetime import datetime
+
+    from graphjet_spark.operators.filters import (
+        social_proof_types_filter,
+        time_range_filter,
+    )
+
+    rows = [
+        (1, datetime(2026, 1, 1), [0, 2]),
+        (2, datetime(2026, 1, 5), [1]),
+        (3, datetime(2026, 1, 9), [2, 3]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, warc_ts timestamp, proof_types array<int>"
+    )
+    # F2/F8: keep ts within [after, before]
+    kept = apply_filter_chain(
+        df, [time_range_filter(datetime(2026, 1, 2), datetime(2026, 1, 8))]
+    )
+    assert {r["id"] for r in kept.collect()} == {2}
+    # F5: drop rows whose proof types miss the requested set
+    kept = apply_filter_chain(df, [social_proof_types_filter([2])])
+    assert {r["id"] for r in kept.collect()} == {1, 3}
+    # F6 card filter: isin over decoded card codes
+    from graphjet_spark.functions import idcodec
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame(
+        [(idcodec._signed64(7 | (c << 61)),) for c in (0, 2, 4)], "nid bigint"
+    )
+    kept = ids.filter(idcodec.card_type(F.col("nid")).isin([2, 4]))
+    assert kept.count() == 2
+
+
 def test_filter_chain(spark):
     df = typed_edges_df(spark, CANON).groupBy("dst").count().select(
         "dst", "count"
