@@ -50,19 +50,27 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # -------------------------------------------------- n-gram Jaccard (exact)
 
 
+def gram_expr(text_col: str, n: int):
+    """Array column of token n-grams over whitespace tokens, JVM-side.
+    Docs with fewer than ``n`` tokens yield an empty array (guarded:
+    ``sequence(0, size-n)`` is descending when size < n and ``slice``
+    with a descending index throws)."""
+    if n == 1:
+        return F.split(F.col(text_col), r"\s+")
+    toks = f"split({text_col}, '\\\\s+')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+        f"ELSE array() END"
+    )
+
+
 def token_sets(docs: DataFrame, text_col: str = "text", n: int = 1) -> DataFrame:
     """(doc_id, tok) distinct token n-grams, built JVM-side: split +
     transform/slice for n>1 (no UDF)."""
-    toks = F.split(F.col(text_col), r"\s+")
-    if n == 1:
-        grams = toks
-    else:
-        grams = F.expr(
-            f"transform(sequence(0, size(split({text_col}, '\\\\s+')) - {n}), "
-            f"i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i + 1, {n})))"
-        )
     return (
-        docs.select("doc_id", F.explode(grams).alias("tok"))
+        docs.select("doc_id", F.explode(gram_expr(text_col, n)).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
     )

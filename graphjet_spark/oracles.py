@@ -82,9 +82,16 @@ def personalized_pagerank_fixed_sql(
     )
     parts = [
         f"seedp AS MATERIALIZED (SELECT * FROM (VALUES {vals}) s(id, p))",
-        """pvec AS MATERIALIZED (
+        # renormalize over the mass surviving the vertex join (mirrors
+        # plans/pagerank.py — seeds absent from the graph are dropped
+        # and the distribution re-sums to 1)
+        """pvec0 AS MATERIALIZED (
   SELECT v.id, COALESCE(seedp.p, 0.0) AS p
   FROM v LEFT JOIN seedp ON v.id = seedp.id)""",
+        """pvec AS MATERIALIZED (
+  SELECT id, CASE WHEN (SELECT SUM(p) FROM pvec0) < 1.0 - 1e-12
+             THEN p / (SELECT SUM(p) FROM pvec0) ELSE p END AS p
+  FROM pvec0)""",
         "p0 AS MATERIALIZED (SELECT id, p AS rank FROM pvec)",
     ]
     for i in range(iters):

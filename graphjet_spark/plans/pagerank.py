@@ -118,6 +118,19 @@ def pagerank(
             .repartition(partitions, "id")
             .persist()
         )
+        # Teleport keys absent from the vertex set drop out of the join;
+        # renormalize over the surviving mass so the distribution still
+        # sums to 1 (stale seed ids would otherwise silently deflate
+        # every rank).  All-seeds-present leaves values untouched.
+        surviving = tele.agg(F.sum("p")).collect()[0][0] or 0.0
+        if surviving <= 0.0:
+            raise ValueError(
+                "personalized pagerank: no teleport seed is a graph vertex"
+            )
+        if surviving < 1.0 - 1e-12:
+            tele = tele.select(
+                "id", (F.col("p") / F.lit(surviving)).alias("p")
+            ).persist()
         tele.count()
 
     start_iter = 0

@@ -123,12 +123,13 @@ multiprocessing on this VM speeds up only **{envelope:.2f}x from
 {args.small} to {args.large} procs** in the saturated band (8->32:
 ~2.8x, i.e. a 0.71 ceiling before any framework overhead). The
 {args.small}->{args.large} band is unsaturated, so it measures the
-engine's scaling, not the VM's. For transparency, the engine's
-single-JVM numbers in the saturated band (59M edges, 12g heap):
-local[8] 38.6 s/superstep vs local[32] 28.6 s/superstep (1.35x) — the
-gap is substrate + single-JVM shuffle contention, which a real
-multi-executor cluster (one JVM per executor, separate GC, NUMA-local
-shuffle dirs) does not share.
+engine's scaling, not the VM's. For transparency, a one-time historical
+measurement of the engine's single-JVM numbers in the saturated band
+(measured 2026-08 round 1, 59M edges, 12g heap, this VM — NOT re-run by
+this script): local[8] 38.6 s/superstep vs local[32] 28.6 s/superstep
+(1.35x) — the gap is substrate + single-JVM shuffle contention, which a
+real multi-executor cluster (one JVM per executor, separate GC,
+NUMA-local shuffle dirs) does not share.
 
 Reference point (BASELINE.md): GraphJet ingests <= 1M edges/s on a
 dedicated server; this engine sustains
