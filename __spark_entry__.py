@@ -287,11 +287,7 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # doc_id < 2000 bounds the all-shared-token blowup of this synthetic
-    # tiny-vocab corpus (identical results at the sf0.01 gate, which has
-    # 500 docs; at web scale the bound is df-capped candidate generation)
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 2000)
-    return ngram_jaccard_pairs(docs, n=1, threshold=0.9)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.9)
 
 
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,6 +226,80 @@ def _score_candidates(
     )
 
 
+def _lsh_buckets(
+    embeddings: DataFrame,
+    *,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, tbl, bucket) random-hyperplane LSH bucket assignments — one
+    numpy Arrow pass; the bucket key is the sign pattern of ``n_planes``
+    projections per table."""
+    spark = embeddings.sparkSession
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_b = spark.sparkContext.broadcast(planes)
+
+    def _bucketize(batches):
+        P = planes_b.value
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for t in range(P.shape[0]):
+                signs = (vecs @ P[t].T) > 0  # (n, n_planes)
+                bucket = (signs * (1 << np.arange(P.shape[1]))).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {"id": ids, "tbl": t, "bucket": bucket.astype(np.int64)}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _bucketize, schema="id bigint, tbl int, bucket bigint"
+    )
+
+
+def lsh_candidate_pairs(
+    embeddings: DataFrame,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH bucket —
+    the equi-join candidate generator for near-dup detection
+    (embedding_near_dups_lsh).  Never an all-pairs product."""
+    buckets = _lsh_buckets(
+        embeddings,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).localCheckpoint(eager=False)
+    g1 = buckets.alias("g1")
+    g2 = buckets.alias("g2")
+    return (
+        g1.join(
+            g2,
+            (F.col("g1.tbl") == F.col("g2.tbl"))
+            & (F.col("g1.bucket") == F.col("g2.bucket"))
+            & (F.col("g1.id") < F.col("g2.id")),
+        )
+        .select(F.col("g1.id").alias("id_a"), F.col("g2.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -247,31 +321,16 @@ def lsh_bucketed_topk(
     Output schema matches brute_force_topk.
     """
     spark = embeddings.sparkSession
-    first = embeddings.select(vec_col).first()
-    dim = len(first[vec_col])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
-    planes_b = spark.sparkContext.broadcast(planes)
-
-    def _bucketize(batches):
-        P = planes_b.value
-        for pdf in batches:
-            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            rows = {"id": pdf[id_col].to_numpy()}
-            frames = []
-            for t in range(P.shape[0]):
-                signs = (vecs @ P[t].T) > 0  # (n, n_planes)
-                bucket = (signs * (1 << np.arange(P.shape[1]))).sum(axis=1)
-                frames.append(
-                    pd.DataFrame(
-                        {"id": rows["id"], "tbl": t, "bucket": bucket.astype(np.int64)}
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    buckets = embeddings.select(id_col, vec_col).mapInPandas(
-        _bucketize, schema="id bigint, tbl int, bucket bigint"
-    )
+    # lazy localCheckpoint: the bucket table feeds both the (tiny) query
+    # side and the candidate join — computed once, not twice
+    buckets = _lsh_buckets(
+        embeddings,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).localCheckpoint(eager=False)
     qb = broadcast(
         buckets.join(
             broadcast(

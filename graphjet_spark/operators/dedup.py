@@ -83,23 +83,63 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard >= threshold.
+    """Near-dup pairs by exact n-gram Jaccard >= threshold, with
+    prefix-filtered candidate generation (Bayardo et al. WWW'07
+    AllPairs / Chaudhuri et al. ICDE'06 SSJoin).
 
-    Candidates are pairs sharing >= 1 token (a token-inverted-index
-    self-join) — at web scale, stop-token removal / df-capping bounds
-    the join fan-out; here the vocabulary is the cap.  Output
+    Candidate pairs come from an inverted index over each document's
+    *prefix* tokens only: order every doc's tokens by ascending global
+    document frequency (rarest first, ties by token), keep the first
+    ``sz - ceil(t*sz) + 1``; any pair with Jaccard >= t provably shares
+    a prefix token, so recall is 1.0 by the prefix-filter theorem while
+    hot (stopword-grade) tokens — the quadratic fan-out at web scale —
+    land in suffixes and never generate candidates.  A size filter
+    (``t * max(|x|,|y|) <= min``) prunes further.  The float ceil uses a
+    1e-6 slack so prefixes only ever err longer (never missing pairs).
+    Exact Jaccard is then computed on candidates only.  Output
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6.
     """
     toks = token_sets(docs, text_col, n)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    t1 = toks.alias("t1")
-    t2 = toks.alias("t2")
-    inter = (
-        t1.join(t2, (F.col("t1.tok") == F.col("t2.tok"))
-                & (F.col("t1.doc_id") < F.col("t2.doc_id")))
-        .groupBy(
-            F.col("t1.doc_id").alias("doc_a"), F.col("t2.doc_id").alias("doc_b")
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix = (
+        toks.join(dfreq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-6) + 1
         )
+        .select("doc_id", "tok", "sz")
+    )
+    p1 = prefix.alias("p1")
+    p2 = prefix.alias("p2")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("p1.tok") == F.col("p2.tok"))
+            & (F.col("p1.doc_id") < F.col("p2.doc_id"))
+            # size filter: J >= t implies min >= t * max
+            & (
+                F.least("p1.sz", "p2.sz")
+                >= F.greatest("p1.sz", "p2.sz") * threshold - 1e-6
+            ),
+        )
+        .select(
+            F.col("p1.doc_id").alias("doc_a"), F.col("p2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    t1 = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(t1, "doc_a")
+        .join(t2, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
@@ -332,14 +372,133 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (a < b, round(cos, 6) >= threshold).
 
-    All arithmetic in float64 JVM-side expressions (aggregate/zip_with)
-    so results are reproducible against any float64 oracle.  Exact
-    all-pairs is the correctness baseline; the LSH-bucketed scale path
-    is operators/ann.py.
+    Two stages, never a row-level cartesian product:
+
+    1. candidate generation by **block-GEMM join**: vectors are hashed
+       into B = ceil(n / block_rows) blocks; each of the B*(B+1)/2 block
+       pairs becomes one cogrouped-Arrow task that runs a float64 numpy
+       matrix product over its two bounded blocks and emits only pairs
+       with cosine >= threshold - 1e-6 (slack covers GEMM-vs-sequential
+       summation and the final 6-decimal rounding).  Per-task memory is
+       2 * block_rows * dim floats; each vector is shuffled B times —
+       the standard blocked formulation of an all-pairs similarity join,
+       with no n^2-row intermediate ever materialized.  (Low-threshold
+       similarity on unstructured vectors is inherently quadratic in
+       *compute*; for true near-dup thresholds the sublinear LSH path is
+       :func:`embedding_near_dups_lsh`.)
+    2. exact rescore: candidates are re-scored with the same sequential
+       float64 JVM expressions (aggregate/zip_with) as before, so output
+       values are byte-identical to a naive all-pairs evaluation and
+       reproducible against any float64 oracle.
     """
+    n = embeddings.count()
+    n_blocks = max(1, -(-n // block_rows))
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # replicate: a-side covers block pairs (blk, j >= blk), b-side (i <= blk)
+    a_rep = v.select(
+        "id", "v", F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    b_rep = v.select(
+        "id", "v",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    margin = 1e-6
+
+    def _gemm(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        A = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
+        B = np.stack(b_pdf["v"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0] = np.inf  # zero vectors can never clear the threshold
+        nb[nb == 0] = np.inf
+        S = (A / na[:, None]) @ (B / nb[:, None]).T
+        ia, ib = np.nonzero(S >= threshold - margin)
+        id_a = a_pdf["id"].to_numpy()[ia]
+        id_b = b_pdf["id"].to_numpy()[ib]
+        if key[0] == key[1]:
+            # diagonal block: both sides are the same set, every pair
+            # appears twice — keep one order
+            keep = id_a < id_b
+            id_a, id_b = id_a[keep], id_b[keep]
+        # off-diagonal: each unordered pair appears exactly once; ids are
+        # not block-ordered, so normalize to (lo, hi)
+        return pd.DataFrame(
+            {"id_a": np.minimum(id_a, id_b), "id_b": np.maximum(id_a, id_b)}
+        )
+
+    cand = (
+        a_rep.groupby("bi", "bj")
+        .cogroup(b_rep.groupby("bi", "bj"))
+        .applyInPandas(_gemm, schema="id_a bigint, id_b bigint")
+    )
+
+    # exact float64 rescore with sequential JVM summation
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), norm.alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), norm.alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sublinear near-dup pairs for *true* near-dup thresholds (>= ~0.8):
+    random-hyperplane LSH bucket joins generate candidates, exact float64
+    rescore keeps only round(cos, 6) >= threshold.
+
+    Collision probability per table is (1 - theta/pi)^n_planes, so at
+    cos 0.9 a pair survives >= 1 of 32 tables with prob ~1 - 2e-5 —
+    recall is pinned by a planted-duplicate pytest
+    (tests/test_training_data_ops.py).  At low thresholds this
+    degenerates (most pairs collide); use :func:`embedding_near_dups`.
+    """
+    from graphjet_spark.operators.ann import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(
+        embeddings,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
     norm = F.sqrt(
         F.aggregate(
             F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
@@ -352,19 +511,20 @@ def embedding_near_dups(
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
         norm.alias("nrm"),
     )
-    a = v.alias("a")
-    b = v.alias("b")
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -461,7 +461,7 @@ def ngram_jaccard_sql(threshold: float = 0.9) -> str:
 WITH toks AS MATERIALIZED (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
-    FROM documents WHERE doc_id < 2000)
+    FROM documents)
   WHERE tok <> ''),
 sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
 inter AS MATERIALIZED (

@@ -14,6 +14,7 @@ from graphjet_spark.operators.ann import (
 )
 from graphjet_spark.operators.dedup import (
     embedding_near_dups,
+    embedding_near_dups_lsh,
     exact_dedup,
     minhash_dedup,
     minhash_signatures,
@@ -114,6 +115,99 @@ def test_embedding_near_dups(spark):
     }
     assert set(got) == {(0, 1)}
     assert got[(0, 1)] > 0.99
+
+
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
+    """Prefix-filtered candidate generation is exact: same pairs as an
+    all-pairs token-overlap evaluation, at several thresholds, on a
+    corpus with heavy stop-token overlap (the hot-token case the prefix
+    filter exists to bound)."""
+    rng = np.random.default_rng(11)
+    stop = ["the", "of", "and", "a", "to"]
+    rare = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        words = list(
+            dict.fromkeys(
+                stop + list(rng.choice(rare, size=rng.integers(3, 12), replace=False))
+            )
+        )
+        rows.append((i, " ".join(words)))
+    rows += [(100, rows[0][1]), (101, "")]  # exact dup + empty doc
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # brute force oracle in Python
+    sets = {i: set(t.split()) for i, t in rows}
+    for t in (0.5, 0.8, 0.9):
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                    if round(j, 6) >= t:
+                        want[(a, b)] = round(j, 6)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, n=1, threshold=t).collect()
+        }
+        assert got == pytest.approx(want)
+
+
+def test_embedding_near_dups_lsh_planted_recall(spark):
+    """The sublinear LSH near-dup path finds every planted near-dup at a
+    true near-dup threshold (0.9): recall 1.0 vs a numpy exact oracle,
+    deterministic given the seed."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 32))
+    # plant 20 near-dups: tiny perturbations of the first 20 vectors
+    dups = base[:20] + rng.standard_normal((20, 32)) * 0.02
+    X = np.vstack([base, dups]).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id bigint, embedding array<float>",
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    want = {
+        (a, b): S[a, b]
+        for a in range(len(X))
+        for b in range(a + 1, len(X))
+        if S[a, b] >= 0.9
+    }
+    assert len(want) >= 20  # the planted pairs are really there
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups_lsh(
+            emb, threshold=0.9, n_planes=8, n_tables=32, seed=42
+        ).collect()
+    }
+    assert set(got) == set(want)  # recall 1.0 AND precision (exact rescore)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_embedding_near_dups_blocked_multiblock(spark):
+    """The block-GEMM join returns the same pairs as a numpy all-pairs
+    oracle when the data spans multiple blocks (block_rows < n)."""
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((90, 16)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id bigint, embedding array<float>",
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    t = 0.3
+    want = {
+        (a, b)
+        for a in range(len(X))
+        for b in range(a + 1, len(X))
+        if S[a, b] >= t
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=t, block_rows=16).collect()
+    }
+    assert got == want
 
 
 def test_brute_force_topk_exact(spark):
