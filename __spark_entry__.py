@@ -127,36 +127,33 @@ def _top_parts(spark: SparkSession, sf_dir: str, k: int) -> list[int]:
     return [r["dst"] for r in rows]
 
 
-def _q_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    top3 = _top_parts(spark, sf_dir, 3)
-    inter = testdata.interactions(spark, sf_dir)
-    res = intersection_similarity(
-        inter,
-        query_node=top3[0],
-        seed_set=top3[1:],
-        normalization="cosine",
-        min_cooccurrence=2,
-        max_results=None,  # gate compares the full candidate set
-    )
-    return res.select(
-        "id", F.round("score", 6).alias("score"), "cooccurrence", "degree"
-    )
+def _similarity_gate(normalization: str):
+    """Gate wrapper: IntersectionSimilarity vs query=top-1 part,
+    seeds=top-2/3 parts, full candidate set (limit-stable)."""
+
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        top3 = _top_parts(spark, sf_dir, 3)
+        inter = testdata.interactions(spark, sf_dir)
+        res = intersection_similarity(
+            inter,
+            query_node=top3[0],
+            seed_set=top3[1:],
+            normalization=normalization,
+            min_cooccurrence=2,
+            max_results=None,
+        )
+        return res.select(
+            "id", F.round("score", 6).alias("score"), "cooccurrence", "degree"
+        )
+
+    return _q
 
 
-def _q_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    top3 = _top_parts(spark, sf_dir, 3)
-    inter = testdata.interactions(spark, sf_dir)
-    res = intersection_similarity(
-        inter,
-        query_node=top3[0],
-        seed_set=top3[1:],
-        normalization="jaccard",
-        min_cooccurrence=2,
-        max_results=None,
-    )
-    return res.select(
-        "id", F.round("score", 6).alias("score"), "cooccurrence", "degree"
-    )
+_q_similarity = _similarity_gate("cosine")
+_q_similarity_jaccard = _similarity_gate("jaccard")
+_q_similarity_overlap = _similarity_gate("overlap")
+_q_similarity_invdeg = _similarity_gate("inverse_degree")
+_q_similarity_scaled = _similarity_gate("scaled")
 
 
 def _q_second_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "intersection_similarity_cosine": _q_similarity,
         "intersection_similarity_jaccard": _q_similarity_jaccard,
+        "intersection_similarity_overlap": _q_similarity_overlap,
+        "intersection_similarity_inverse_degree": _q_similarity_invdeg,
+        "intersection_similarity_scaled": _q_similarity_scaled,
         "top_second_degree_by_count": _q_second_degree,
         "social_proof": _q_social_proof,
         "salsa_subgraph_det": _q_salsa,
@@ -391,6 +391,9 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),
         "intersection_similarity_jaccard": oracles.similarity_jaccard_sql(),
+        "intersection_similarity_overlap": oracles.similarity_overlap_sql(),
+        "intersection_similarity_inverse_degree": oracles.similarity_inverse_degree_sql(),
+        "intersection_similarity_scaled": oracles.similarity_scaled_sql(),
         "top_second_degree_by_count": oracles.second_degree_sql(),
         "social_proof": oracles.social_proof_sql(),
         "salsa_subgraph_det": oracles.salsa_subgraph_sql(),

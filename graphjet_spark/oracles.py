@@ -198,7 +198,8 @@ hops AS MATERIALIZED (
   SELECT DISTINCT e.src, e.dst, lw.weight, outd.ldeg
   FROM e JOIN lw ON e.src = lw.src JOIN outd ON e.src = outd.src),
 cooc AS MATERIALIZED (
-  SELECT dst, SUM(weight) AS wc, CAST(SUM(weight) AS BIGINT) AS raw
+  SELECT dst, SUM(weight * ({contrib})) AS wc,
+         CAST(SUM(weight) AS BIGINT) AS raw
   FROM hops GROUP BY dst),
 qdeg AS MATERIALIZED (
   SELECT CAST(ind.rdeg AS DOUBLE) AS qd FROM ind JOIN tp ON ind.dst = tp.t
@@ -206,16 +207,23 @@ qdeg AS MATERIALIZED (
 """
 
 
-def _similarity_sql(score_expr: str, min_cooccurrence: int, round_to: int) -> str:
-    """Shared skeleton for the intersection-similarity oracles
-    (normalizations with contribution f=1); full candidate set (no
-    top-k so the gate is limit-stable)."""
+def _similarity_sql(
+    score_expr: str,
+    min_cooccurrence: int,
+    round_to: int,
+    contrib: str = "1.0",
+) -> str:
+    """Shared skeleton for the intersection-similarity oracles: the
+    weighted co-occurrence accumulates ``weight * contrib(ldeg)`` (the
+    reference's f), the raw count accumulates plain weight, and
+    ``score_expr`` applies the reference's g over (wc, rdeg, qd); full
+    candidate set (no top-k so the gate is limit-stable)."""
     return (
         oracle_cte().rstrip()
         + ",\n"
         + _TOP_PARTS.format(k=3).strip()
         + ",\n"
-        + _SIMILARITY_PRELUDE.strip()
+        + _SIMILARITY_PRELUDE.format(contrib=contrib).strip()
         + f"""
 SELECT cooc.dst AS id,
        ROUND({score_expr}, {round_to}) AS score,
@@ -238,6 +246,33 @@ def similarity_jaccard_sql(min_cooccurrence: int = 2, round_to: int = 6) -> str:
     (intersection/JaccardUpdateNormalization.java:47)."""
     return _similarity_sql(
         "wc / (ind.rdeg + (SELECT qd FROM qdeg) - wc)", min_cooccurrence, round_to
+    )
+
+
+def similarity_overlap_sql(min_cooccurrence: int = 2, round_to: int = 6) -> str:
+    """Overlap normalization: f = 1, g = 1, so the score IS the weighted
+    co-occurrence (intersection/OverlapUpdateNormalization.java:34,48)."""
+    return _similarity_sql("wc", min_cooccurrence, round_to)
+
+
+def similarity_inverse_degree_sql(
+    min_cooccurrence: int = 2, round_to: int = 6
+) -> str:
+    """Inverse-degree normalization: f = 1/left_degree, g = 1
+    (intersection/InverseDegreeUpdateNormalization.java:34,47)."""
+    return _similarity_sql("wc", min_cooccurrence, round_to, contrib="1.0/ldeg")
+
+
+def similarity_scaled_sql(min_cooccurrence: int = 2, round_to: int = 6) -> str:
+    """Scaled normalization: f = ln(2)/ln(left_degree) (zeroed at degree
+    1 where it would be infinite, IntersectionSimilarity.java:147),
+    g = 1/(sqrt(rdeg) * sqrt(|rdeg - qdeg| + 1))
+    (intersection/ScaledUpdateNormalization.java:36,50)."""
+    return _similarity_sql(
+        "wc / (SQRT(ind.rdeg) * SQRT(ABS(ind.rdeg - (SELECT qd FROM qdeg)) + 1.0))",
+        min_cooccurrence,
+        round_to,
+        contrib="CASE WHEN ldeg = 1 THEN 0.0 ELSE 0.6931471805599453 / LN(ldeg) END",
     )
 
 
