@@ -423,6 +423,13 @@ GROUP BY s.seed ORDER BY s.seed
         "token_count": oracles.token_count_sql(),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "content_fingerprint": oracles.content_fingerprint_sql(),
-        # language_id / minhash / simhash / lsh_ann: engine-defined
-        # (numpy-hash) semantics — pytest-oracled, rows-only here
+        "minhash_near_dups": oracles.minhash_near_dups_sql(
+            num_hashes=128, shingle_n=3, bands=32, threshold=0.5, seed=42
+        ),
+        "simhash_near_dups": oracles.simhash_near_dups_sql(
+            max_hamming=3, shingle_n=2
+        ),
+        # language_id / random_multigraph_neighbors / lsh_ann:
+        # engine-defined (seeded-RNG) semantics — pytest-oracled,
+        # rows-only here
     }

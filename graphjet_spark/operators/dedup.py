@@ -3,16 +3,17 @@
 Five families, each scale-designed (the ``documents`` table at 100 TB):
 
 - exact:       hash-groupBy on content (JVM-side xxhash64, one shuffle);
-- n-gram Jaccard: shared-token candidate generation + exact set overlap
-               (the classic SIGMOD'10 set-similarity join shape:
-               explode -> self-join on token -> agg);
-- MinHash+LSH: vectorized numpy signatures (Arrow batches), banded into
-               LSH buckets, candidate pairs from bucket joins only —
-               never all-pairs;
-- SimHash:     64-bit fingerprints from token hash vectors, near-dup =
-               hamming distance <= k via band-exact prefilter;
-- embedding cosine: exact threshold join for the gate; LSH/IVF variants
-               live in operators/ann.py.
+- n-gram Jaccard: prefix-filtered candidate generation (AllPairs /
+               SSJoin) + exact set overlap on candidates only;
+- MinHash+LSH: JVM-expression signatures over cross-engine md5-prefix
+               shingle hashes, banded into LSH buckets, candidate pairs
+               from bucket joins only — never all-pairs;
+- SimHash:     60-bit fingerprints (bitwise vote sums as JVM aggregate
+               expressions), near-dup = hamming distance <= k via
+               band-exact pigeonhole prefilter;
+- embedding cosine: block-GEMM candidate join + exact JVM rescore; the
+               sublinear LSH path for true near-dup thresholds is
+               embedding_near_dups_lsh (machinery in operators/ann.py).
 
 GraphJet precedent for the dedup discipline: explicit seen-set
 dedup before aggregation (reference: graphjet-core/src/main/java/com/
@@ -160,8 +161,10 @@ def ngram_jaccard_pairs(
 
 # ----------------------------------------------------------- MinHash + LSH
 
-# 31-bit Mersenne prime: keeps a*x + b inside uint64 (a, x < 2^31), so
-# the permutation hashes are exact modular arithmetic, no wraparound.
+# 31-bit Mersenne prime: keeps a*x + b inside int64 (a, x < 2^31), so
+# the permutation hashes are exact modular arithmetic, no wraparound —
+# in Spark longs AND DuckDB BIGINTs, which is what makes the signatures
+# cross-engine oracle-able.
 _MERSENNE = (1 << 31) - 1
 
 
@@ -172,17 +175,38 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _token_hashes(text: pd.Series, n: int) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of its distinct token n-grams (vectorized
-    per batch via pandas str ops + numpy)."""
-    toks = text.str.split()
-    out = []
-    for t in toks:
-        if n > 1:
-            t = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
-        arr = pd.util.hash_array(np.asarray(sorted(set(t)), dtype=object))
-        out.append(arr.astype(np.uint64))
-    return out
+def _hash60(col):
+    """60-bit engine-independent string hash: the first 15 hex chars of
+    md5, parsed as an integer.  Identical in Spark
+    (``conv(substr(md5(s),1,15),16,10)``) and DuckDB
+    (``('0x'||substr(md5(s),1,15))::BIGINT``), so MinHash/SimHash
+    outputs are value-checkable across engines — unlike xxhash64 /
+    pd.util.hash_array, which are engine-private."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingle_hashes(
+    docs: DataFrame, *, n: int, text_col: str = "text", mod: int | None = None
+) -> DataFrame:
+    """(doc_id, h array<bigint>): 60-bit hashes of the distinct word
+    n-grams built over the *non-empty* whitespace tokens — all JVM
+    column expressions, no Python kernel.  ``mod`` optionally reduces
+    each hash mod a prime (MinHash wants values < 2^31)."""
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    staged = docs.select("doc_id", w.alias("w"))
+    if n == 1:
+        grams = F.col("w")
+    else:
+        grams = F.expr(
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+            f"ELSE array() END"
+        )
+    h = F.transform(F.array_distinct(grams), _hash60)
+    if mod is not None:
+        h = F.transform(h, lambda x: x % F.lit(mod))
+    return staged.select("doc_id", h.alias("h"))
 
 
 def minhash_signatures(
@@ -193,27 +217,30 @@ def minhash_signatures(
     seed: int = 42,
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>) MinHash signatures, numpy-vectorized
-    per Arrow batch."""
+    """(doc_id, sig array<bigint>) MinHash signatures, entirely JVM-side:
+    ``sig[i] = min over shingles x of (a_i * x + b_i) mod p`` as nested
+    ``transform``/``array_min`` expressions (whole-stage codegen, no
+    Arrow round-trip); docs with no shingles get the all-p signature."""
     a, b = _hash_params(num_hashes, seed)
-
-    def _sig(batches):
-        for pdf in batches:
-            hashes = _token_hashes(pdf[text_col], shingle_n)
-            sigs = []
-            for h in hashes:
-                if len(h) == 0:
-                    sigs.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
-                    continue
-                x = h % np.uint64(_MERSENNE)
-                # (num_hashes, n_shingles) permuted values, min over shingles
-                vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(vals.min(axis=1).astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        _sig, schema="doc_id bigint, sig array<bigint>"
+    params = F.array(
+        *[
+            F.struct(F.lit(int(ai)).alias("a"), F.lit(int(bi)).alias("b"))
+            for ai, bi in zip(a, b)
+        ]
     )
+    hs = shingle_hashes(docs, n=shingle_n, text_col=text_col, mod=_MERSENNE)
+    sig = F.transform(
+        params,
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.col("h"), lambda x: (p["a"] * x + p["b"]) % F.lit(_MERSENNE)
+                )
+            ),
+            F.lit(_MERSENNE),
+        ),
+    )
+    return hs.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -221,16 +248,19 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
-    The band bucket key is (band_idx, xxhash64 of the band slice) — a
-    plain shuffle key, so candidate generation is a groupBy, never an
-    all-pairs product.  Output (doc_a, doc_b) distinct, doc_a < doc_b.
+    The band bucket key is (band_idx, the band's signature slice as a
+    string) — a plain shuffle key, so candidate generation is a groupBy,
+    never an all-pairs product; the verbatim slice (vs hashing it) keeps
+    the candidate set collision-free and thus exactly reproducible by
+    the DuckDB oracle's band-equality predicate.  Output (doc_a, doc_b)
+    distinct, doc_a < doc_b.
     """
     banded = signatures.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, xxhash64(concat_ws(',', transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), x -> cast(x AS string)))) AS bucket))"
+                f"b -> struct(b AS band, concat_ws(',', transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), x -> cast(x AS string))) AS bucket))"
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
@@ -263,9 +293,12 @@ def minhash_dedup(
     Jaccard (signature agreement) >= threshold.  Output
     (doc_a, doc_b, est_jaccard)."""
     rows_per_band = num_hashes // bands
+    # lazy localCheckpoint (not persist): referenced 3x in the plan with
+    # no safe unpersist point in a lazy API — checkpointing avoids
+    # leaking cache registrations across long-lived sessions
     sigs = minhash_signatures(
         docs, num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
-    ).persist()
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
     s1 = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     s2 = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -293,30 +326,30 @@ def minhash_dedup(
 # ------------------------------------------------------------------ SimHash
 
 
+_SIMHASH_BITS = 60  # md5-prefix hashes carry 60 bits (15 hex chars)
+
+
 def simhash_fingerprints(
     docs: DataFrame, *, shingle_n: int = 2, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash bigint): 64-bit SimHash over token n-gram hashes
-    (sign-sum of bit columns), numpy-vectorized."""
+    """(doc_id, simhash bigint): 60-bit SimHash over token n-gram
+    hashes — per bit, the sign of the +1/-1 vote sum across shingles —
+    built as 60 JVM ``aggregate`` expressions over the shingle-hash
+    array (whole-stage codegen, no Python kernel, cross-engine
+    reproducible via :func:`_hash60`)."""
+    hs = shingle_hashes(docs, n=shingle_n, text_col=text_col)
 
-    def _fp(batches):
-        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            hashes = _token_hashes(pdf[text_col], shingle_n)
-            fps = []
-            for h in hashes:
-                if len(h) == 0:
-                    fps.append(0)
-                    continue
-                bits = (h[:, None] & powers[None, :]) != 0  # (n, 64)
-                votes = bits.sum(axis=0) * 2 - len(h)  # + for 1s, - for 0s
-                fp = int(powers[votes > 0].sum(dtype=np.uint64))
-                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
+    def _vote(b: int):
+        return lambda acc, x: acc + (
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        _fp, schema="doc_id bigint, simhash bigint"
-    )
+    fp = None
+    for b in range(_SIMHASH_BITS):
+        vote = F.aggregate("h", F.lit(0).cast("long"), _vote(b))
+        term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return hs.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_near_dups(
@@ -324,14 +357,16 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Prefilter: split the 64-bit fingerprint into max_hamming+1 bands —
+    Prefilter: split the 60-bit fingerprint into max_hamming+1 bands —
     any pair within the distance budget must agree exactly on >= 1 band
     (pigeonhole), so candidates come from band-bucket joins, not
     all-pairs.  Output (doc_a, doc_b, hamming).
     """
     n_bands = max_hamming + 1
-    width = 64 // n_bands
-    fps = simhash_fingerprints(docs, shingle_n=shingle_n).persist()
+    width = _SIMHASH_BITS // n_bands
+    fps = simhash_fingerprints(docs, shingle_n=shingle_n).localCheckpoint(
+        eager=False
+    )
     banded = fps.select(
         "doc_id",
         "simhash",

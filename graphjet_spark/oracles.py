@@ -512,6 +512,116 @@ WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {threshold}
 """
 
 
+def _shingle_hash_ctes(n: int, mod: int | None = None) -> str:
+    """Shared CTEs: (doc_id, h) 60-bit md5-prefix hashes of distinct
+    word n-grams over non-empty whitespace tokens — byte-equivalent to
+    operators/dedup.py::shingle_hashes (verified cross-engine)."""
+    modexpr = f" % {mod}" if mod is not None else ""
+    if n == 1:
+        grams = "w"
+    else:
+        grams = (
+            f"CASE WHEN len(w) >= {n} THEN "
+            f"list_transform(range(len(w) - {n} + 1), "
+            f"i -> array_to_string(list_slice(w, i + 1, i + {n}), ' ')) "
+            f"ELSE [] END"
+        )
+    return rf"""
+toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id, list_distinct({grams}) AS g FROM toks),
+hs AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT{modexpr}) AS h
+  FROM grams)
+"""
+
+
+def minhash_near_dups_sql(
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """MinHash+LSH near-dup oracle: identical signatures (same (a,b)
+    permutation params, same 60-bit shingle hashes, same Mersenne
+    modulus as the Spark engine), then an all-pairs check of the exact
+    banding predicate — the oracle may be quadratic, the engine may not."""
+    from graphjet_spark.operators.dedup import _MERSENNE, _hash_params
+
+    a, b = _hash_params(num_hashes, seed)
+    params = ", ".join(
+        f"{{'a': {int(ai)}, 'b': {int(bi)}}}" for ai, bi in zip(a, b)
+    )
+    r = num_hashes // bands
+    est = (
+        f"len(list_filter(range({num_hashes}), i -> a.sig[i+1] = b.sig[i+1]))"
+        f" / {float(num_hashes)!r}"
+    )
+    band_match = (
+        f"len(list_filter(range({bands}), "
+        f"bb -> list_slice(a.sig, bb*{r}+1, bb*{r}+{r})"
+        f" = list_slice(b.sig, bb*{r}+1, bb*{r}+{r}))) > 0"
+    )
+    return (
+        "WITH "
+        + _shingle_hash_ctes(shingle_n, mod=_MERSENNE).strip()
+        + f""",
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform([{params}],
+           p -> COALESCE(
+             list_min(list_transform(h, x -> (p.a * x + p.b) % {_MERSENNE})),
+             {_MERSENNE})) AS sig
+  FROM hs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {est} AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {band_match} AND {est} >= {threshold}
+"""
+    )
+
+
+def simhash_near_dups_sql(max_hamming: int = 3, shingle_n: int = 2) -> str:
+    """SimHash near-dup oracle: the 60-bit fingerprint rebuilt bit by
+    bit from the same shingle hashes (sign of the +1/-1 vote sum), then
+    an all-pairs check of band agreement (pigeonhole prefilter) and
+    hamming distance."""
+    bits = 60
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    terms = "\n         + ".join(
+        f"(CASE WHEN COALESCE(list_sum(list_transform(h, "
+        f"x -> ((x >> {b}) & 1) * 2 - 1)), 0) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    band_match = (
+        f"len(list_filter(range({n_bands}), "
+        f"k -> ((a.simhash >> (k * {width})) & {mask})"
+        f" = ((b.simhash >> (k * {width})) & {mask}))) > 0"
+    )
+    return (
+        "WITH "
+        + _shingle_hash_ctes(shingle_n).strip()
+        + f""",
+fps AS MATERIALIZED (
+  SELECT doc_id,
+         {terms} AS simhash
+  FROM hs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE {band_match}
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+    )
+
+
 def embedding_near_dups_sql(threshold: float = 0.3) -> str:
     return f"""
 WITH v AS MATERIALIZED (
