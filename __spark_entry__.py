@@ -26,6 +26,7 @@ from graphjet_spark.operators.dedup import (
 )
 from graphjet_spark.operators.degrees import degree_table, top_k_by_degree
 from graphjet_spark.operators.textstats import (
+    _LANG_MARKERS,
     _STOPWORDS,
     content_fingerprint,
     language_id,
@@ -423,13 +424,13 @@ GROUP BY s.seed ORDER BY s.seed
         "token_count": oracles.token_count_sql(),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "content_fingerprint": oracles.content_fingerprint_sql(),
+        "language_id": oracles.language_id_sql(_LANG_MARKERS),
         "minhash_near_dups": oracles.minhash_near_dups_sql(
             num_hashes=128, shingle_n=3, bands=32, threshold=0.5, seed=42
         ),
         "simhash_near_dups": oracles.simhash_near_dups_sql(
             max_hamming=3, shingle_n=2
         ),
-        # language_id / random_multigraph_neighbors / lsh_ann:
-        # engine-defined (seeded-RNG) semantics — pytest-oracled,
-        # rows-only here
+        # random_multigraph_neighbors / lsh_ann_topk: engine-defined
+        # (seeded-RNG) semantics — pytest-oracled, rows-only here
     }

@@ -98,22 +98,35 @@ _LANG_MARKERS: dict[str, list[str]] = {
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, lang_score) — argmax marker-word hit rate,
     ties broken by language code order; 'und' when nothing matches.
-    Vectorized pandas stage (set ops over token arrays)."""
+
+    One Arrow stage (the operator shape a real fastText/CLD3 profile
+    would plug into), fully vectorized: explode tokens once, then per
+    language a C-level isin + groupby-sum — no per-row Python.  The
+    score is the raw hits/tokens float64 ratio (no rounding: identical
+    integer division in any IEEE engine, so the DuckDB oracle matches
+    bit-for-bit)."""
     langs = sorted(_LANG_MARKERS)
     markers = {l: frozenset(_LANG_MARKERS[l]) for l in langs}
 
     def _lid(batches):
         for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
             toks = pdf[text_col].str.lower().str.split()
+            n_tok = toks.str.len().fillna(0).to_numpy(dtype=np.float64)
+            ex = toks.explode().dropna()
             scores = np.zeros((len(pdf), len(langs)))
+            safe_n = np.where(n_tok > 0, n_tok, 1.0)
             for j, l in enumerate(langs):
-                m = markers[l]
-                scores[:, j] = [
-                    (sum(t in m for t in ts) / len(ts)) if ts else 0.0
-                    for ts in toks
-                ]
+                hits = (
+                    ex.isin(markers[l])
+                    .groupby(level=0)
+                    .sum()
+                    .reindex(pdf.index, fill_value=0)
+                    .to_numpy(dtype=np.float64)
+                )
+                scores[:, j] = np.where(n_tok > 0, hits / safe_n, 0.0)
             best = scores.argmax(axis=1)
-            best_score = scores.max(axis=1)
+            best_score = scores.max(axis=1) if len(pdf) else np.zeros(0)
             pred = np.where(
                 best_score > 0.0, np.asarray(langs, dtype=object)[best], "und"
             )
@@ -121,7 +134,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "pred_lang": pred,
-                    "lang_score": np.round(best_score, 6),
+                    "lang_score": best_score,
                 }
             )
 
@@ -153,9 +166,10 @@ def winnowing_fingerprints(
     SIGMOD'03): rolling hashes of k-grams, keep the min hash of each
     sliding window (rightmost min), dedup.  Local-algorithm guarantee:
     any shared substring >= window+k-1 chars yields a shared
-    fingerprint.  numpy per doc over Arrow batches (modular prefix
-    hashes need a sequential pass; 31-bit modulus keeps products in
-    uint64)."""
+    fingerprint.  The k-gram polynomial hash is evaluated by Horner's
+    rule over a (n-k+1, k) sliding-window view — k vectorized numpy
+    steps per doc, no per-character Python (31-bit modulus keeps every
+    product inside uint64)."""
 
     def _fp(batches):
         base = np.uint64(257)
@@ -169,17 +183,11 @@ def winnowing_fingerprints(
                 if len(b) < k:
                     out.append([])
                     continue
-                # rolling polynomial hash of k-grams via prefix trick
-                pw = np.ones(len(b) + 1, dtype=np.uint64)
-                for i in range(1, len(pw)):
-                    pw[i] = (pw[i - 1] * base) % mod
-                pref = np.zeros(len(b) + 1, dtype=np.uint64)
-                for i in range(len(b)):
-                    pref[i + 1] = (pref[i] * base + b[i]) % mod
-                n = len(b) - k + 1
-                idx = np.arange(n)
-                kh = (pref[idx + k] + mod - (pref[idx] * pw[k]) % mod) % mod
-                if n < window:
+                win = np.lib.stride_tricks.sliding_window_view(b, k)
+                kh = np.zeros(len(b) - k + 1, dtype=np.uint64)
+                for j in range(k):  # Horner: k vectorized steps
+                    kh = (kh * base + win[:, j]) % mod
+                if len(kh) < window:
                     out.append(sorted({int(kh.min())}))
                     continue
                 w = np.lib.stride_tricks.sliding_window_view(kh, window)

@@ -690,6 +690,38 @@ def content_fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS md5 FROM documents"
 
 
+def language_id_sql(markers: dict[str, list[str]]) -> str:
+    """Marker-word language ID oracle: per language, hit rate =
+    #tokens-in-marker-set / #tokens (exact integer-derived float64
+    division, unrounded — identical in any IEEE engine); argmax with
+    ties to the first language in sorted code order, 'und' at zero."""
+    langs = sorted(markers)
+    score_cols = ",\n    ".join(
+        "CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers[l])
+        + f"], t))) AS DOUBLE) / len(w) ELSE 0.0 END AS s_{l}"
+        for l in langs
+    )
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = (
+        "CASE WHEN best = 0.0 THEN 'und' "
+        + " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+  FROM documents),
+s AS MATERIALIZED (
+  SELECT doc_id,
+    {score_cols}
+  FROM w),
+b AS MATERIALIZED (SELECT doc_id, {best} AS best, * FROM s)
+SELECT doc_id, {pred} AS pred_lang, best AS lang_score FROM b
+"""
+
+
 def degree_histogram_sql() -> str:
     """A9 power-law histogram over graph_edges out-degrees; bucket =
     integer bit-length - 1 (cross-engine-stable floor(log2))."""
