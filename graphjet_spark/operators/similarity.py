@@ -85,6 +85,75 @@ def _zero_if_inf(col: Column) -> Column:
     return F.when(F.abs(col) == float("inf"), F.lit(0.0)).otherwise(col)
 
 
+# Deterministic Lehmer-style index sampler for the capped-gather mode:
+# sample j in [0, cap) maps to edge index ((A*(node%M * cap + j + seed))
+# % M) % degree — plain modular arithmetic, identical in the JVM
+# expression and the literal Python mirror in tests (no engine-private
+# RNG), with replacement like GraphJet's getRandomRightNodeEdges.
+_SAMPLE_M = (1 << 31) - 1
+_SAMPLE_A = 16807
+
+
+def _sampled_neighbor_sets(
+    edges: DataFrame,
+    node_col: str,
+    nbr_col: str,
+    *,
+    cap: int,
+    seed: int,
+    full_when: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-node deduped neighbor sets under a sampling cap — the Spark
+    form of the reference's capped gathers (IntersectionSimilarity.java
+    :92-99 right-side gather with ``degree <= cap`` full / else sample;
+    :128-133 left-side expand with ``degree < cap``).
+
+    Nodes within the cap keep their full (distinct) neighbor set; nodes
+    over it draw ``cap`` samples with replacement by deterministic
+    index, realized as an equi-join of sampled indices against
+    row-numbered edges — never a per-node collect.  ``full_when`` is
+    '<=' (gather) or '<' (expand).  Output (node, nbr) distinct.
+    """
+    e = edges.select(
+        F.col(node_col).alias("node"), F.col(nbr_col).alias("nbr"),
+        *( [F.col(order_col).alias("ord")] if order_col else [] ),
+    )
+    if order_col is None:
+        e = e.withColumn("ord", F.col("nbr"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy("ord")
+    numbered = e.withColumn("rn", F.row_number().over(w) - 1)
+    deg = numbered.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    cmp_full = (
+        F.col("deg") <= cap if full_when == "<=" else F.col("deg") < cap
+    )
+    full_nodes = deg.filter(cmp_full).select("node")
+    over_nodes = deg.filter(~cmp_full).select("node", "deg")
+
+    full_part = (
+        numbered.join(full_nodes, "node", "left_semi")
+        .select("node", "nbr")
+        .distinct()
+    )
+    x = (F.pmod(F.col("node"), F.lit(_SAMPLE_M))) * cap + F.col("j") + F.lit(seed)
+    idx = F.pmod(F.pmod(x * _SAMPLE_A, F.lit(_SAMPLE_M)), F.col("deg"))
+    sampled_idx = (
+        over_nodes.select(
+            "node",
+            "deg",
+            F.explode(F.sequence(F.lit(0), F.lit(cap - 1))).alias("j"),
+        )
+        .select("node", idx.alias("rn"))
+        .distinct()  # with-replacement duplicates collapse (per-node dedup)
+    )
+    sampled_part = sampled_idx.join(numbered, ["node", "rn"]).select("node", "nbr")
+    # distinct = the reference's per-node neighborSet dedup (duplicate
+    # sampled indices and multigraph repeats both collapse)
+    return full_part.unionByName(sampled_part).distinct()
+
+
 def intersection_similarity(
     edges: DataFrame,
     query_node: int,
@@ -94,12 +163,27 @@ def intersection_similarity(
     max_results: int | None = 10,
     min_cooccurrence: int = 2,
     min_neighbor_degree: int = 1,
+    max_num_neighbors: int | None = None,
+    max_num_samples_per_neighbor: int | None = None,
+    sample_seed: int = 42,
 ) -> DataFrame:
     """Similar right nodes to ``query_node`` over a (src, dst) edge table.
 
     Returns (id, score, cooccurrence, degree) ordered by score desc,
     id asc (deterministic tie-break; the reference's heap leaves ties
     unspecified).
+
+    ``max_num_neighbors`` / ``max_num_samples_per_neighbor`` enable the
+    reference's capped-gather mode (IntersectionSimilarity.java:92-99,
+    128-133): seeds over the first cap contribute a sampled neighbor
+    subset (``degree <= cap`` keeps the full set); left neighbors at or
+    over the second cap expand through a sampled subset (``degree <
+    cap`` keeps the full set — the reference's asymmetric comparisons
+    are preserved).  Contributions and all degree checks still use the
+    *true* degrees, exactly like the reference.  Caps are THE bounded-
+    work control on hub queries: without them one celebrity seed makes
+    the 2-hop join fan out by its full degree.  Default None = exact
+    full-neighborhood mode (deterministic, used by the oracle gates).
     """
     norm = NORMS[normalization] if isinstance(normalization, str) else normalization
     spark = edges.sparkSession
@@ -114,22 +198,42 @@ def intersection_similarity(
     in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("right_degree"))
 
     # 1. left neighbors of query+seeds, deduped per seed; weight = #seeds
-    left_neighbors = (
-        e.join(target_df, e.dst == F.col("seed"))
-        .select("seed", "src")
-        .distinct()
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("weight"))
+    seed_edges = e.join(target_df, e.dst == F.col("seed")).select("dst", "src")
+    if max_num_neighbors is not None:
+        seed_nbrs = _sampled_neighbor_sets(
+            seed_edges,
+            "dst",
+            "src",
+            cap=max_num_neighbors,
+            seed=sample_seed,
+            full_when="<=",
+        ).select(F.col("node").alias("dst"), F.col("nbr").alias("src"))
+    else:
+        seed_nbrs = seed_edges.distinct()
+    left_neighbors = seed_nbrs.groupBy("src").agg(
+        F.count(F.lit(1)).alias("weight")
     )
 
     # 2. two-hop co-occurrence with per-left-neighbor dedup (F11)
+    if max_num_samples_per_neighbor is not None:
+        expand_edges = e.join(left_neighbors, "src", "left_semi")
+        expanded = _sampled_neighbor_sets(
+            expand_edges,
+            "src",
+            "dst",
+            cap=max_num_samples_per_neighbor,
+            seed=sample_seed,
+            full_when="<",
+        ).select(F.col("node").alias("src"), F.col("nbr").alias("dst"))
+    else:
+        expanded = e
     hops = (
-        e.join(left_neighbors, "src")
+        expanded.join(left_neighbors, "src")
         .join(out_deg, "src")
         .filter(F.col("left_degree") >= min_neighbor_degree)
         .select("src", "dst", "weight", "left_degree")
         # (left, right) dedup (the reference's per-u seen set) is already
-        # guaranteed: e is distinct and both joins are N:1
+        # guaranteed: inputs are distinct and both joins are N:1
     )
     cooc = hops.groupBy("dst").agg(
         F.sum(

@@ -92,6 +92,72 @@ def oracle_intersection(pairs, query, seeds, norm_name, min_cooc=1, min_deg=1):
     return res
 
 
+_SM = (1 << 31) - 1
+_SA = 16807
+
+
+def _mirror_sample(node, nbrs_sorted, cap, seed, full_when_le):
+    """Literal mirror of the engine's deterministic capped gather
+    (operators/similarity.py::_sampled_neighbor_sets): full set when the
+    degree is within the cap (<= for the seed gather, < for the expand,
+    matching the reference's asymmetric comparisons at
+    IntersectionSimilarity.java:92,131), else cap samples with
+    replacement by Lehmer index, deduped."""
+    deg = len(nbrs_sorted)
+    within = deg <= cap if full_when_le else deg < cap
+    if within:
+        return set(nbrs_sorted)
+    idxs = {
+        ((_SA * ((node % _SM) * cap + j + seed)) % _SM) % deg
+        for j in range(cap)
+    }
+    return {nbrs_sorted[i] for i in idxs}
+
+
+def oracle_intersection_sampled(
+    pairs, query, seeds, norm_name, *, cap1, cap2, sample_seed,
+    min_cooc=1, min_deg=1,
+):
+    """Literal mirror of IntersectionSimilarity.java:88-184 with BOTH
+    sampling caps active (maxNumNeighbors on the seed gather,
+    maxNumSamplesPerNeighbor on the expand), contributions and degree
+    checks on true degrees."""
+    out = defaultdict(set)
+    inn = defaultdict(set)
+    for s, d in set(pairs):
+        out[s].add(d)
+        inn[d].add(s)
+    targets = set(seeds) | {query}
+    weight = Counter()
+    for t in targets:
+        for u in _mirror_sample(t, sorted(inn[t]), cap1, sample_seed, True):
+            weight[u] += 1
+    f = {
+        "cosine": lambda d: 1.0,
+        "inverse_degree": lambda d: 1.0 / d,
+    }[norm_name]
+    g = {
+        "cosine": lambda c, sd, qd: 1.0 / math.sqrt(sd),
+        "inverse_degree": lambda c, sd, qd: 1.0,
+    }[norm_name]
+    weighted, raw = Counter(), Counter()
+    for u, wu in weight.items():
+        true_deg = len(out[u])
+        if true_deg < min_deg:
+            continue
+        for r in _mirror_sample(u, sorted(out[u]), cap2, sample_seed, False):
+            weighted[r] += wu * f(true_deg)
+            raw[r] += wu
+    qdeg = len(inn[query])
+    res = []
+    for r, wc in weighted.items():
+        if raw[r] < min_cooc:
+            continue
+        res.append((r, wc * g(wc, len(inn[r]), qdeg), raw[r], len(inn[r])))
+    res.sort(key=lambda t: (-t[1], t[0]))
+    return res
+
+
 def oracle_salsa(pairs, query, seeds, *, num_walks, walk_length, alpha, frac):
     """Literal mirror of SalsaSubgraphInternalState.java:124-208 +
     SalsaIterations.java:105-146, float mass, exact subgraph."""
@@ -149,6 +215,36 @@ def test_intersection_similarity_all_norms(spark, norm):
         assert r["score"] == pytest.approx(t[1], abs=1e-12)
         assert r["cooccurrence"] == t[2]
         assert r["degree"] == t[3]
+
+
+@pytest.mark.parametrize("norm", ["cosine", "inverse_degree"])
+def test_intersection_similarity_sampled_caps(spark, norm):
+    """Capped-gather mode parity vs the literal sampled-path mirror:
+    cap1=2 forces sampling on the query node's seed gather (right degree
+    of node 5 is 3 > 2); cap2=4 forces sampling on left nodes 1 (deg 4,
+    the reference's strict `<` comparison) and 3 (deg 8)."""
+    got = intersection_similarity(
+        typed_edges_df(spark, CANON),
+        query_node=5,
+        seed_set=[10, 2],
+        normalization=norm,
+        max_results=20,
+        min_cooccurrence=1,
+        max_num_neighbors=2,
+        max_num_samples_per_neighbor=4,
+        sample_seed=7,
+    ).collect()
+    want = oracle_intersection_sampled(
+        CANON, 5, [10, 2], norm, cap1=2, cap2=4, sample_seed=7
+    )
+    assert [r["id"] for r in got] == [t[0] for t in want]
+    for r, t in zip(got, want):
+        assert r["score"] == pytest.approx(t[1], abs=1e-12)
+        assert r["cooccurrence"] == t[2]
+        assert r["degree"] == t[3]
+    # the caps really bit: sampled output differs from the exact mode
+    exact = oracle_intersection(CANON, 5, [10, 2], norm, min_cooc=1)
+    assert [(t[0], t[2]) for t in want] != [(t[0], t[2]) for t in exact]
 
 
 def test_intersection_zero_degree_query_empty(spark):
