@@ -41,7 +41,7 @@ from graphjet_spark.operators.socialproof import social_proof
 from graphjet_spark.plans.components import connected_components
 from graphjet_spark.plans.labelprop import label_propagation
 from graphjet_spark.plans.pagerank import pagerank
-from graphjet_spark.plans.salsa import salsa
+from graphjet_spark.plans.salsa import salsa, salsa_montecarlo
 from graphjet_spark.plans.triangles import per_vertex_triangles, triangle_count
 from graphjet_spark.sources import testdata
 
@@ -201,6 +201,25 @@ def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salsa_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo full-graph SALSA (per-walk, seeded engine RNG —
+    rows-only gate by contract; parity pinned by the literal walk-loop
+    mirror in tests/test_graphjet_queries.py)."""
+    top3 = _top_parts(spark, sf_dir, 3)
+    inter = testdata.interactions(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return salsa_montecarlo(
+        inter,
+        query_node=top3[0],
+        seeds_with_weight={s: 1.0 for s in top3[1:]},
+        num_walks=1000,
+        walk_length=5,
+        max_results=20,
+        seed=42,
+    )
+
+
 def _q_metadata_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = testdata.interactions(spark, sf_dir)
     cands = top_second_degree_by_count(
@@ -344,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_second_degree_by_count": _q_second_degree,
         "social_proof": _q_social_proof,
         "salsa_subgraph_det": _q_salsa,
+        "salsa_montecarlo": _q_salsa_mc,
         "metadata_recs_ptype": _q_metadata_recs,
         "events_top_users": _q_events_top_users,
         "reach_2hop": _q_reach_2hop,

@@ -40,6 +40,8 @@ localCheckpoint lineage truncation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -195,6 +197,188 @@ def salsa(
             F.col("dst").alias("id"),
             (F.col("c") / F.col("tm")).alias("score"),
             "social_proof",
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+    )
+    if max_results is not None:
+        result = result.limit(max_results)
+    return result
+
+
+# --------------------------------------------------- Monte-Carlo full graph
+
+# Deterministic per-walk RNG (engine-defined, mirrored literally by the
+# pytest oracle): Lehmer step over a 31-bit Mersenne field keyed by
+# (walk_id, iteration, draw kind, run seed).  Each walk's reset draw and
+# edge pick are independent pure functions of its id — so the walk
+# ensemble is reproducible under any partitioning, unlike a stateful
+# java.util.Random stream.
+_MC_M = (1 << 31) - 1
+_MC_A = 16807
+_SALT_RESET, _SALT_LEFT, _SALT_RIGHT = 0, 1, 2
+
+
+def _mc_draw(wid_col, step: int, salt: int, seed: int):
+    x = F.pmod(
+        wid_col * 1_000_003 + F.lit(step * 7_919 + salt * 104_729 + seed),
+        F.lit(_MC_M),
+    )
+    return F.pmod(x * _MC_A, F.lit(_MC_M))
+
+
+def salsa_montecarlo(
+    edges: DataFrame,
+    query_node: int,
+    seeds_with_weight: dict[int, float] | None = None,
+    *,
+    num_walks: int = 1000,
+    walk_length: int = 5,
+    reset_prob: float = 0.3,
+    query_weight_fraction: float = 0.9,
+    max_results: int | None = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Monte-Carlo full-graph SALSA with true per-walk semantics — the
+    reference's primary algorithm (fullgraph/LeftSalsaIteration.java:
+    63-95, RightSalsaIteration.java:34-46, SalsaIterations.java:77-146):
+
+    - seeding: integer walk counts ``ceil(w_u/total * num_walks)`` per
+      surviving seed (SalsaIterations.java:139-146), query-weight rule
+      as in the subgraph form;
+    - left iteration: every walk first draws reset vs continue at
+      ``reset_prob``; reset walks park on the query node and rejoin at
+      the NEXT left iteration (resetCurrentLeftNodes, :94-95) without
+      visiting; continuing walks hop a uniformly sampled out-edge and
+      increment the right node's visit counter;
+    - right iteration: each walk hops back along a uniformly sampled
+      in-edge;
+    - scores: visit counts normalized by total visits
+      (SalsaSelectResults.java:77-79).
+
+    Spark realization: walks are ROWS (bounded by ``num_walks`` — a
+    query parameter, never graph-sized), each hop is a broadcast join of
+    the walk set against the row-numbered edge table, and every random
+    choice is a pure hash of (walk_id, iteration) so results are
+    deterministic under any partitioning/scale.  Deviation (documented,
+    engine-defined): uniform sampling is over *distinct* neighbors and
+    the RNG is the Lehmer hash above, not java.util.Random.
+
+    Returns (id, visits, score) ordered by score desc, id asc.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    lw = Window.partitionBy("src").orderBy("dst")
+    left_edges = e.withColumn("rn", F.row_number().over(lw) - 1)
+    left_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("ldeg"))
+    left_tbl = (
+        left_edges.join(left_deg, "src")
+        .select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr"), "rn", "ldeg"
+        )
+        .localCheckpoint(eager=True)
+    )
+    rw = Window.partitionBy("dst").orderBy("src")
+    right_edges = e.withColumn("rn", F.row_number().over(rw) - 1)
+    right_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("rdeg"))
+    right_tbl = (
+        right_edges.join(right_deg, "dst")
+        .select(
+            F.col("dst").alias("node"), F.col("src").alias("nbr"), "rn", "rdeg"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # --- seeding: integer walk counts, walk ids in sorted-seed order ---
+    alive = {r["src"] for r in left_deg.select("src").collect()}
+    w = {s: wt for s, wt in (seeds_with_weight or {}).items() if s in alive}
+    total = float(sum(w.values()))
+    if query_node not in w and query_node in alive:
+        qw = (
+            total * query_weight_fraction / (1.0 - query_weight_fraction)
+            if total > 0.0
+            else 1.0
+        )
+        w[query_node] = qw
+        total += qw
+    if not w:
+        return spark.createDataFrame([], "id bigint, visits bigint, score double")
+    rows, wid = [], 0
+    for u in sorted(w):
+        c = int(math.ceil(w[u] / total * num_walks))
+        rows.append((wid, wid + c, int(u)))
+        wid += c
+    intervals = broadcast(
+        spark.createDataFrame(rows, "lo bigint, hi bigint, node bigint")
+    )
+    walks = (
+        spark.range(wid)
+        .withColumnRenamed("id", "wid")
+        .join(intervals, (F.col("wid") >= F.col("lo")) & (F.col("wid") < F.col("hi")))
+        .select("wid", "node")
+    )
+
+    visit_parts: list[DataFrame] = []
+    parked: DataFrame | None = None  # reset walks waiting at the query node
+
+    for step in range(walk_length):
+        if step % 2 == 0:  # left iteration
+            r = _mc_draw(F.col("wid"), step, _SALT_RESET, seed)
+            walks = walks.withColumn(
+                "reset", (r / F.lit(float(_MC_M))) < reset_prob
+            )
+            newly_parked = walks.filter("reset").select(
+                "wid", F.lit(int(query_node)).alias("node")
+            )
+            parked = (
+                newly_parked
+                if parked is None
+                else parked.unionByName(newly_parked)
+            )
+            hop = (
+                walks.filter(~F.col("reset"))
+                .join(
+                    left_deg.select(F.col("src").alias("node"), "ldeg"), "node"
+                )
+                .withColumn(
+                    "rn",
+                    F.pmod(_mc_draw(F.col("wid"), step, _SALT_LEFT, seed), F.col("ldeg")),
+                )
+                .join(left_tbl.select("node", "nbr", "rn"), ["node", "rn"])
+                .select("wid", F.col("nbr").alias("node"))
+                .localCheckpoint(eager=False)
+            )
+            visit_parts.append(hop.select("node"))
+            walks = hop
+        else:  # right iteration
+            hop = (
+                walks.select("wid", "node")
+                .join(
+                    right_deg.select(F.col("dst").alias("node"), "rdeg"), "node"
+                )
+                .withColumn(
+                    "rn",
+                    F.pmod(_mc_draw(F.col("wid"), step, _SALT_RIGHT, seed), F.col("rdeg")),
+                )
+                .join(right_tbl.select("node", "nbr", "rn"), ["node", "rn"])
+                .select("wid", F.col("nbr").alias("node"))
+            )
+            walks = hop.unionByName(parked).localCheckpoint(eager=False)
+            parked = None
+
+    from functools import reduce
+
+    visits = reduce(lambda a, b: a.unionByName(b), visit_parts)
+    counts = visits.groupBy("node").agg(F.count(F.lit(1)).alias("visits"))
+    tm = counts.agg(F.sum("visits").alias("tm"))
+    result = (
+        counts.crossJoin(broadcast(tm))
+        .select(
+            F.col("node").alias("id"),
+            "visits",
+            (F.col("visits") / F.col("tm")).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("id"))
     )

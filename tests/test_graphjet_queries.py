@@ -28,7 +28,7 @@ from graphjet_spark.operators.sampling import (
 from graphjet_spark.operators.secondary import top_second_degree_by_count
 from graphjet_spark.operators.similarity import NORMS, intersection_similarity
 from graphjet_spark.operators.socialproof import social_proof
-from graphjet_spark.plans.salsa import salsa
+from graphjet_spark.plans.salsa import salsa, salsa_montecarlo
 
 CANON = (
     [(1, r) for r in (2, 3, 4, 5)]
@@ -196,6 +196,69 @@ def oracle_salsa(pairs, query, seeds, *, num_walks, walk_length, alpha, frac):
     return {v: c / total_mass for v, c in cum.items()}, final_contrib
 
 
+def oracle_salsa_mc(
+    pairs, query, seeds, *, num_walks, walk_length, alpha, frac, seed
+):
+    """Literal mirror of the Monte-Carlo full-graph SALSA per-walk loop
+    (fullgraph/LeftSalsaIteration.java:63-95, RightSalsaIteration.java:
+    34-46, seeding SalsaIterations.java:105-146) under the engine's
+    deterministic Lehmer draws (plans/salsa.py::_mc_draw)."""
+    M = (1 << 31) - 1
+    A = 16807
+
+    def draw(wid, step, salt):
+        x = (wid * 1_000_003 + step * 7_919 + salt * 104_729 + seed) % M
+        return (A * x) % M
+
+    out = defaultdict(set)
+    inn = defaultdict(set)
+    for s, d in set(pairs):
+        out[s].add(d)
+        inn[d].add(s)
+    outl = {u: sorted(v) for u, v in out.items()}
+    innl = {v: sorted(u) for v, u in inn.items()}
+    w = {s: wt for s, wt in seeds.items() if out.get(s)}
+    total = float(sum(w.values()))
+    if query not in w and out.get(query):
+        qw = total * frac / (1.0 - frac) if total > 0 else 1.0
+        w[query] = qw
+        total += qw
+    walks, wid = {}, 0
+    for u in sorted(w):
+        c = math.ceil(w[u] / total * num_walks)
+        for k in range(c):
+            walks[wid + k] = u
+        wid += c
+    visits = Counter()
+    parked = {}
+    for step in range(walk_length):
+        if step % 2 == 0:  # left: reset draw, then sampled out-hop
+            new = {}
+            for i, u in sorted(walks.items()):
+                if draw(i, step, 0) / M < alpha:
+                    parked[i] = query
+                    continue
+                if u not in outl:
+                    continue  # dead end: the walk vanishes
+                nbrs = outl[u]
+                v = nbrs[draw(i, step, 1) % len(nbrs)]
+                visits[v] += 1
+                new[i] = v
+            walks = new
+        else:  # right: sampled in-hop; parked walks rejoin for next left
+            new = {}
+            for i, v in sorted(walks.items()):
+                nbrs = innl[v]
+                new[i] = nbrs[draw(i, step, 2) % len(nbrs)]
+            new.update(parked)
+            parked = {}
+            walks = new
+    tm = sum(visits.values())
+    res = [(v, c, c / tm) for v, c in visits.items()]
+    res.sort(key=lambda t: (-t[2], t[0]))
+    return res
+
+
 # ------------------------------------------------------------------ tests
 
 
@@ -250,6 +313,52 @@ def test_intersection_similarity_sampled_caps(spark, norm):
 def test_intersection_zero_degree_query_empty(spark):
     got = intersection_similarity(typed_edges_df(spark, CANON), query_node=999)
     assert got.count() == 0
+
+
+def test_salsa_montecarlo_parity(spark):
+    """Per-walk MC SALSA vs the literal walk-loop mirror: exact visit
+    counts, both walk lengths parities, resets parked at the query."""
+    for wl in (5, 4):
+        got = salsa_montecarlo(
+            typed_edges_df(spark, CANON),
+            query_node=1,
+            seeds_with_weight={2: 1.0, 3: 1.0},
+            num_walks=100,
+            walk_length=wl,
+            reset_prob=0.3,
+            query_weight_fraction=0.9,
+            max_results=None,
+            seed=11,
+        ).collect()
+        want = oracle_salsa_mc(
+            CANON, 1, {2: 1.0, 3: 1.0},
+            num_walks=100, walk_length=wl, alpha=0.3, frac=0.9, seed=11,
+        )
+        assert [(r["id"], r["visits"]) for r in got] == [
+            (v, c) for v, c, _ in want
+        ]
+        for r, (_, _, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, rel=1e-12)
+    # determinism under repartitioning
+    again = salsa_montecarlo(
+        typed_edges_df(spark, CANON).repartition(7),
+        query_node=1,
+        seeds_with_weight={2: 1.0, 3: 1.0},
+        num_walks=100,
+        walk_length=5,
+        seed=11,
+        max_results=None,
+    ).collect()
+    base = salsa_montecarlo(
+        typed_edges_df(spark, CANON),
+        query_node=1,
+        seeds_with_weight={2: 1.0, 3: 1.0},
+        num_walks=100,
+        walk_length=5,
+        seed=11,
+        max_results=None,
+    ).collect()
+    assert again == base
 
 
 def test_salsa_deterministic_parity(spark):
