@@ -38,7 +38,10 @@ from graphjet_spark.operators.sampling import random_multigraph_neighbors
 from graphjet_spark.operators.secondary import top_second_degree_by_count
 from graphjet_spark.operators.similarity import intersection_similarity
 from graphjet_spark.operators.socialproof import social_proof
-from graphjet_spark.plans.components import connected_components
+from graphjet_spark.plans.components import (
+    connected_components,
+    connected_components_star,
+)
 from graphjet_spark.plans.labelprop import label_propagation
 from graphjet_spark.plans.pagerank import pagerank
 from graphjet_spark.plans.salsa import salsa, salsa_montecarlo
@@ -97,6 +100,14 @@ def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
     return connected_components(spark, edges, fixed_iters=CC_ITERS)
+
+
+def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-round large-star/small-star CC — runs to convergence, so it
+    shares the hash-min oracle (whose CC_ITERS unrolling converges on
+    this graph; the hash-min gate proves that)."""
+    edges = testdata.graph_edges(spark, sf_dir)
+    return connected_components_star(spark, edges)
 
 
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10": _q_pagerank,
         "personalized_pagerank": _q_ppr,
         "connected_components": _q_components,
+        "connected_components_star": _q_components_star,
         "label_propagation_5": _q_labelprop,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -407,6 +419,9 @@ ORDER BY degree DESC, id DESC LIMIT 20
             PPR_ITERS, PPR_SEEDS
         ),
         "connected_components": oracles.connected_components_fixed_sql(CC_ITERS),
+        "connected_components_star": oracles.connected_components_fixed_sql(
+            CC_ITERS
+        ),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),

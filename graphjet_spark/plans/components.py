@@ -111,3 +111,124 @@ def connected_components(
 
     sym.unpersist()
     return labels.select("id", F.col("comp").alias("component"))
+
+
+# ------------------------------------------------- large-star / small-star
+
+
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node links its strictly
+    larger neighbors to the minimum of its closed neighborhood."""
+    adj = (
+        pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(pairs.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    )
+    mins = adj.groupBy("a").agg(F.min("b").alias("mn"))
+    return (
+        adj.join(mins, "a")
+        .withColumn("m", F.least("mn", "a"))
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """Small-star round: every node links its smaller neighbors (and
+    itself) to its minimum smaller neighbor.  Input/output pairs are
+    normalized u > v."""
+    adj = (
+        pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(pairs.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .filter(F.col("b") < F.col("a"))
+    )
+    mins = adj.groupBy("a").agg(F.min("b").alias("mn"))
+    j = adj.join(mins, "a")
+    return (
+        j.filter(F.col("b") != F.col("mn"))
+        .select(F.col("b").alias("u"), F.col("mn").alias("v"))
+        .union(j.select(F.col("a").alias("u"), F.col("mn").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_rounds: int = 30,
+    checkpoint: CheckpointManager | None = None,
+    partitions: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star — the
+    O(log n)-round algorithm.  Same answer as :func:`connected_components`
+    (component = min reachable id) but convergence is logarithmic in the
+    longest path instead of linear: on a length-n chain hash-min floods
+    one hop per superstep while star contraction halves pointer depth
+    per round.  The per-round edge set only ever shrinks toward one
+    star per component, so late rounds are nearly free.
+
+    Same checkpoint/resume contract as the other supersteps: each round
+    commits the (u, v) pair state + metrics; an interrupted run resumes
+    from the last committed round.  ``stats`` (optional dict) receives
+    {"rounds": ...} for round-count assertions.
+    """
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    base = symmetrize(edges)  # both orientations, self-loops dropped
+    vertices = base.select(F.col("a").alias("id")).distinct().persist()
+    pairs = (
+        base.filter(F.col("a") > F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .distinct()
+        .repartition(partitions, "u")
+        .localCheckpoint(eager=True)
+    )
+
+    start_round = 0
+    if checkpoint is not None:
+        last = checkpoint.last_committed()
+        if last is not None:
+            start_round = last
+            pairs = checkpoint.read_state(spark, last).select("u", "v")
+
+    prev_sig = None
+    rounds_run = start_round
+    for rnd in range(start_round, max_rounds):
+        t0 = time.time()
+        new = _small_star(_large_star(pairs)).localCheckpoint(eager=False)
+        # fixed-point signature: count + order-independent XOR checksum
+        # (bit_xor never overflows, unlike a sum of 64-bit hashes)
+        sig_row = new.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["cnt"], sig_row["h"])
+        pairs = new
+        rounds_run = rnd + 1
+        if checkpoint is not None:
+            metrics = {
+                "algo": "connected_components_star",
+                "rows": sig[0],
+                "elapsed_s": time.time() - t0,
+            }
+            committed = checkpoint.commit_state(rnd + 1, pairs, metrics)
+            pairs = spark.read.parquet(committed)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds_run
+
+    # converged: pairs is one star per component (u -> component min);
+    # roots and isolated vertices label themselves
+    labels = (
+        vertices.join(pairs, vertices.id == pairs.u, "left")
+        .select("id", F.coalesce("v", F.col("id")).alias("component"))
+    )
+    vertices.unpersist()
+    return labels

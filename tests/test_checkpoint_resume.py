@@ -64,6 +64,27 @@ def test_cc_resume_matches_uninterrupted(spark, tmp_path):
     assert resumed == full
 
 
+def test_cc_star_resume_matches_uninterrupted(spark, tmp_path):
+    from graphjet_spark.plans.components import connected_components_star
+
+    e = edges_df(spark, PAIRS)
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components_star(spark, e).collect()
+    }
+    # run 1: "killed" after 2 rounds (max_rounds caps the budget)
+    mgr = CheckpointManager(str(tmp_path), "ccstar")
+    connected_components_star(spark, e, max_rounds=2, checkpoint=mgr).collect()
+    assert mgr.last_committed() == 2
+    # run 2: same manager, full budget — resumes from round 2
+    resumed = {
+        r["id"]: r["component"]
+        for r in connected_components_star(spark, e, checkpoint=mgr).collect()
+    }
+    assert resumed == full
+    assert mgr.last_committed() > 2  # it actually continued
+
+
 def test_commit_is_idempotent_and_atomic(spark, tmp_path):
     e = edges_df(spark, PAIRS)
     mgr = CheckpointManager(str(tmp_path), "runB")

@@ -14,7 +14,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from graphjet_spark.operators.degrees import degree_table
-from graphjet_spark.plans.components import connected_components
+from graphjet_spark.plans.components import (
+    connected_components,
+    connected_components_star,
+)
 from graphjet_spark.plans.triangles import triangle_count
 
 edges_strategy = st.lists(
@@ -74,6 +77,54 @@ def test_components_match_union_find(spark, pairs):
     for members in roots.values():
         labels = {got[v] for v in members}
         assert labels == {min(members)}
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_components_star_match_union_find(spark, pairs):
+    """Large-star/small-star CC partitions identically to union-find
+    with component-min labels — same contract as hash-min flooding."""
+    pairs = [(s, d) for s, d in pairs if s != d]
+    if not pairs:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        parent[find(s)] = find(d)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(spark, _df(spark, pairs)).collect()
+    }
+    roots = {}
+    for v in got:
+        roots.setdefault(find(v), []).append(v)
+    for members in roots.values():
+        assert {got[v] for v in members} == {min(members)}
+
+
+def test_components_star_log_rounds_on_path(spark):
+    """On a 200-node path graph (diameter 199) star contraction
+    converges in O(log n) rounds — the case where hash-min flooding
+    needs O(n) supersteps (its 12-iteration gate mode would be far from
+    converged here)."""
+    n = 200
+    pairs = [(i, i + 1) for i in range(1, n)]
+    stats: dict = {}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(
+            spark, _df(spark, pairs), stats=stats
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert stats["rounds"] <= 12  # ~log2(200) + slack; hash-min needs ~200
 
 
 @given(pairs=edges_strategy)
