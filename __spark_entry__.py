@@ -176,6 +176,20 @@ def _q_second_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", "weight", "visits")
 
 
+def _q_second_degree_tweet_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tweet-rec business rules: candidates need a non-type-0 proof AND
+    some proof type with >= 2 distinct proof users."""
+    inter = testdata.interactions(spark, sf_dir)
+    res = top_second_degree_by_count(
+        inter,
+        {s: 1.0 for s in range(1, 31)},
+        max_results=20,
+        tweet_proof_type=0,
+        min_user_social_proof_size=2,
+    )
+    return res.select("id", "weight", "visits")
+
+
 def _q_social_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs = _top_parts(spark, sf_dir, 5)
     inter = testdata.interactions(spark, sf_dir)
@@ -373,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_similarity_inverse_degree": _q_similarity_invdeg,
         "intersection_similarity_scaled": _q_similarity_scaled,
         "top_second_degree_by_count": _q_second_degree,
+        "second_degree_tweet_recs": _q_second_degree_tweet_recs,
         "social_proof": _q_social_proof,
         "salsa_subgraph_det": _q_salsa,
         "salsa_montecarlo": _q_salsa_mc,
@@ -431,6 +446,9 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "intersection_similarity_inverse_degree": oracles.similarity_inverse_degree_sql(),
         "intersection_similarity_scaled": oracles.similarity_scaled_sql(),
         "top_second_degree_by_count": oracles.second_degree_sql(),
+        "second_degree_tweet_recs": oracles.second_degree_sql(
+            tweet_proof_type=0, min_user_social_proof_size=2, n_seeds=30
+        ),
         "social_proof": oracles.social_proof_sql(),
         "salsa_subgraph_det": oracles.salsa_subgraph_sql(),
         "metadata_recs_ptype": oracles.metadata_recs_sql(),

@@ -42,11 +42,28 @@ def top_second_degree_by_count(
     max_results: int = 10,
     max_edges_per_node: int = MAX_EDGES_PER_NODE,
     max_social_proof: int = 2,
+    tweet_proof_type: int | None = None,
+    min_user_social_proof_size: int | None = None,
 ) -> DataFrame:
     """Edges: (src, dst, edge_type, seq) where ``seq`` is the insertion
     order key (GraphJet's chronological segment order). Returns
     (id, weight, visits, social_proof array<struct<w,src,edge_type>>,
-    proof_types) ordered weight desc, id asc."""
+    proof_types) ordered weight desc, id asc.
+
+    Tweet-rec business rules (reference counting/
+    TopSecondDegreeByCountTweetRecsGenerator.java:118-165, applied
+    before the top-k queue):
+
+    - ``tweet_proof_type``: drop candidates whose social proof exists
+      ONLY for this type (isTweetSocialProofOnly — a tweet engaging a
+      tweet is not user evidence);
+    - ``min_user_social_proof_size``: drop candidates where no single
+      proof type has at least this many distinct proof users
+      (isLessThantMinUserSocialProofSize).
+
+    Both default to None = generic recs (no rule).  Id un-masking
+    (TweetIDMask.restore) is the C1 codec's concern
+    (functions/idcodec.py) and is not applied here."""
     spark = edges.sparkSession
     seed_df = broadcast(
         spark.createDataFrame(
@@ -64,6 +81,30 @@ def top_second_degree_by_count(
         .select("src", "dst", "edge_type", "seed_weight")
         .distinct()  # (seed, right, type) dedup — F11
     )
+    if tweet_proof_type is not None or min_user_social_proof_size is not None:
+        # per (candidate, type) distinct-proof-user counts — `latest` is
+        # distinct on (src, dst, edge_type) so count(*) counts users
+        per_type = latest.groupBy("dst", "edge_type").agg(
+            F.count(F.lit(1)).alias("n_users")
+        )
+        conds = []
+        if tweet_proof_type is not None:
+            conds.append(F.col("has_non_tweet") == 1)
+        if min_user_social_proof_size is not None:
+            conds.append(F.col("max_type_users") >= min_user_social_proof_size)
+        keep = per_type.groupBy("dst").agg(
+            F.max(
+                F.when(
+                    F.col("edge_type") != (tweet_proof_type if tweet_proof_type is not None else -1),
+                    1,
+                ).otherwise(0)
+            ).alias("has_non_tweet"),
+            F.max("n_users").alias("max_type_users"),
+        )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        latest = latest.join(keep.filter(cond).select("dst"), "dst", "left_semi")
     return (
         latest.groupBy("dst")
         .agg(

@@ -276,26 +276,51 @@ def similarity_scaled_sql(min_cooccurrence: int = 2, round_to: int = 6) -> str:
     )
 
 
-def second_degree_sql(max_edges_per_node: int = 500, k: int = 20) -> str:
-    """TopSecondDegreeByCount, seeds customers {1,2,3} weight 1.0; exact
-    double weights so the top-k boundary is deterministic."""
+def second_degree_sql(
+    max_edges_per_node: int = 500,
+    k: int = 20,
+    tweet_proof_type: int | None = None,
+    min_user_social_proof_size: int | None = None,
+    n_seeds: int = 3,
+) -> str:
+    """TopSecondDegreeByCount, seeds customers {1..n_seeds} weight 1.0;
+    exact double weights so the top-k boundary is deterministic.
+    Optional tweet-rec business rules
+    (TopSecondDegreeByCountTweetRecsGenerator.java:118-165): require a
+    non-"tweet"-type proof and a per-type distinct-user proof floor."""
+    rules = ""
+    where = ""
+    if tweet_proof_type is not None or min_user_social_proof_size is not None:
+        conds = []
+        if tweet_proof_type is not None:
+            conds.append(
+                f"MAX(CASE WHEN edge_type <> {tweet_proof_type} THEN 1 ELSE 0 END) = 1"
+            )
+        if min_user_social_proof_size is not None:
+            conds.append(f"MAX(n_users) >= {min_user_social_proof_size}")
+        rules = f""",
+per_type AS MATERIALIZED (
+  SELECT dst, edge_type, COUNT(*) AS n_users FROM ded GROUP BY dst, edge_type),
+keep AS MATERIALIZED (
+  SELECT dst FROM per_type GROUP BY dst
+  HAVING {' AND '.join(conds)})"""
+        where = "WHERE dst IN (SELECT dst FROM keep)\n"
     return (
         oracle_cte().rstrip()
         + ",\n"
         + f"""
 seeds AS MATERIALIZED (SELECT * FROM (VALUES
-  (CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
-  (CAST(2 AS BIGINT), CAST(1.0 AS DOUBLE)),
-  (CAST(3 AS BIGINT), CAST(1.0 AS DOUBLE))) s(src, seed_weight)),
+  {", ".join(f"(CAST({s} AS BIGINT), CAST(1.0 AS DOUBLE))" for s in range(1, n_seeds + 1))}
+  ) s(src, seed_weight)),
 latest AS MATERIALIZED (
   SELECT src, dst, edge_type, seed_weight FROM (
     SELECT i.src, i.dst, i.edge_type, s.seed_weight,
            ROW_NUMBER() OVER (PARTITION BY i.src ORDER BY i.seq DESC) AS rn
     FROM interactions i JOIN seeds s ON i.src = s.src
   ) WHERE rn <= {max_edges_per_node}),
-ded AS MATERIALIZED (SELECT DISTINCT src, dst, edge_type, seed_weight FROM latest)
+ded AS MATERIALIZED (SELECT DISTINCT src, dst, edge_type, seed_weight FROM latest){rules}
 SELECT dst AS id, SUM(seed_weight) AS weight, CAST(COUNT(*) AS BIGINT) AS visits
-FROM ded GROUP BY dst
+FROM ded {where}GROUP BY dst
 ORDER BY weight DESC, id ASC
 LIMIT {k}
 """.strip()
