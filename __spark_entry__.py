@@ -42,6 +42,7 @@ from graphjet_spark.plans.components import (
     connected_components,
     connected_components_star,
 )
+from graphjet_spark.plans.context import GraphTables
 from graphjet_spark.plans.labelprop import label_propagation
 from graphjet_spark.plans.pagerank import pagerank
 from graphjet_spark.plans.salsa import salsa, salsa_montecarlo
@@ -75,13 +76,10 @@ def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
-    n = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .count()
-    )
     pr = pagerank(spark, edges, fixed_iters=PR_ITERS)
+    # one row per vertex: count the (checkpointed) result instead of
+    # re-deriving the vertex set with a second union+distinct job
+    n = pr.count()
     return pr.select(
         "id", F.round(F.col("pagerank") * F.lit(float(n)), 4).alias("pagerank_n")
     )
@@ -125,18 +123,34 @@ def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex_triangles(spark, edges)
 
 
+# Engine-resident tables (one per sf_dir per process, like GraphJet's
+# in-memory index): the deduped interaction pair set + degree tables,
+# and the deterministic top-parts seed picks.  Shared by every query in
+# a gate/bench run instead of re-materializing per query.
+_GRAPH_TABLES: dict[str, "GraphTables"] = {}
+_TOP_PARTS_CACHE: dict[tuple[str, int], list[int]] = {}
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> "GraphTables":
+    if sf_dir not in _GRAPH_TABLES:
+        _GRAPH_TABLES[sf_dir] = GraphTables(testdata.interactions(spark, sf_dir))
+    return _GRAPH_TABLES[sf_dir]
+
+
 def _top_parts(spark: SparkSession, sf_dir: str, k: int) -> list[int]:
     """Top-k parts by interaction degree (ties -> smaller id), the
     deterministic query/seed pick shared with the oracle SQL."""
-    inter = testdata.interactions(spark, sf_dir)
-    rows = (
-        inter.groupBy("dst")
-        .count()
-        .orderBy(F.desc("count"), F.asc("dst"))
-        .limit(k)
-        .collect()
-    )
-    return [r["dst"] for r in rows]
+    if (sf_dir, k) not in _TOP_PARTS_CACHE:
+        inter = testdata.interactions(spark, sf_dir)
+        rows = (
+            inter.groupBy("dst")
+            .count()
+            .orderBy(F.desc("count"), F.asc("dst"))
+            .limit(k)
+            .collect()
+        )
+        _TOP_PARTS_CACHE[(sf_dir, k)] = [r["dst"] for r in rows]
+    return _TOP_PARTS_CACHE[(sf_dir, k)]
 
 
 def _similarity_gate(normalization: str):
@@ -153,6 +167,7 @@ def _similarity_gate(normalization: str):
             normalization=normalization,
             min_cooccurrence=2,
             max_results=None,
+            tables=_tables(spark, sf_dir),
         )
         return res.select(
             "id", F.round("score", 6).alias("score"), "cooccurrence", "degree"
@@ -267,9 +282,8 @@ def _q_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers reachable through shared parts (the SalsaStats
     numRightNodesReached analogue, reference algorithms/salsa/
     SalsaStats.java:34; J2 co-occurrence join shape)."""
-    inter = testdata.interactions(spark, sf_dir)
     seeds = spark.createDataFrame([(1,), (2,), (3,)], "seed bigint")
-    e = inter.select("src", "dst").distinct()
+    e = _tables(spark, sf_dir).pairs
     e1 = e.join(F.broadcast(seeds), e.src == F.col("seed")).select("seed", "dst")
     e2 = e.select(F.col("dst").alias("dst"), F.col("src").alias("peer"))
     return (

@@ -166,6 +166,7 @@ def intersection_similarity(
     max_num_neighbors: int | None = None,
     max_num_samples_per_neighbor: int | None = None,
     sample_seed: int = 42,
+    tables=None,
 ) -> DataFrame:
     """Similar right nodes to ``query_node`` over a (src, dst) edge table.
 
@@ -184,6 +185,11 @@ def intersection_similarity(
     work control on hub queries: without them one celebrity seed makes
     the 2-hop join fan out by its full degree.  Default None = exact
     full-neighborhood mode (deterministic, used by the oracle gates).
+
+    ``tables``: optional :class:`graphjet_spark.plans.context.GraphTables`
+    — the engine-resident pair/degree tables; passing it skips the
+    per-query distinct + degree materialization (one per engine
+    instance, like the reference's resident index).
     """
     norm = NORMS[normalization] if isinstance(normalization, str) else normalization
     spark = edges.sparkSession
@@ -192,10 +198,14 @@ def intersection_similarity(
         spark.createDataFrame([(t,) for t in targets], "seed bigint")
     )
 
-    # the simple pair set is referenced 4x in the plan — materialize once
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("left_degree"))
-    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("right_degree"))
+    if tables is not None:
+        e, out_deg, in_deg = tables.pairs, tables.out_deg, tables.in_deg
+    else:
+        # the simple pair set is referenced 4x in the plan — materialize
+        # once (per query; pass ``tables`` to amortize across queries)
+        e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("left_degree"))
+        in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("right_degree"))
 
     # 1. left neighbors of query+seeds, deduped per seed; weight = #seeds
     seed_edges = e.join(target_df, e.dst == F.col("seed")).select("dst", "src")
