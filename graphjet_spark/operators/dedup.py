@@ -100,22 +100,46 @@ def ngram_jaccard_pairs(
     Exact Jaccard is then computed on candidates only.  Output
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6.
     """
-    toks = token_sets(docs, text_col, n)
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    toks = token_sets(docs, text_col, n).localCheckpoint(eager=False)
+
+    # --- collapse exact-duplicate token sets into classes ---------------
+    # Near-dup corpora are dominated by exact-dup classes; every member
+    # of a class has identical Jaccard to everything else, so similarity
+    # runs once per class (representative) and expands back to member
+    # pairs by joins — the candidate join shrinks from (class size)^2 to
+    # 1 per class pair.  Class key = hash of the sorted token set.
+    classes = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.xxhash64(
+                F.concat_ws("\x1f", F.sort_array(F.collect_list("tok")))
+            ).alias("cls"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    reps = classes.groupBy("cls").agg(
+        F.min("doc_id").alias("rep"), F.first("sz").alias("sz")
+    )
+    rtoks = toks.join(
+        reps.select(F.col("rep").alias("doc_id"), "cls"), "doc_id"
+    ).select("cls", "tok")
+
+    # --- prefix-filtered candidate generation over class reps -----------
+    dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    w = Window.partitionBy("cls").orderBy(F.asc("df"), F.asc("tok"))
     prefix = (
-        toks.join(dfreq, "tok")
-        .join(sizes, "doc_id")
+        rtoks.join(dfreq, "tok")
+        .join(reps.select("cls", "sz"), "cls")
         .withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos")
             <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-6) + 1
         )
-        .select("doc_id", "tok", "sz")
+        .select("cls", "tok", "sz")
     )
     p1 = prefix.alias("p1")
     p2 = prefix.alias("p2")
@@ -123,40 +147,69 @@ def ngram_jaccard_pairs(
         p1.join(
             p2,
             (F.col("p1.tok") == F.col("p2.tok"))
-            & (F.col("p1.doc_id") < F.col("p2.doc_id"))
+            & (F.col("p1.cls") < F.col("p2.cls"))
             # size filter: J >= t implies min >= t * max
             & (
                 F.least("p1.sz", "p2.sz")
                 >= F.greatest("p1.sz", "p2.sz") * threshold - 1e-6
             ),
         )
-        .select(
-            F.col("p1.doc_id").alias("doc_a"), F.col("p2.doc_id").alias("doc_b")
-        )
+        .select(F.col("p1.cls").alias("ca"), F.col("p2.cls").alias("cb"))
         .distinct()
     )
-    t1 = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    t2 = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+
+    # --- exact Jaccard on candidate class pairs -------------------------
+    t1 = rtoks.select(F.col("cls").alias("ca"), "tok")
+    t2 = rtoks.select(F.col("cls").alias("cb"), "tok")
     inter = (
-        cand.join(t1, "doc_a")
-        .join(t2, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
+        cand.join(t1, "ca")
+        .join(t2, ["cb", "tok"])
+        .groupBy("ca", "cb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    return (
-        inter.join(s1, "doc_a")
-        .join(s2, "doc_b")
+    s1 = reps.select(F.col("cls").alias("ca"), F.col("sz").alias("sza"))
+    s2 = reps.select(F.col("cls").alias("cb"), F.col("sz").alias("szb"))
+    cls_pairs = (
+        inter.join(s1, "ca")
+        .join(s2, "cb")
         .select(
-            "doc_a",
-            "doc_b",
+            "ca",
+            "cb",
             F.round(
                 F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+    # --- expand class pairs back to doc pairs ---------------------------
+    m = classes.select("doc_id", "cls")
+    inter_docs = (
+        cls_pairs.join(
+            m.select(F.col("cls").alias("ca"), F.col("doc_id").alias("da")), "ca"
+        )
+        .join(m.select(F.col("cls").alias("cb"), F.col("doc_id").alias("db")), "cb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    m1 = m.alias("m1")
+    m2 = m.alias("m2")
+    intra_docs = (
+        m1.join(
+            m2,
+            (F.col("m1.cls") == F.col("m2.cls"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter_docs.unionByName(intra_docs)
 
 
 # ----------------------------------------------------------- MinHash + LSH
