@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphjet_spark import oracles
-from graphjet_spark.operators.ann import brute_force_topk, lsh_bucketed_topk
+from graphjet_spark.operators.ann import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from graphjet_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
@@ -384,6 +388,15 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (seeded sample + 1 Lloyd step, n_probe
+    cells, exact rescore) — rows-only gate (engine-defined centroids);
+    recall pinned by tests/test_training_data_ops.py::test_ivf_topk_recall."""
+    return ivf_topk(
+        _embs(spark, sf_dir), [0, 1, 2], k=10, n_cells=16, n_probe=4, seed=42
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
@@ -421,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash,
         "simhash_near_dups": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
     }
 
 
@@ -498,6 +512,7 @@ GROUP BY s.seed ORDER BY s.seed
         "simhash_near_dups": oracles.simhash_near_dups_sql(
             max_hamming=3, shingle_n=2
         ),
-        # random_multigraph_neighbors / lsh_ann_topk: engine-defined
-        # (seeded-RNG) semantics — pytest-oracled, rows-only here
+        # random_multigraph_neighbors / salsa_montecarlo / lsh_ann_topk /
+        # ivf_ann_topk: engine-defined (seeded-RNG) semantics —
+        # pytest-oracled, rows-only here
     }
