@@ -245,6 +245,54 @@ def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_second_degree_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-chain gate (F1 exclude set + F3 direct interactions + F4
+    min-degree + F5 proof types, composed by apply_filter_chain) over
+    the full second-degree candidate set, then top-20."""
+    from graphjet_spark.operators.filters import (
+        apply_filter_chain,
+        direct_interactions_exclude,
+        min_interactions_filter,
+        requested_set_filter,
+        social_proof_types_filter,
+    )
+
+    inter = testdata.interactions(spark, sf_dir)
+    tables = _tables(spark, sf_dir)
+    top2 = _top_parts(spark, sf_dir, 2)
+    cands = top_second_degree_by_count(
+        inter, {s: 1.0 for s in range(1, 6)}, max_results=None
+    )
+    deg = tables.in_deg.select(
+        F.col("dst").alias("id"), F.col("right_degree").alias("degree")
+    )
+    decorated = cands.join(deg, "id")
+    filtered = apply_filter_chain(
+        decorated,
+        [
+            requested_set_filter(top2),        # F1
+            min_interactions_filter(3),        # F4
+            social_proof_types_filter([0, 1]), # F5
+        ],
+        exclude_tables=[direct_interactions_exclude(tables.pairs, 1)],  # F3
+    )
+    return (
+        filtered.select("id", "weight", "visits", "degree")
+        .orderBy(F.desc("weight"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _q_adjacency_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 iterator-skip pagination over the CSR adjacency blocks:
+    customer 1's distinct neighbors after skipping the first 5 (block
+    order = sorted dst when unsplit)."""
+    from graphjet_spark.operators.adjacency import adjacency_blocks, skip_neighbors
+
+    adj = adjacency_blocks(_tables(spark, sf_dir).pairs)
+    return skip_neighbors(adj, 1, 5)
+
+
 def _q_salsa_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte-Carlo full-graph SALSA (per-walk, seeded engine RNG —
     rows-only gate by contract; parity pinned by the literal walk-loop
@@ -415,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection_similarity_scaled": _q_similarity_scaled,
         "top_second_degree_by_count": _q_second_degree,
         "second_degree_tweet_recs": _q_second_degree_tweet_recs,
+        "second_degree_filtered": _q_second_degree_filtered,
+        "adjacency_skip": _q_adjacency_skip,
         "social_proof": _q_social_proof,
         "salsa_subgraph_det": _q_salsa,
         "salsa_montecarlo": _q_salsa_mc,
@@ -477,6 +527,8 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "second_degree_tweet_recs": oracles.second_degree_sql(
             tweet_proof_type=0, min_user_social_proof_size=2, n_seeds=30
         ),
+        "second_degree_filtered": oracles.second_degree_filtered_sql(),
+        "adjacency_skip": oracles.adjacency_skip_sql(),
         "social_proof": oracles.social_proof_sql(),
         "salsa_subgraph_det": oracles.salsa_subgraph_sql(),
         "metadata_recs_ptype": oracles.metadata_recs_sql(),

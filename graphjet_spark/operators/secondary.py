@@ -39,7 +39,7 @@ def top_second_degree_by_count(
     edges: DataFrame,
     seeds_with_weight: dict[int, float],
     *,
-    max_results: int = 10,
+    max_results: int | None = 10,
     max_edges_per_node: int = MAX_EDGES_PER_NODE,
     max_social_proof: int = 2,
     tweet_proof_type: int | None = None,
@@ -105,7 +105,7 @@ def top_second_degree_by_count(
         for c in conds[1:]:
             cond = cond & c
         latest = latest.join(keep.filter(cond).select("dst"), "dst", "left_semi")
-    return (
+    out = (
         latest.groupBy("dst")
         .agg(
             F.sum("seed_weight").alias("weight"),
@@ -134,5 +134,6 @@ def top_second_degree_by_count(
             "proof_types",
         )
         .orderBy(F.desc("weight"), F.asc("id"))
-        .limit(max_results)
     )
+    # only apply a real limit (limit(huge N) allocates an N-heap/partition)
+    return out.limit(max_results) if max_results is not None else out

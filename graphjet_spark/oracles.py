@@ -327,6 +327,63 @@ LIMIT {k}
     )
 
 
+def second_degree_filtered_sql(
+    max_edges_per_node: int = 500,
+    n_seeds: int = 5,
+    min_degree: int = 3,
+    proof_types: tuple[int, ...] = (0, 1),
+    direct_node: int = 1,
+    k: int = 20,
+) -> str:
+    """Filter-chain oracle: second-degree candidates minus the top-2
+    parts (F1), minus node ``direct_node``'s own neighbors (F3), with a
+    degree floor (F4) and a proof-type overlap requirement (F5)."""
+    pt = ", ".join(str(t) for t in proof_types)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + _TOP_PARTS.format(k=2).strip()
+        + ",\n"
+        + f"""
+seeds AS MATERIALIZED (SELECT * FROM (VALUES
+  {", ".join(f"(CAST({s} AS BIGINT), CAST(1.0 AS DOUBLE))" for s in range(1, n_seeds + 1))}
+  ) s(src, seed_weight)),
+latest AS MATERIALIZED (
+  SELECT src, dst, edge_type, seed_weight FROM (
+    SELECT i.src, i.dst, i.edge_type, s.seed_weight,
+           ROW_NUMBER() OVER (PARTITION BY i.src ORDER BY i.seq DESC) AS rn
+    FROM interactions i JOIN seeds s ON i.src = s.src
+  ) WHERE rn <= {max_edges_per_node}),
+ded AS MATERIALIZED (SELECT DISTINCT src, dst, edge_type, seed_weight FROM latest),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM interactions),
+ind AS MATERIALIZED (SELECT dst, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY dst),
+direct AS MATERIALIZED (SELECT DISTINCT dst FROM e WHERE src = {direct_node}),
+cand AS MATERIALIZED (
+  SELECT dst AS id, SUM(seed_weight) AS weight, CAST(COUNT(*) AS BIGINT) AS visits
+  FROM ded GROUP BY dst)
+SELECT c.id, c.weight, c.visits, ind.degree
+FROM cand c JOIN ind ON c.id = ind.dst
+WHERE c.id NOT IN (SELECT t FROM tp)
+  AND ind.degree >= {min_degree}
+  AND EXISTS (SELECT 1 FROM ded WHERE ded.dst = c.id AND ded.edge_type IN ({pt}))
+  AND c.id NOT IN (SELECT dst FROM direct)
+ORDER BY c.weight DESC, c.id ASC LIMIT {k}
+""".strip()
+    )
+
+
+def adjacency_skip_sql(node: int = 1, skip: int = 5) -> str:
+    """P5 pagination oracle: distinct neighbors of ``node`` in adjacency
+    (sorted) order, after skipping the first ``skip``."""
+    return (
+        oracle_cte().rstrip()
+        + f"""
+SELECT dst FROM (SELECT DISTINCT dst FROM interactions WHERE src = {node})
+ORDER BY dst OFFSET {skip}
+"""
+    )
+
+
 def social_proof_sql(max_edges_per_node: int = 500, round_to: int = 6) -> str:
     """TweetSocialProof analogue: inputs = top-5 parts, seed customers
     {1: 1.0, 2: 2.0, 3: 0.5}, proof types {0, 1}."""
