@@ -69,8 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = testdata.graph_edges(spark, sf_dir).distinct()
-    return degree_table(e)
+    return degree_table(_tables(spark, sf_dir, "graph_edges").pairs)
 
 
 def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,10 +134,14 @@ _GRAPH_TABLES: dict[str, "GraphTables"] = {}
 _TOP_PARTS_CACHE: dict[tuple[str, int], list[int]] = {}
 
 
-def _tables(spark: SparkSession, sf_dir: str) -> "GraphTables":
-    if sf_dir not in _GRAPH_TABLES:
-        _GRAPH_TABLES[sf_dir] = GraphTables(testdata.interactions(spark, sf_dir))
-    return _GRAPH_TABLES[sf_dir]
+def _tables(
+    spark: SparkSession, sf_dir: str, source: str = "interactions"
+) -> "GraphTables":
+    key = f"{sf_dir}:{source}"
+    if key not in _GRAPH_TABLES:
+        loader = getattr(testdata, source)
+        _GRAPH_TABLES[key] = GraphTables(loader(spark, sf_dir))
+    return _GRAPH_TABLES[key]
 
 
 def _top_parts(spark: SparkSession, sf_dir: str, k: int) -> list[int]:
@@ -293,6 +296,35 @@ def _q_adjacency_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skip_neighbors(adj, 1, 5)
 
 
+def _q_adjacency_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 numbered-edge lookup: customer 1's 3rd neighbor in block
+    order (getNumberedEdge)."""
+    from graphjet_spark.operators.adjacency import adjacency_blocks, numbered_edge
+
+    adj = adjacency_blocks(_tables(spark, sf_dir).pairs)
+    return numbered_edge(adj, 1, 3)
+
+
+def _q_top_parts_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F8 time-range filter gate: top parts by engagement counting
+    only interactions shipped in 1995 (the edge-attribute form of the
+    recency filters; composed as a Column predicate so Catalyst pushes
+    it to the scan)."""
+    from graphjet_spark.operators.filters import time_range_filter
+
+    inter = testdata.interactions(spark, sf_dir)
+    recent = inter.filter(
+        time_range_filter("1995-01-01", "1995-12-31", "ts")(inter)
+    )
+    return (
+        recent.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("dst").alias("id"), "degree")
+        .orderBy(F.desc("degree"), F.desc("id"))
+        .limit(20)
+    )
+
+
 def _q_salsa_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte-Carlo full-graph SALSA (per-walk, seeded engine RNG —
     rows-only gate by contract; parity pinned by the literal walk-loop
@@ -368,7 +400,7 @@ def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket computed as length(bin(d))-1 (integer bit-length), identical
     in Spark and DuckDB — floating log2 is not cross-engine stable at
     power-of-two boundaries."""
-    e = testdata.graph_edges(spark, sf_dir).distinct()
+    e = _tables(spark, sf_dir, "graph_edges").pairs
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     return (
         deg.groupBy(
@@ -465,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "second_degree_tweet_recs": _q_second_degree_tweet_recs,
         "second_degree_filtered": _q_second_degree_filtered,
         "adjacency_skip": _q_adjacency_skip,
+        "adjacency_numbered": _q_adjacency_numbered,
+        "top_parts_recent": _q_top_parts_recent,
         "social_proof": _q_social_proof,
         "salsa_subgraph_det": _q_salsa,
         "salsa_montecarlo": _q_salsa_mc,
@@ -529,6 +563,8 @@ ORDER BY degree DESC, id DESC LIMIT 20
         ),
         "second_degree_filtered": oracles.second_degree_filtered_sql(),
         "adjacency_skip": oracles.adjacency_skip_sql(),
+        "adjacency_numbered": oracles.adjacency_numbered_sql(),
+        "top_parts_recent": oracles.top_parts_recent_sql(),
         "social_proof": oracles.social_proof_sql(),
         "salsa_subgraph_det": oracles.salsa_subgraph_sql(),
         "metadata_recs_ptype": oracles.metadata_recs_sql(),

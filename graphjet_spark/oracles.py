@@ -384,6 +384,34 @@ ORDER BY dst OFFSET {skip}
     )
 
 
+def adjacency_numbered_sql(node: int = 1, i: int = 3) -> str:
+    """P6 numbered-edge oracle: the i-th (1-based) distinct neighbor of
+    ``node`` in adjacency (sorted) order."""
+    return (
+        oracle_cte().rstrip()
+        + f"""
+SELECT dst FROM (SELECT DISTINCT dst FROM interactions WHERE src = {node})
+ORDER BY dst LIMIT 1 OFFSET {i - 1}
+"""
+    )
+
+
+def top_parts_recent_sql(
+    after: str = "1995-01-01", before: str = "1995-12-31", k: int = 20
+) -> str:
+    """F2/F8 time-range oracle: top parts by engagement within the ship
+    window (ties -> larger id)."""
+    return (
+        oracle_cte().rstrip()
+        + f"""
+SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM interactions
+WHERE ts BETWEEN '{after}' AND '{before}'
+GROUP BY dst ORDER BY degree DESC, id DESC LIMIT {k}
+"""
+    )
+
+
 def social_proof_sql(max_edges_per_node: int = 500, round_to: int = 6) -> str:
     """TweetSocialProof analogue: inputs = top-5 parts, seed customers
     {1: 1.0, 2: 2.0, 3: 0.5}, proof types {0, 1}."""
