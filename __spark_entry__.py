@@ -333,6 +333,9 @@ def _q_salsa_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = testdata.interactions(spark, sf_dir).select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
+    rev_pairs = _tables(spark, sf_dir).pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
     return salsa_montecarlo(
         inter,
         query_node=top3[0],
@@ -341,6 +344,7 @@ def _q_salsa_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk_length=5,
         max_results=20,
         seed=42,
+        pairs=rev_pairs,
     )
 
 

@@ -237,6 +237,7 @@ def salsa_montecarlo(
     query_weight_fraction: float = 0.9,
     max_results: int | None = 10,
     seed: int = 42,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Monte-Carlo full-graph SALSA with true per-walk semantics — the
     reference's primary algorithm (fullgraph/LeftSalsaIteration.java:
@@ -263,10 +264,16 @@ def salsa_montecarlo(
     engine-defined): uniform sampling is over *distinct* neighbors and
     the RNG is the Lehmer hash above, not java.util.Random.
 
+    ``pairs``: optional pre-deduplicated (src, dst) pair table (e.g.
+    GraphTables.pairs) — skips the per-query distinct.
+
     Returns (id, visits, score) ordered by score desc, id asc.
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    if pairs is not None:
+        e = pairs
+    else:
+        e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
 
     from pyspark.sql import Window
 
@@ -337,8 +344,11 @@ def salsa_montecarlo(
                 if parked is None
                 else parked.unionByName(newly_parked)
             )
+            # the walk set is bounded by num_walks — broadcast it on
+            # both hop joins so the (big) edge tables never shuffle
             hop = (
                 walks.filter(~F.col("reset"))
+                .hint("broadcast")
                 .join(
                     left_deg.select(F.col("src").alias("node"), "ldeg"), "node"
                 )
@@ -346,6 +356,7 @@ def salsa_montecarlo(
                     "rn",
                     F.pmod(_mc_draw(F.col("wid"), step, _SALT_LEFT, seed), F.col("ldeg")),
                 )
+                .hint("broadcast")
                 .join(left_tbl.select("node", "nbr", "rn"), ["node", "rn"])
                 .select("wid", F.col("nbr").alias("node"))
                 .localCheckpoint(eager=False)
@@ -355,6 +366,7 @@ def salsa_montecarlo(
         else:  # right iteration
             hop = (
                 walks.select("wid", "node")
+                .hint("broadcast")
                 .join(
                     right_deg.select(F.col("dst").alias("node"), "rdeg"), "node"
                 )
@@ -362,6 +374,7 @@ def salsa_montecarlo(
                     "rn",
                     F.pmod(_mc_draw(F.col("wid"), step, _SALT_RIGHT, seed), F.col("rdeg")),
                 )
+                .hint("broadcast")
                 .join(right_tbl.select("node", "nbr", "rn"), ["node", "rn"])
                 .select("wid", F.col("nbr").alias("node"))
             )
