@@ -267,7 +267,11 @@ def shingle_hashes(
     h = F.transform(F.array_distinct(grams), _hash60)
     if mod is not None:
         h = F.transform(h, lambda x: x % F.lit(mod))
-    return staged.select("doc_id", h.alias("h"))
+    # docs with no n-grams (shorter than n tokens, or empty) are
+    # EXCLUDED: they carry no shingle evidence at this n, and keeping
+    # them (e.g. with a sentinel signature) would declare every short
+    # doc a near-dup of every other short doc
+    return staged.select("doc_id", h.alias("h")).filter(F.size("h") > 0)
 
 
 def minhash_signatures(
@@ -290,7 +294,8 @@ def minhash_signatures(
     DuckDB oracle's list-lambda evaluation; measured ~10x faster than
     both the nested-transform (interpreted higher-order lambdas) and
     explode+128-min-aggregate (128-column hash-agg update per shingle)
-    JVM formulations.  Docs with no shingles get the all-p signature."""
+    JVM formulations.  Docs with no shingles are excluded upstream
+    (shingle_hashes)."""
     a, b = _hash_params(num_hashes, seed)
     a64 = a.astype(np.int64)
     b64 = b.astype(np.int64)

@@ -646,7 +646,7 @@ grams AS MATERIALIZED (
 hs AS MATERIALIZED (
   SELECT doc_id,
          list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT{modexpr}) AS h
-  FROM grams)
+  FROM grams WHERE len(g) > 0)
 """
 
 

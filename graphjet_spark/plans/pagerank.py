@@ -242,6 +242,8 @@ def pagerank(
         else:
             # fixed-iteration fire-and-forget mode (benchmarks): no
             # convergence scan — materialize via a cheap count only
+            # (measured: batching actions every 2nd superstep does NOT
+            # help — the cost is superstep compute, not job scheduling)
             new_ranks.count()
             delta_linf = None
             metrics = None

@@ -117,6 +117,27 @@ def test_embedding_near_dups(spark):
     assert got[(0, 1)] > 0.99
 
 
+def test_short_docs_never_crash_ngram_operators(spark):
+    """Docs with fewer tokens than n used to crash gram construction
+    (descending sequence -> slice throws); they must yield empty gram
+    sets and simply not participate in near-dup pairs."""
+    rows = [(0, ""), (1, "one"), (2, "two words"), (3, "two words")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert token_sets(docs, n=3).count() == 0
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.5).count() == 0
+    # minhash/simhash with shingle_n=3: no doc has a 3-gram, so all are
+    # excluded from near-dup consideration — no pairs, no crash (and no
+    # sentinel-signature wart pairing every short doc with every other)
+    assert minhash_dedup(docs, shingle_n=3, threshold=0.5).count() == 0
+    assert simhash_near_dups(docs, max_hamming=3, shingle_n=3).count() == 0
+    # at n=2 the identical docs 2 and 3 pair up again
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    }
+    assert got == {(2, 3): 1.0}
+
+
 def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
     """Prefix-filtered candidate generation is exact: same pairs as an
     all-pairs token-overlap evaluation, at several thresholds, on a
