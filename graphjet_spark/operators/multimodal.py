@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed through Arrow-batched stages.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (seeded from
-the payload hash) produces stable pseudo-features.  Everything AROUND
-the decode — schema contracts, mapInPandas signatures, batch shapes,
-partition sizing — is real and tested; swapping in PIL/ffmpeg later
-changes only the marked kernels.
+Real pure-numpy codecs are implemented for the two formats that need no
+external library: **BMP** (24-bit uncompressed BI_RGB) and **WAV**
+(16-bit PCM) — header parsing, padding, bottom-up row order, RIFF chunk
+walking, all struct/numpy.  Compressed formats (PNG/JPEG/ffmpeg video)
+still raise NotImplementedError (their codec libraries are absent in
+this container); the deterministic fake-feature path remains for
+opaque payloads.  The Spark-side plumbing — schema contracts,
+mapInPandas signatures, batch shapes, partition sizing — is shared by
+all paths.
 
 Schema contract:
 
@@ -18,6 +20,7 @@ Schema contract:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,22 +36,121 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 
 
+# ------------------------------------------------ pure-numpy codecs
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up rows, 4-byte row padding) — the standard uncompressed
+    format, writable with struct alone."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = pixels[:, :, ::-1]  # BMP stores BGR
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows[::-1].tobytes()  # bottom-up
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit BI_RGB BMP to an (H, W, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                        offset=data_offset).reshape(h, row_bytes)
+    if bottom_up:
+        raw = raw[::-1]
+    bgr = raw[:, : w * 3].reshape(h, w, 3)
+    return bgr[:, :, ::-1].copy()  # -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono PCM samples as a canonical RIFF/WAVE file."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a 16-bit PCM mono/stereo WAV by walking RIFF chunks;
+    returns (sample_rate, int16 samples flattened)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _n_ch, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV supported (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return sample_rate, data
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table obeying MEDIA_SCHEMA."""
+    """Deterministic media table obeying MEDIA_SCHEMA: REAL payloads for
+    images (random-pixel BMPs) and audio (sine-mix WAVs); video stays an
+    opaque byte blob (no container codec in this sandbox)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(64 + int(rng.integers(0, 192)))
-        meta = {
-            "width": int(rng.integers(16, 512)) if kind != "audio" else None,
-            "height": int(rng.integers(16, 512)) if kind != "audio" else None,
-            "sample_rate": 16_000 if kind != "image" else None,
-            "duration_ms": int(rng.integers(100, 60_000))
-            if kind != "image"
-            else None,
-        }
+        if kind == "image":
+            w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            payload = encode_bmp(
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            )
+            meta = {"width": w, "height": h, "sample_rate": None,
+                    "duration_ms": None}
+        elif kind == "audio":
+            sr = 16_000
+            dur_ms = int(rng.integers(50, 400))
+            t = np.arange(int(sr * dur_ms / 1000)) / sr
+            f0 = float(rng.uniform(100, 2000))
+            wave = (np.sin(2 * np.pi * f0 * t) * 12_000).astype(np.int16)
+            payload = encode_wav(wave, sr)
+            meta = {"width": None, "height": None, "sample_rate": sr,
+                    "duration_ms": dur_ms}
+        else:
+            payload = rng.bytes(64 + int(rng.integers(0, 192)))
+            meta = {
+                "width": int(rng.integers(16, 512)),
+                "height": int(rng.integers(16, 512)),
+                "sample_rate": 16_000,
+                "duration_ms": int(rng.integers(100, 60_000)),
+            }
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -63,36 +165,110 @@ def _fake_features(payloads: pd.Series, dim: int) -> np.ndarray:
     return out
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real image decoding needs PIL/libjpeg (absent here).
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload by magic bytes: BMP decodes for real
+    (pure numpy); PNG/JPEG raise — their codec libraries (libpng /
+    libjpeg / PIL) are absent in this container."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"\x89PNG" or payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "PNG/JPEG decoding requires an image library not present in "
+            "this environment; BMP decodes natively"
+        )
+    raise ValueError("unrecognized image payload")
 
-    The Spark-side plumbing (extract_features) never calls this unless
-    ``fake=False``."""
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; use fake=True for the deterministic test decoder"
+
+def image_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """16-dim deterministic image descriptor: per-channel means + stds,
+    2x2 grayscale grid means, 6-bin grayscale histogram (normalized)."""
+    p = pixels.astype(np.float64) / 255.0
+    gray = p.mean(axis=2)
+    h, w = gray.shape
+    grid = [
+        gray[i * h // 2 : (i + 1) * h // 2, j * w // 2 : (j + 1) * w // 2].mean()
+        for i in range(2)
+        for j in range(2)
+    ]
+    hist, _ = np.histogram(gray, bins=6, range=(0.0, 1.0))
+    feats = np.concatenate(
+        [p.mean(axis=(0, 1)), p.std(axis=(0, 1)), grid, hist / gray.size]
     )
+    assert len(feats) == dim
+    return feats
+
+
+def audio_features(
+    sample_rate: int, samples: np.ndarray, dim: int = FEATURE_DIM
+) -> np.ndarray:
+    """16-dim deterministic audio descriptor: rms / zero-crossing rate /
+    peak / mean-abs / log-length / spectral centroid + 8 normalized
+    rfft band energies + normalized sample rate."""
+    x = samples.astype(np.float64) / 32768.0
+    n = len(x)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x)) if n else np.zeros(1)
+    power = spec**2
+    total = power.sum() or 1.0
+    freqs = np.fft.rfftfreq(max(n, 1), d=1.0 / sample_rate)
+    centroid = float((freqs * power).sum() / total) / (sample_rate / 2.0)
+    bands = np.array_split(power, 8)
+    band_e = np.array([b.sum() for b in bands]) / total
+    feats = np.concatenate(
+        [
+            [
+                float(np.sqrt(np.mean(x**2))) if n else 0.0,
+                zcr,
+                float(np.max(np.abs(x))) if n else 0.0,
+                float(np.mean(np.abs(x))) if n else 0.0,
+                np.log1p(n),
+                centroid,
+            ],
+            band_e,
+            [sample_rate / 1e5, float(len(band_e[band_e > 0.01]))],
+        ]
+    )
+    assert len(feats) == dim
+    return feats
 
 
 def extract_features(
-    media: DataFrame, *, dim: int = FEATURE_DIM, fake: bool = True
+    media: DataFrame, *, dim: int = FEATURE_DIM, fake: bool = False
 ) -> DataFrame:
     """(media_id, kind, features array<double>) via mapInPandas.
 
-    Batch contract: input batches carry (media_id, kind, payload); the
-    kernel is Arrow-batched and returns one feature row per media row.
+    Real path (default): BMP images and PCM WAVs decode with the pure
+    numpy codecs above and produce deterministic descriptors; video
+    payloads (no container codec in this sandbox) fall back to the
+    content-seeded fake features, as does ``fake=True`` for everything.
+    Batch contract: input batches carry (media_id, kind, payload); one
+    feature row per media row; decode is necessarily per-payload
+    (variable-size binaries) but all math inside is numpy.
     """
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real decoders not available")
-            feats = _fake_features(pdf["payload"], dim)
+            if fake:
+                feats = list(_fake_features(pdf["payload"], dim))
+            else:
+                feats = []
+                fake_all = _fake_features(pdf["payload"], dim)
+                for i, (kind, payload) in enumerate(
+                    zip(pdf["kind"], pdf["payload"])
+                ):
+                    b = bytes(payload)
+                    if kind == "image":
+                        feats.append(image_features(decode_bmp(b), dim))
+                    elif kind == "audio":
+                        sr, x = decode_wav(b)
+                        feats.append(audio_features(sr, x, dim))
+                    else:  # video: no codec — content-seeded stand-in
+                        feats.append(fake_all[i])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "features": list(feats),
+                    "features": feats,
                 }
             )
 

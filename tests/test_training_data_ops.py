@@ -336,6 +336,50 @@ def test_winnowing_shared_substring_guarantee(spark, docs):
 # ------------------------------------------------------------- multimodal
 
 
+def test_bmp_wav_codecs_roundtrip():
+    """The pure-numpy BMP/WAV codecs are exact inverses (including BMP
+    row padding and bottom-up order, WAV RIFF chunk walking)."""
+    rng = np.random.default_rng(3)
+    for h, w in [(5, 7), (1, 1), (16, 3)]:  # odd widths exercise padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal.decode_bmp(multimodal.encode_bmp(img)) == img).all()
+    x = (rng.standard_normal(1234) * 10000).astype(np.int16)
+    sr, back = multimodal.decode_wav(multimodal.encode_wav(x, 8000))
+    assert sr == 8000 and (back == x).all()
+    feats = multimodal.image_features(
+        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    )
+    assert len(feats) == multimodal.FEATURE_DIM
+    af = multimodal.audio_features(16000, x)
+    assert len(af) == multimodal.FEATURE_DIM and np.isfinite(af).all()
+
+
+def test_multimodal_real_decode_features(spark):
+    """The default extract_features path REALLY decodes: BMP images and
+    PCM WAVs go through the numpy codecs; features are deterministic
+    and partition-independent; a known solid-color image produces the
+    analytically-expected channel means."""
+    media = multimodal.synth_media(spark, n=12)
+    feats = multimodal.extract_features(media)  # fake=False default
+    rows = {r["media_id"]: r["features"] for r in feats.collect()}
+    rows2 = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media.repartition(5)).collect()
+    }
+    assert rows == rows2
+    # hand-built solid red image: mean R=1, G=B=0, stds 0
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:, :, 0] = 255
+    one = spark.createDataFrame(
+        [(99, "image", bytearray(multimodal.encode_bmp(img)),
+          {"width": 4, "height": 4, "sample_rate": None, "duration_ms": None})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    f = multimodal.extract_features(one).collect()[0]["features"]
+    assert f[0] == pytest.approx(1.0) and f[1] == 0.0 and f[2] == 0.0
+    assert f[3] == 0.0  # std R of a solid color
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synth_media(spark, n=24)
     feats = multimodal.extract_features(media)
