@@ -98,6 +98,42 @@ def expire_segments(out_dir: str, *, max_segments: int) -> list[int]:
     return drop
 
 
+def running_degrees(edges: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running out-degree per src,
+    maintained with ``applyInPandasWithState`` — the streaming analogue
+    of GraphJet's live-segment degree counters (degrees kept adjacent to
+    the adjacency state and updated per addEdge; reference bipartite/
+    segment/LeftIndexedBipartiteGraphSegment.java:173-217).
+
+    State = one bigint per node; each micro-batch adds the node's new
+    edge count and emits the updated total (output mode ``update``).
+    The state store lives in the streaming checkpoint, so counters
+    survive restarts exactly-once — the property the in-memory reference
+    loses on process death.  Per-group batches arrive as Arrow frames;
+    the kernel is a constant-time accumulate, so a mega-hub node costs
+    one state row, not memory proportional to its degree.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        prev = state.get[0] if state.exists else 0
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        total = prev + add
+        state.update((total,))
+        yield pd.DataFrame({"src": [key[0]], "out_degree": [total]})
+
+    return edges.groupBy("src").applyInPandasWithState(
+        _update,
+        outputStructType="src bigint, out_degree bigint",
+        stateStructType="cnt bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def read_edges(spark: SparkSession, out_dir: str) -> DataFrame:
     """Batch view over the surviving segments (readers see committed
     state only — snapshot-consistency analogue).

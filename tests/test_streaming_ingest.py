@@ -72,3 +72,57 @@ def test_expire_segments_drop_oldest(spark, tmp_path):
     assert {r["segment"] for r in left.select("segment").distinct().collect()} == set(
         all_segs[-2:]
     )
+
+
+def test_running_degrees_stateful_resume(spark, tmp_path):
+    """applyInPandasWithState degree counters: per-batch updates emit
+    running totals, and the state store in the checkpoint carries the
+    counters across a query restart (exactly-once stateful resume)."""
+    from pyspark.sql import functions as F
+
+    edges_dir = str(tmp_path / "edges_in")
+    ck = str(tmp_path / "state_ck")
+    out_dir = str(tmp_path / "deg_out")
+
+    def _feed(rows):
+        spark.createDataFrame(rows, "src bigint, dst bigint").coalesce(
+            1
+        ).write.mode("append").parquet(edges_dir)
+
+    def _run():
+        stream = spark.readStream.schema("src bigint, dst bigint").parquet(
+            edges_dir
+        )
+
+        def sink(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            ingest.running_degrees(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out_dir).collect()
+        # the update stream appends one row per (src, batch); the row
+        # from the highest batch is the current running total
+        out = {}
+        for r in sorted(rows, key=lambda r: r["batch_id"]):
+            out[r["src"]] = r["out_degree"]
+        return out
+
+    _feed([(1, 10), (1, 11), (1, 12), (2, 10)])
+    got1 = _run()
+    assert got1 == {1: 3, 2: 1}
+
+    # new files + RESTARTED query on the same checkpoint: totals resume
+    # (node 1 accumulated 3 -> 4 across the restart; node 2's earlier
+    # total remains in the append sink, untouched by the new batch)
+    _feed([(1, 13), (3, 10)])
+    got2 = _run()
+    assert got2 == {1: 4, 2: 1, 3: 1}
