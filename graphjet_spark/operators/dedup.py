@@ -139,10 +139,23 @@ def ngram_jaccard_pairs(
             F.col("pos")
             <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-6) + 1
         )
-        .select("cls", "tok", "sz")
+        .select("cls", "tok", "sz", "pos")
     )
     p1 = prefix.alias("p1")
     p2 = prefix.alias("p2")
+    # positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
+    # token at positions (pa, pb) bounds the overlap by
+    # 1 + min(|x|-pa, |y|-pb); J >= t forces overlap >=
+    # t/(1+t) * (|x|+|y|), so pairs whose bound falls short are pruned
+    # at generation — exact (upper bound), with the same 1e-6 float
+    # slack direction as the prefix length (only ever keeps more).
+    overlap_need = (
+        (F.col("p1.sz") + F.col("p2.sz")) * (threshold / (1.0 + threshold))
+        - 1e-6
+    )
+    overlap_bound = 1 + F.least(
+        F.col("p1.sz") - F.col("p1.pos"), F.col("p2.sz") - F.col("p2.pos")
+    )
     cand = (
         p1.join(
             p2,
@@ -152,7 +165,8 @@ def ngram_jaccard_pairs(
             & (
                 F.least("p1.sz", "p2.sz")
                 >= F.greatest("p1.sz", "p2.sz") * threshold - 1e-6
-            ),
+            )
+            & (overlap_bound >= overlap_need),
         )
         .select(F.col("p1.cls").alias("ca"), F.col("p2.cls").alias("cb"))
         .distinct()
