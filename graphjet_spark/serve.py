@@ -1,0 +1,130 @@
+"""Minimal REST read surface — the S6 analogue.
+
+GraphJet's demo exposes its queries as Jetty JSON servlets
+(reference: graphjet-demo/src/main/java/com/twitter/graphjet/demo/
+TwitterStreamReader.java:218-235 — TopTweetsServlet etc.).  This is the
+batch engine's equivalent: a stdlib ``http.server`` endpoint wrapping
+the driver-contract query registry (``__spark_entry__.queries()``), so
+every gated operator is reachable as::
+
+    GET /queries                      -> {"queries": [...]}
+    GET /query/<name>?limit=N         -> {"rows": [...], "n": N}
+
+No third-party web framework (none is installed here); the server is a
+thin read path — queries execute on the shared SparkSession and results
+stream back as JSON.  Long-running algorithms are capped by ``limit``
+on the collected rows, never on the computation (the engine's own
+top-k/limit semantics live in the queries themselves).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if hasattr(v, "asDict"):  # Row / nested struct
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    return v
+
+
+class QueryServer:
+    """Serve the query registry over HTTP on an ephemeral (or given)
+    port.  ``registry`` maps name -> callable(spark, sf_dir) ->
+    DataFrame (exactly the driver contract's ``queries()``)."""
+
+    def __init__(
+        self,
+        spark,
+        sf_dir: str,
+        registry: dict | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_limit: int = 10_000,
+    ):
+        if registry is None:
+            import __spark_entry__ as entry_mod
+
+            registry = entry_mod.queries()
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._registry = registry
+        self._max_limit = max_limit
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet test runs
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/queries":
+                    self._send(200, {"queries": sorted(outer._registry)})
+                    return
+                if url.path.startswith("/query/"):
+                    name = url.path[len("/query/") :]
+                    fn = outer._registry.get(name)
+                    if fn is None:
+                        self._send(404, {"error": f"unknown query {name!r}"})
+                        return
+                    qs = parse_qs(url.query)
+                    limit = min(
+                        int(qs.get("limit", ["100"])[0]), outer._max_limit
+                    )
+                    try:
+                        df = fn(outer._spark, outer._sf_dir)
+                        rows = df.limit(limit).collect()
+                    except Exception as e:  # surface engine errors as 500s
+                        self._send(500, {"error": str(e)[:500]})
+                        return
+                    self._send(
+                        200,
+                        {
+                            "query": name,
+                            "n": len(rows),
+                            "rows": [
+                                {k: _jsonable(v) for k, v in r.asDict().items()}
+                                for r in rows
+                            ],
+                        },
+                    )
+                    return
+                self._send(404, {"error": "unknown path"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "QueryServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
