@@ -22,6 +22,7 @@ from graphjet_spark.operators.ann import (
     lsh_bucketed_topk,
 )
 from graphjet_spark.operators.dedup import (
+    dedup_keep_list,
     embedding_near_dups,
     exact_dedup,
     minhash_dedup,
@@ -434,6 +435,16 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.9)
 
 
+def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline gate: near-dup pairs -> CC over the
+    pair graph -> canonical keeper per cluster.  Fixed-iteration CC so
+    the unrolled oracle is parity-exact; the convergent star-CC form is
+    the scale path (same module)."""
+    return dedup_keep_list(
+        _docs(spark, sf_dir), n=1, threshold=0.9, cc_fixed_iters=12
+    )
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_embs(spark, sf_dir), threshold=0.3)
 
@@ -513,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_dups": _q_ngram_jaccard,
+        "dedup_keep_list": _q_dedup_keep_list,
         "embedding_near_dups": _q_embedding_dups,
         "ann_topk_cosine": _q_ann_topk,
         "token_count": _q_token_count,
@@ -592,6 +604,7 @@ GROUP BY s.seed ORDER BY s.seed
         "degree_histogram": oracles.degree_histogram_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "ngram_jaccard_dups": oracles.ngram_jaccard_sql(0.9),
+        "dedup_keep_list": oracles.dedup_keep_list_sql(0.9, iters=12),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.3),
         "ann_topk_cosine": oracles.ann_topk_sql(),
         "token_count": oracles.token_count_sql(),

@@ -100,7 +100,10 @@ def ngram_jaccard_pairs(
     Exact Jaccard is then computed on candidates only.  Output
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6.
     """
-    toks = token_sets(docs, text_col, n).localCheckpoint(eager=False)
+    # eager checkpoints: toks feeds 4 consumers and classes/rtoks feed
+    # 2-3 each — leaving them lazy replicates the whole upstream chain
+    # into one giant plan (measured 3x slower from planning + recompute)
+    toks = token_sets(docs, text_col, n).localCheckpoint(eager=True)
 
     # --- collapse exact-duplicate token sets into classes ---------------
     # Near-dup corpora are dominated by exact-dup classes; every member
@@ -116,14 +119,16 @@ def ngram_jaccard_pairs(
             ).alias("cls"),
             F.count(F.lit(1)).alias("sz"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     reps = classes.groupBy("cls").agg(
         F.min("doc_id").alias("rep"), F.first("sz").alias("sz")
     )
-    rtoks = toks.join(
-        reps.select(F.col("rep").alias("doc_id"), "cls"), "doc_id"
-    ).select("cls", "tok")
+    rtoks = (
+        toks.join(reps.select(F.col("rep").alias("doc_id"), "cls"), "doc_id")
+        .select("cls", "tok")
+        .localCheckpoint(eager=True)
+    )
 
     # --- prefix-filtered candidate generation over class reps -----------
     dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -488,6 +493,54 @@ def simhash_near_dups(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------ dedup keep-list
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    *,
+    n: int = 1,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    cc_fixed_iters: int | None = None,
+) -> DataFrame:
+    """End-to-end dedup pipeline: near-dup pairs -> connected components
+    over the pair graph -> one canonical keeper per cluster (the
+    CCNet/RefinedWeb keep-list shape).
+
+    Returns (doc_id, keep_id): keep_id = min doc id of the doc's
+    near-dup cluster (docs in no pair keep themselves).  A downstream
+    pipeline keeps rows where doc_id == keep_id.
+
+    ``cc_fixed_iters``: None runs the log-round large-star/small-star
+    contraction to convergence (the scale path); an int runs exactly
+    that many hash-min flooding supersteps — the oracle-parity mode
+    (DuckDB unrolls the same fixed iteration count, so engine and
+    oracle agree even on a hypothetical cluster chain longer than the
+    budget).
+    """
+    spark = docs.sparkSession
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    from graphjet_spark.plans.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    if cc_fixed_iters is None:
+        comp = connected_components_star(spark, pairs)
+    else:
+        comp = connected_components(spark, pairs, fixed_iters=cc_fixed_iters)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("keep_id")
+        )
     )
 
 

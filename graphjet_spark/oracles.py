@@ -601,9 +601,11 @@ def exact_dedup_sql() -> str:
     )
 
 
-def ngram_jaccard_sql(threshold: float = 0.9) -> str:
-    return rf"""
-WITH toks AS MATERIALIZED (
+def _ngram_pairs_ctes(threshold: float) -> str:
+    """CTE chain ending in ``jpairs`` (doc_a, doc_b, jaccard >= t) —
+    the naive all-pairs oracle form, shared by the pair gate and the
+    keep-list pipeline oracle."""
+    return rf"""toks AS MATERIALIZED (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
     FROM documents)
@@ -612,14 +614,57 @@ sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
 inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {threshold}
+  GROUP BY 1, 2),
+jpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {threshold})"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.9) -> str:
+    return (
+        "WITH "
+        + _ngram_pairs_ctes(threshold)
+        + "\nSELECT doc_a, doc_b, jaccard FROM jpairs\n"
+    )
+
+
+def dedup_keep_list_sql(threshold: float = 0.9, iters: int = 12) -> str:
+    """Keep-list pipeline oracle: near-dup pairs -> unrolled hash-min
+    connected components over the pair graph -> keep_id = component min
+    (docs in no pair keep themselves)."""
+    parts = [
+        """dv AS MATERIALIZED (
+  SELECT doc_a AS id FROM jpairs UNION SELECT doc_b FROM jpairs)""",
+        """dsym AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION SELECT doc_b, doc_a FROM jpairs)""",
+        "k0 AS MATERIALIZED (SELECT id, id AS comp FROM dv)",
+    ]
+    for i in range(iters):
+        p, c = f"k{i}", f"k{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT cur.id, LEAST(cur.comp, COALESCE(m.mn, cur.comp)) AS comp
+  FROM {p} cur LEFT JOIN (
+    SELECT s.a AS id, MIN(n.comp) AS mn
+    FROM dsym s JOIN {p} n ON s.b = n.id
+    GROUP BY s.a
+  ) m ON cur.id = m.id)"""
+        )
+    return (
+        "WITH "
+        + _ngram_pairs_ctes(threshold)
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT d.doc_id, COALESCE(k.comp, d.doc_id) AS keep_id
+FROM documents d LEFT JOIN k{iters} k ON d.doc_id = k.id
 """
+    )
 
 
 def _shingle_hash_ctes(n: int, mod: int | None = None) -> str:
