@@ -445,6 +445,25 @@ def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's reason to exist, as one query: materialize the
+    training set — canonical (non-duplicate) docs above the quality
+    floor in the requested language.  Composes dedup_keep_list x
+    quality_score x language_id; the oracle composes the same three
+    SQL chains."""
+    docs = _docs(spark, sf_dir)
+    keep = dedup_keep_list(docs, n=1, threshold=0.9, cc_fixed_iters=12)
+    q = quality_score(docs)
+    lid = language_id(docs)
+    return (
+        keep.filter(F.col("keep_id") == F.col("doc_id"))
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "n_words", "quality", "pred_lang")
+    )
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_embs(spark, sf_dir), threshold=0.3)
 
@@ -525,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "dedup_keep_list": _q_dedup_keep_list,
+        "corpus_select": _q_corpus_select,
         "embedding_near_dups": _q_embedding_dups,
         "ann_topk_cosine": _q_ann_topk,
         "token_count": _q_token_count,
@@ -605,6 +625,9 @@ GROUP BY s.seed ORDER BY s.seed
         "exact_dedup": oracles.exact_dedup_sql(),
         "ngram_jaccard_dups": oracles.ngram_jaccard_sql(0.9),
         "dedup_keep_list": oracles.dedup_keep_list_sql(0.9, iters=12),
+        "corpus_select": oracles.corpus_select_sql(
+            _LANG_MARKERS, tuple(_STOPWORDS)
+        ),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.3),
         "ann_topk_cosine": oracles.ann_topk_sql(),
         "token_count": oracles.token_count_sql(),

@@ -877,6 +877,29 @@ SELECT doc_id, {pred} AS pred_lang, best AS lang_score FROM b
 """
 
 
+def corpus_select_sql(
+    markers: dict[str, list[str]],
+    stopwords: tuple[str, ...],
+    *,
+    threshold: float = 0.9,
+    cc_iters: int = 12,
+    min_quality: float = 0.5,
+    lang: str = "en",
+) -> str:
+    """Training-set selection oracle: canonical (non-duplicate) docs
+    passing the quality floor in the requested language — the composed
+    form of the keep-list, quality, and language-id oracles (each
+    embedded as a WITH-bearing derived table)."""
+    return f"""
+SELECT k.doc_id, q.n_words, q.quality, l.pred_lang
+FROM ({dedup_keep_list_sql(threshold, iters=cc_iters).strip()}) k
+JOIN ({quality_score_sql(stopwords).strip()}) q ON k.doc_id = q.doc_id
+JOIN ({language_id_sql(markers).strip()}) l ON k.doc_id = l.doc_id
+WHERE k.keep_id = k.doc_id AND q.quality >= {min_quality}
+  AND l.pred_lang = '{lang}'
+"""
+
+
 def degree_histogram_sql() -> str:
     """A9 power-law histogram over graph_edges out-degrees; bucket =
     integer bit-length - 1 (cross-engine-stable floor(log2))."""
