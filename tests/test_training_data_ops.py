@@ -13,6 +13,7 @@ from graphjet_spark.operators.ann import (
     lsh_bucketed_topk,
 )
 from graphjet_spark.operators.dedup import (
+    dedup_keep_list,
     embedding_near_dups,
     embedding_near_dups_lsh,
     exact_dedup,
@@ -171,6 +172,57 @@ def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
             for r in ngram_jaccard_pairs(docs, n=1, threshold=t).collect()
         }
         assert got == pytest.approx(want)
+
+
+def test_dedup_keep_list_matches_union_find(spark):
+    """Keep-list pipeline vs a pure-Python mirror: brute-force Jaccard
+    pairs >= t, union-find clustering, min id per group — both CC modes
+    (fixed-iteration flooding and convergent star contraction) agree."""
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(20)]
+    base = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 10), replace=False))
+        for _ in range(12)
+    ]
+    rows = []
+    for i in range(30):  # many shared/duplicated docs -> real clusters
+        rows.append((i, base[i % len(base)]))
+    rows += [(100, ""), (101, "solo doc nothing shares")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    t = 0.6
+    sets = {i: set(s.split()) for i, s in rows}
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if round(j, 6) >= t:
+                    parent[find(a)] = find(b)
+    groups = {}
+    for i, _ in rows:
+        groups.setdefault(find(i), []).append(i)
+    want = {}
+    for members in groups.values():
+        m = min(members)
+        for i in members:
+            want[i] = m
+
+    for mode in (None, 12):  # star contraction / fixed flooding
+        got = {
+            r["doc_id"]: r["keep_id"]
+            for r in dedup_keep_list(
+                docs, n=1, threshold=t, cc_fixed_iters=mode
+            ).collect()
+        }
+        assert got == want
 
 
 def test_embedding_near_dups_lsh_planted_recall(spark):
