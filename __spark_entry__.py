@@ -437,12 +437,13 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline gate: near-dup pairs -> CC over the
-    pair graph -> canonical keeper per cluster.  Fixed-iteration CC so
-    the unrolled oracle is parity-exact; the convergent star-CC form is
-    the scale path (same module)."""
-    return dedup_keep_list(
-        _docs(spark, sf_dir), n=1, threshold=0.9, cc_fixed_iters=12
-    )
+    pair graph -> canonical keeper per cluster.  Uses the convergent
+    star-contraction CC (the scale path, ~4 rounds on clique-ish dedup
+    clusters); the oracle's 12 unrolled hash-min rounds converge on
+    these pair graphs (verified at both gate scales), so values agree —
+    cc_fixed_iters remains available for parity on adversarial
+    long-chain graphs."""
+    return dedup_keep_list(_docs(spark, sf_dir), n=1, threshold=0.9)
 
 
 def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +453,7 @@ def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score x language_id; the oracle composes the same three
     SQL chains."""
     docs = _docs(spark, sf_dir)
-    keep = dedup_keep_list(docs, n=1, threshold=0.9, cc_fixed_iters=12)
+    keep = dedup_keep_list(docs, n=1, threshold=0.9)
     q = quality_score(docs)
     lid = language_id(docs)
     return (
