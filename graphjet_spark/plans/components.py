@@ -177,14 +177,24 @@ def connected_components_star(
     """
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    base = symmetrize(edges)  # both orientations, self-loops dropped
-    vertices = base.select(F.col("a").alias("id")).distinct().persist()
     pairs = (
-        base.filter(F.col("a") > F.col("b"))
-        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
         .distinct()
         .repartition(partitions, "u")
         .localCheckpoint(eager=True)
+    )
+    # vertices derive from the CHECKPOINTED pairs, not the raw input:
+    # the input may be an expensive un-materialized plan (e.g. a
+    # near-dup pair pipeline) and must be computed exactly once
+    vertices = (
+        pairs.select(F.col("u").alias("id"))
+        .union(pairs.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
     )
 
     start_round = 0
