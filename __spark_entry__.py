@@ -112,6 +112,17 @@ def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(spark, edges)
 
 
+KCORE_K = 3
+KCORE_ITERS = 8
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.kcore import k_core
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return k_core(spark, edges, KCORE_K, fixed_iters=KCORE_ITERS)
+
+
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
     return label_propagation(spark, edges, iters=LP_ITERS)
@@ -521,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "connected_components_star": _q_components_star,
         "label_propagation_5": _q_labelprop,
+        "k_core_3": _q_kcore,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "intersection_similarity_cosine": _q_similarity,
@@ -587,6 +599,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
             CC_ITERS
         ),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
+        "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),

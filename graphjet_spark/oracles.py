@@ -147,6 +147,29 @@ def connected_components_fixed_sql(iters: int) -> str:
     )
 
 
+def k_core_fixed_sql(k: int, iters: int) -> str:
+    """Unrolled k-core peeling: each round keeps vertices whose degree
+    within the surviving subgraph is >= k.  Output (id)."""
+    parts = ["s0 AS MATERIALIZED (SELECT id FROM v)"]
+    for i in range(iters):
+        p, c = f"s{i}", f"s{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT a AS id FROM sym
+  WHERE a IN (SELECT id FROM {p}) AND b IN (SELECT id FROM {p})
+  GROUP BY a HAVING COUNT(*) >= {k})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + body
+        + f"\nSELECT id FROM s{iters}"
+    )
+
+
 def label_propagation_fixed_sql(iters: int) -> str:
     """Unrolled synchronous label propagation, deterministic tie-break
     (highest neighbor-label count, then smallest label); isolated-free

@@ -160,3 +160,34 @@ def test_pagerank_hub_star_with_salt(spark):
     for v in want:
         assert plain[v] == pytest.approx(want[v], abs=1e-6)
         assert salted[v] == pytest.approx(plain[v], abs=1e-9)
+
+
+def test_k_core_peeling_mirror(spark):
+    """k-core vs a literal Python peeling mirror on a graph with a
+    clique (3-core), a cycle (2-core), and pendant chains (peeled)."""
+    from graphjet_spark.plans.kcore import k_core
+
+    pairs = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4: 3-core
+        + [(10, 11), (11, 12), (12, 13), (13, 10)]        # C4: 2-core
+        + [(4, 20), (20, 21), (21, 22)]                   # pendant chain
+    )
+    df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    def mirror(k):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            if not drop:
+                return alive
+            alive -= drop
+
+    for k in (2, 3, 4):
+        got = {r["id"] for r in k_core(spark, df, k).collect()}
+        assert got == mirror(k), k
+    # fixed-iteration mode converges to the same cores here
+    assert {r["id"] for r in k_core(spark, df, 3, fixed_iters=6).collect()} == mirror(3)
