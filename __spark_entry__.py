@@ -457,6 +457,35 @@ def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_list(_docs(spark, sf_dir), n=1, threshold=0.9)
 
 
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-20 tokens by document
+    frequency (ties -> token asc) — the df table every prefix-filter /
+    stop-token decision reads."""
+    from graphjet_spark.operators.dedup import token_sets
+
+    toks = token_sets(_docs(spark, sf_dir), n=1)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+def _q_embedding_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster keep-list: cosine>=0.3 pairs -> star CC over
+    the pair graph -> canonical vector per cluster (the embedding-space
+    twin of dedup_keep_list)."""
+    pairs = embedding_near_dups(_embs(spark, sf_dir), threshold=0.3).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components_star(spark, pairs)
+    embs = _embs(spark, sf_dir).select("vec_id")
+    return embs.join(comp, embs.vec_id == comp.id, "left").select(
+        "vec_id", F.coalesce("component", F.col("vec_id")).alias("keep_id")
+    )
+
+
 def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's reason to exist, as one query: materialize the
     training set — canonical (non-duplicate) docs above the quality
@@ -558,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "dedup_keep_list": _q_dedup_keep_list,
         "corpus_select": _q_corpus_select,
+        "vocab_stats": _q_vocab_stats,
+        "embedding_keep_list": _q_embedding_keep_list,
         "embedding_near_dups": _q_embedding_dups,
         "ann_topk_cosine": _q_ann_topk,
         "token_count": _q_token_count,
@@ -642,6 +673,8 @@ GROUP BY s.seed ORDER BY s.seed
         "corpus_select": oracles.corpus_select_sql(
             _LANG_MARKERS, tuple(_STOPWORDS)
         ),
+        "vocab_stats": oracles.vocab_stats_sql(20),
+        "embedding_keep_list": oracles.embedding_keep_list_sql(0.3, iters=16),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.3),
         "ann_topk_cosine": oracles.ann_topk_sql(),
         "token_count": oracles.token_count_sql(),

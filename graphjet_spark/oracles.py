@@ -800,6 +800,56 @@ WHERE {band_match}
     )
 
 
+def vocab_stats_sql(k: int = 20) -> str:
+    """Top-k tokens by document frequency (ties -> token asc; the
+    boundary is stable because (df, tok) is unique)."""
+    return r"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> '')
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks
+GROUP BY tok ORDER BY df DESC, tok ASC LIMIT """ + str(k)
+
+
+def embedding_keep_list_sql(threshold: float = 0.3, iters: int = 16) -> str:
+    """Embedding-cluster keep-list oracle: cosine pairs -> unrolled
+    hash-min CC -> keep_id = cluster min (vectors in no pair keep
+    themselves)."""
+    parts = [
+        """ev AS MATERIALIZED (
+  SELECT id_a AS id FROM epairs UNION SELECT id_b FROM epairs)""",
+        """esym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM epairs
+  UNION SELECT id_b, id_a FROM epairs)""",
+        "e0 AS MATERIALIZED (SELECT id, id AS comp FROM ev)",
+    ]
+    for i in range(iters):
+        p, c = f"e{i}", f"e{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT cur.id, LEAST(cur.comp, COALESCE(m.mn, cur.comp)) AS comp
+  FROM {p} cur LEFT JOIN (
+    SELECT s.a AS id, MIN(n.comp) AS mn
+    FROM esym s JOIN {p} n ON s.b = n.id
+    GROUP BY s.a
+  ) m ON cur.id = m.id)"""
+        )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+epairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {threshold}),
+{",".join(parts)}
+SELECT ve.vec_id, COALESCE(ec.comp, ve.vec_id) AS keep_id
+FROM (SELECT vec_id FROM embeddings) ve
+LEFT JOIN e{iters} ec ON ve.vec_id = ec.id
+"""
+
+
 def embedding_near_dups_sql(threshold: float = 0.3) -> str:
     return f"""
 WITH v AS MATERIALIZED (
