@@ -91,6 +91,18 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PPR_SEEDS = {1: 2.0, 2: 1.0, 3: 1.0}
 PPR_ITERS = 8
+WPR_ITERS = 8
+
+
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the interactions multigraph: rank spreads
+    proportionally to summed edge weight (quantity)."""
+    inter = testdata.interactions(spark, sf_dir)
+    pr = pagerank(spark, inter, fixed_iters=WPR_ITERS, weight_col="weight")
+    n = pr.count()
+    return pr.select(
+        "id", F.round(F.col("pagerank") * F.lit(float(n)), 4).alias("pagerank_n")
+    )
 
 
 def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_by_engagement": _q_top_parts,
         "pagerank_fixed10": _q_pagerank,
         "personalized_pagerank": _q_ppr,
+        "pagerank_weighted": _q_pagerank_weighted,
         "connected_components": _q_components,
         "connected_components_star": _q_components_star,
         "label_propagation_5": _q_labelprop,
@@ -625,6 +638,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "personalized_pagerank": oracles.personalized_pagerank_fixed_sql(
             PPR_ITERS, PPR_SEEDS
         ),
+        "pagerank_weighted": oracles.pagerank_weighted_fixed_sql(WPR_ITERS),
         "connected_components": oracles.connected_components_fixed_sql(CC_ITERS),
         "connected_components_star": oracles.connected_components_fixed_sql(
             CC_ITERS

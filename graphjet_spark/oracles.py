@@ -65,6 +65,50 @@ def pagerank_fixed_sql(iters: int, damping: float = 0.85, round_to: int = 4) -> 
     )
 
 
+def pagerank_weighted_fixed_sql(
+    iters: int, damping: float = 0.85, round_to: int = 4
+) -> str:
+    """Unrolled WEIGHTED PageRank over the interactions multigraph:
+    multi-edges collapse by summing weights, transitions are
+    weight-proportional (rank * w / out_weight), dangling mass uniform.
+    Output (id, pagerank_n) = rank * N rounded."""
+    d = damping
+    parts = [
+        """we AS MATERIALIZED (
+  SELECT src, dst, SUM(weight) AS w FROM interactions GROUP BY src, dst)""",
+        """wv AS MATERIALIZED (
+  SELECT src AS id FROM we UNION SELECT dst AS id FROM we)""",
+        "wn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wv)",
+        """wod AS MATERIALIZED (
+  SELECT src, SUM(w) AS deg FROM we GROUP BY src)""",
+        "w0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM wn) AS rank FROM wv)",
+    ]
+    for i in range(iters):
+        p, c = f"w{i}", f"w{i + 1}"
+        parts.append(
+            f"""wd{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {p}
+  LEFT JOIN wod ON {p}.id = wod.src WHERE wod.src IS NULL)"""
+        )
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT wv.id,
+         (1.0 - {d})/(SELECT n FROM wn) + {d}*(SELECT dm FROM wd{i})/(SELECT n FROM wn)
+         + {d} * COALESCE(cb.contrib, 0.0) AS rank
+  FROM wv LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank * e.w / od.deg) AS contrib
+    FROM {p} r JOIN we e ON r.id = e.src JOIN wod od ON e.src = od.src
+    GROUP BY e.dst
+  ) cb ON wv.id = cb.id)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank * (SELECT n FROM wn), {round_to}) AS pagerank_n"
+        + f" FROM w{iters}"
+    )
+
+
 def personalized_pagerank_fixed_sql(
     iters: int,
     seeds: dict[int, float],

@@ -37,11 +37,28 @@ from pyspark.sql import functions as F
 from graphjet_spark.plans.checkpoints import CheckpointManager
 
 
-def _prepare(edges: DataFrame, partitions: int, assume_simple: bool):
-    """Build (links, vertices, dangling, n) — the static per-run tables."""
-    e = edges.select("src", "dst")
-    if not assume_simple:
-        e = e.distinct()
+def _prepare(
+    edges: DataFrame,
+    partitions: int,
+    assume_simple: bool,
+    weight_col: str | None = None,
+):
+    """Build (links, vertices, dangling, n) — the static per-run tables.
+
+    With ``weight_col``, multi-edges collapse by summing weights and
+    ``out_degree`` holds the total out-WEIGHT per source (transitions
+    become weight-proportional); ``links`` then carries the per-edge
+    weight ``w``."""
+    if weight_col is None:
+        e = edges.select("src", "dst")
+        if not assume_simple:
+            e = e.distinct()
+    else:
+        e = (
+            edges.select("src", "dst", F.col(weight_col).alias("w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -49,10 +66,15 @@ def _prepare(edges: DataFrame, partitions: int, assume_simple: bool):
         .repartition(partitions, "id")
         .persist()
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    if weight_col is None:
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+        link_cols = ["src", "dst", "out_degree"]
+    else:
+        out_deg = e.groupBy("src").agg(F.sum("w").alias("out_degree"))
+        link_cols = ["src", "dst", "w", "out_degree"]
     links = (
         e.join(out_deg, "src")
-        .select("src", "dst", "out_degree")
+        .select(*link_cols)
         .repartition(partitions, "src")
         # src-sorted within blocks (the CSR layout): the cached relation
         # keeps its outputOrdering, so the per-superstep sort-merge join
@@ -85,6 +107,7 @@ def pagerank(
     partitions: int | None = None,
     assume_simple: bool = False,
     teleport: dict[int, float] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Compute PageRank; returns ``(id, pagerank)``.
 
@@ -102,7 +125,9 @@ def pagerank(
     """
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    links, vertices, dangling, n = _prepare(edges, partitions, assume_simple)
+    links, vertices, dangling, n = _prepare(
+        edges, partitions, assume_simple, weight_col
+    )
     n_f = float(n)
 
     tele = None
@@ -158,9 +183,15 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
 
+        share = (
+            F.col("rank") / F.col("out_degree")
+            if weight_col is None
+            # weighted transitions: rank spreads proportionally to edge
+            # weight (same expression order as the oracle SQL)
+            else F.col("rank") * F.col("w") / F.col("out_degree")
+        )
         contrib_rows = links.join(ranks, links.src == ranks.id).select(
-            "dst", (F.col("rank") / F.col("out_degree")).alias("c"),
-            links.src.alias("csrc"),
+            "dst", share.alias("c"), links.src.alias("csrc"),
         )
         if skew_salt:
             # Explicit two-phase aggregation: partial sums on a salted
