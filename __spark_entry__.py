@@ -126,6 +126,19 @@ def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KCORE_K = 3
 KCORE_ITERS = 8
+HITS_ITERS = 8
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.hits import hits
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    res = hits(spark, edges, fixed_iters=HITS_ITERS)
+    return res.select(
+        "id",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
 
 
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": _q_components_star,
         "label_propagation_5": _q_labelprop,
         "k_core_3": _q_kcore,
+        "hits_hubs_authorities": _q_hits,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "intersection_similarity_cosine": _q_similarity,
@@ -645,6 +659,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         ),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),
+        "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),

@@ -166,6 +166,47 @@ def personalized_pagerank_fixed_sql(
     )
 
 
+def hits_fixed_sql(iters: int, round_to: int = 9) -> str:
+    """Unrolled HITS (L1-normalized): per iteration authority = in-edge
+    hub sum / total, then hub = out-edge authority sum / total.
+    Output (id, hub, authority) rounded."""
+    parts = [
+        "h0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS h FROM v)",
+    ]
+    for i in range(iters):
+        hp, a, hn = f"h{i}", f"a{i + 1}", f"h{i + 1}"
+        parts.append(
+            f"""{a}r AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.h) AS raw
+  FROM {hp} r JOIN e ON r.id = e.src GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""{a} AS MATERIALIZED (
+  SELECT v.id, COALESCE(x.raw, 0.0) / (SELECT SUM(raw) FROM {a}r) AS a
+  FROM v LEFT JOIN {a}r x ON v.id = x.id)"""
+        )
+        parts.append(
+            f"""{hn}r AS MATERIALIZED (
+  SELECT e.src AS id, SUM(r.a) AS raw
+  FROM {a} r JOIN e ON r.id = e.dst GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""{hn} AS MATERIALIZED (
+  SELECT v.id, COALESCE(x.raw, 0.0) / (SELECT SUM(raw) FROM {hn}r) AS h
+  FROM v LEFT JOIN {hn}r x ON v.id = x.id)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT h.id, ROUND(h.h, {round_to}) AS hub, ROUND(a.a, {round_to}) AS authority
+FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+    )
+
+
 def connected_components_fixed_sql(iters: int) -> str:
     """Unrolled hash-min label flooding; output (id, component)."""
     parts = ["c0 AS MATERIALIZED (SELECT id, id AS comp FROM v)"]
