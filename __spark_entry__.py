@@ -127,6 +127,15 @@ def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_K = 3
 KCORE_ITERS = 8
 HITS_ITERS = 8
+BFS_SOURCE = 1
+BFS_ITERS = 8
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.bfs import bfs_distances
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return bfs_distances(spark, edges, BFS_SOURCE, fixed_iters=BFS_ITERS)
 
 
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_5": _q_labelprop,
         "k_core_3": _q_kcore,
         "hits_hubs_authorities": _q_hits,
+        "bfs_distances": _q_bfs,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "intersection_similarity_cosine": _q_similarity,
@@ -660,6 +670,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
+        "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),

@@ -166,6 +166,33 @@ def personalized_pagerank_fixed_sql(
     )
 
 
+def bfs_fixed_sql(source: int, iters: int) -> str:
+    """Unrolled single-source directed BFS: each round relaxes the
+    reached set one hop.  Output (id, dist)."""
+    parts = [
+        f"b0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, 0 AS dist)"
+    ]
+    for i in range(iters):
+        p, c = f"b{i}", f"b{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT id, CAST(MIN(dist) AS INT) AS dist FROM (
+    SELECT id, dist FROM {p}
+    UNION ALL
+    SELECT e.dst AS id, b.dist + 1 AS dist
+    FROM {p} b JOIN e ON b.id = e.src
+  ) GROUP BY id)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, dist FROM b{iters}"
+    )
+
+
 def hits_fixed_sql(iters: int, round_to: int = 9) -> str:
     """Unrolled HITS (L1-normalized): per iteration authority = in-edge
     hub sum / total, then hub = out-edge authority sum / total.

@@ -1,0 +1,54 @@
+"""Single-source BFS hop distances (directed).
+
+The traversal primitive under every "within k hops" product question
+(the 2-hop reach gate generalized to arbitrary depth).  Superstep i
+relaxes the frontier one hop: dist(v) = min(dist(v), min over in-edges
+(u,v) of dist(u)+1).  Only the reached set iterates (frontier-shaped
+state, not |V| rows), the edge table is partitioned/persisted once, and
+``fixed_iters`` bounds depth exactly — the oracle-parity mode the
+unrolled DuckDB SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bfs_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    *,
+    fixed_iters: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Returns (id, dist) for vertices reachable from ``source`` within
+    ``fixed_iters`` directed hops (dist = minimum hop count)."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(partitions, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    reached = spark.createDataFrame(
+        [(int(source), 0)], "id bigint, dist int"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(fixed_iters):
+        hop = (
+            e.join(reached, e.src == reached.id)
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        reached = (
+            reached.unionByName(hop)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+
+    e.unpersist()
+    return reached
