@@ -138,6 +138,16 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(spark, edges, BFS_SOURCE, fixed_iters=BFS_ITERS)
 
 
+SSSP_ITERS = 6
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.sssp import sssp
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return sssp(spark, edges, BFS_SOURCE, fixed_iters=SSSP_ITERS)
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.hits import hits
 
@@ -170,6 +180,27 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
     return per_vertex_triangles(spark, edges)
+
+
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.graphstats import local_clustering
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return local_clustering(spark, edges)
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.graphstats import reciprocity
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return reciprocity(edges)
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.graphstats import degree_assortativity
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return degree_assortativity(edges)
 
 
 # Engine-resident tables (one per sf_dir per process, like GraphJet's
@@ -555,6 +586,12 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_fingerprint(_docs(spark, sf_dir)).select("doc_id", "md5")
 
@@ -599,8 +636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_3": _q_kcore,
         "hits_hubs_authorities": _q_hits,
         "bfs_distances": _q_bfs,
+        "sssp_weighted": _q_sssp,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "local_clustering": _q_local_clustering,
+        "reciprocity": _q_reciprocity,
+        "degree_assortativity": _q_assortativity,
         "intersection_similarity_cosine": _q_similarity,
         "intersection_similarity_jaccard": _q_similarity_jaccard,
         "intersection_similarity_overlap": _q_similarity_overlap,
@@ -630,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
+        "repetition_stats": _q_repetition,
         "content_fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
         "minhash_near_dups": _q_minhash,
@@ -671,8 +713,12 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
+        "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
+        "local_clustering": oracles.local_clustering_sql(),
+        "reciprocity": oracles.reciprocity_sql(),
+        "degree_assortativity": oracles.degree_assortativity_sql(),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),
         "intersection_similarity_jaccard": oracles.similarity_jaccard_sql(),
         "intersection_similarity_overlap": oracles.similarity_overlap_sql(),
@@ -719,6 +765,7 @@ GROUP BY s.seed ORDER BY s.seed
         "ann_topk_cosine": oracles.ann_topk_sql(),
         "token_count": oracles.token_count_sql(),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
+        "repetition_stats": oracles.repetition_stats_sql(),
         "content_fingerprint": oracles.content_fingerprint_sql(),
         "language_id": oracles.language_id_sql(_LANG_MARKERS),
         "minhash_near_dups": oracles.minhash_near_dups_sql(

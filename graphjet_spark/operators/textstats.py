@@ -198,3 +198,68 @@ def winnowing_fingerprints(
     return docs.select("doc_id", text_col).mapInPandas(
         _fp, schema="doc_id bigint, fingerprints array<bigint>"
     )
+
+
+# ---------------------------------------------------------- repetition
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, distinct_token_frac, top_token_frac,
+    distinct_bigram_frac, top_bigram_frac) — Gopher-style repetition
+    signals (Rae et al. 2021 §A1.1: fraction of tokens in the most
+    common n-gram, duplicate-n-gram fractions) over whitespace tokens.
+
+    Plan: posexplode the token array (JVM codegen), per-(doc, gram)
+    counts via groupBy with map-side partial aggregation, then one
+    narrow per-doc rollup — no window over full documents, no Python.
+    Bigrams come from a lead() over (doc, pos), partitioned by doc_id
+    (one shuffle, bounded by document length, never by corpus size)."""
+    from pyspark.sql import Window
+
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = docs.select("doc_id", words.alias("w"))
+
+    tok = base.select("doc_id", F.posexplode("w").alias("pos", "t"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    tok2 = tok.withColumn("nxt", F.lead("t").over(win))
+
+    def gram_stats(grams: DataFrame, col: str, prefix: str) -> DataFrame:
+        counts = grams.groupBy("doc_id", col).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.groupBy("doc_id").agg(
+            F.sum("c").cast("bigint").alias(f"{prefix}_n"),
+            F.count(F.lit(1)).cast("bigint").alias(f"{prefix}_distinct"),
+            F.max("c").cast("bigint").alias(f"{prefix}_top"),
+        )
+
+    uni = gram_stats(tok, "t", "u")
+    bi = gram_stats(
+        tok2.where(F.col("nxt").isNotNull()).select(
+            "doc_id", F.concat_ws(" ", "t", "nxt").alias("b")
+        ),
+        "b",
+        "b",
+    )
+
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(
+            F.col(den) > 0, F.col(num).cast("double") / F.col(den).cast("double")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        docs.select("doc_id")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .na.fill(0, ["u_n", "u_distinct", "u_top", "b_n", "b_distinct", "b_top"])
+        .select(
+            "doc_id",
+            F.col("u_n").alias("n_tokens"),
+            frac("u_distinct", "u_n").alias("distinct_token_frac"),
+            frac("u_top", "u_n").alias("top_token_frac"),
+            frac("b_distinct", "b_n").alias("distinct_bigram_frac"),
+            frac("b_top", "b_n").alias("top_bigram_frac"),
+        )
+    )

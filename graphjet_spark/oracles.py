@@ -1125,3 +1125,180 @@ JOIN orient e2 ON e1.hi = e2.lo
 JOIN orient e3 ON e1.lo = e3.lo AND e2.hi = e3.hi
 """.strip()
     )
+
+
+# ------------------------------------------------------- graph statistics
+
+
+def local_clustering_sql(round_to: int = 6) -> str:
+    """Per-vertex local clustering coefficient over the undirected
+    simple graph: 2*T(v) / (d*(d-1)), 0 when d < 2; same degree-ordered
+    triangle enumeration as triangles_per_vertex_sql."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + f"""
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM graph_edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY id),
+orient AS MATERIALIZED (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi
+  FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id
+),
+closed AS MATERIALIZED (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM orient e1
+  JOIN orient e2 ON e1.hi = e2.lo
+  JOIN orient e3 ON e1.lo = e3.lo AND e2.hi = e3.hi
+),
+tri AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT x AS id FROM closed
+    UNION ALL SELECT y FROM closed
+    UNION ALL SELECT z FROM closed
+  ) GROUP BY id)
+SELECT deg.id, CAST(deg.d AS BIGINT) AS deg,
+       ROUND(CASE WHEN deg.d >= 2 THEN
+         (2.0 * CAST(COALESCE(tri.t, 0) AS DOUBLE))
+           / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+         ELSE 0.0 END, {round_to}) AS lcc
+FROM deg LEFT JOIN tri ON deg.id = tri.id
+""".strip()
+    )
+
+
+def reciprocity_sql(round_to: int = 6) -> str:
+    """One row (directed_edges, mutual_edges, reciprocity) over the
+    distinct self-loop-free directed edge set."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + f"""
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM graph_edges WHERE src <> dst),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS directed_edges FROM ed),
+mut AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS mutual_edges FROM ed a
+  WHERE EXISTS (SELECT 1 FROM ed b WHERE b.src = a.dst AND b.dst = a.src))
+SELECT directed_edges, mutual_edges,
+       ROUND(CAST(mutual_edges AS DOUBLE) / CAST(directed_edges AS DOUBLE),
+             {round_to}) AS reciprocity
+FROM tot, mut
+""".strip()
+    )
+
+
+def degree_assortativity_sql(round_to: int = 6) -> str:
+    """One row (n_ends, assortativity): Pearson correlation of endpoint
+    degrees over the symmetrized edge list, computed from exact BIGINT
+    sufficient statistics folded in float64 at the end (cross-engine
+    bit-stable)."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + f"""
+degv AS MATERIALIZED (
+  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+ends AS MATERIALIZED (
+  SELECT da.d AS dx, db.d AS dy
+  FROM sym JOIN degv da ON sym.a = da.id JOIN degv db ON sym.b = db.id),
+st AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM ends)
+SELECT n AS n_ends,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             {round_to}) AS assortativity
+FROM st
+""".strip()
+    )
+
+
+def sssp_fixed_sql(source: int, iters: int) -> str:
+    """Unrolled weighted Bellman-Ford from ``source`` over the distinct
+    directed edge set with the shared derived weight 1 + dst % 7.
+    Output (id, dist), BIGINT distances (exact cross-engine)."""
+    parts = [
+        "ew AS MATERIALIZED (SELECT src, dst, "
+        "CAST(1 + dst % 7 AS BIGINT) AS w FROM e)",
+        f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, "
+        "CAST(0 AS BIGINT) AS dist)",
+    ]
+    for i in range(iters):
+        p, c = f"d{i}", f"d{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM {p}
+    UNION ALL
+    SELECT ew.dst AS id, d.dist + ew.w AS dist
+    FROM {p} d JOIN ew ON d.id = ew.src
+  ) GROUP BY id)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, dist FROM d{iters}"
+    )
+
+
+def repetition_stats_sql() -> str:
+    """Gopher-style repetition signals per document (most-common uni/
+    bigram fractions, distinct-gram fractions) over whitespace tokens."""
+    return r"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents),
+tok AS MATERIALIZED (SELECT doc_id, unnest(w) AS t FROM w),
+uc AS MATERIALIZED (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+us AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS un,
+         CAST(COUNT(*) AS BIGINT) AS ud, CAST(MAX(c) AS BIGINT) AS ut
+  FROM uc GROUP BY doc_id),
+bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END) AS b
+  FROM w),
+bc AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+bs AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bn,
+         CAST(COUNT(*) AS BIGINT) AS bd, CAST(MAX(c) AS BIGINT) AS bt
+  FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(us.un, 0) AS n_tokens,
+  ROUND(CASE WHEN COALESCE(us.un, 0) > 0
+        THEN CAST(us.ud AS DOUBLE) / CAST(us.un AS DOUBLE)
+        ELSE 0.0 END, 6) AS distinct_token_frac,
+  ROUND(CASE WHEN COALESCE(us.un, 0) > 0
+        THEN CAST(us.ut AS DOUBLE) / CAST(us.un AS DOUBLE)
+        ELSE 0.0 END, 6) AS top_token_frac,
+  ROUND(CASE WHEN COALESCE(bs.bn, 0) > 0
+        THEN CAST(bs.bd AS DOUBLE) / CAST(bs.bn AS DOUBLE)
+        ELSE 0.0 END, 6) AS distinct_bigram_frac,
+  ROUND(CASE WHEN COALESCE(bs.bn, 0) > 0
+        THEN CAST(bs.bt AS DOUBLE) / CAST(bs.bn AS DOUBLE)
+        ELSE 0.0 END, 6) AS top_bigram_frac
+FROM documents d
+LEFT JOIN us ON d.doc_id = us.doc_id
+LEFT JOIN bs ON d.doc_id = bs.doc_id
+"""

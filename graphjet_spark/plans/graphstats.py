@@ -1,0 +1,119 @@
+"""Whole-graph structural statistics: local clustering coefficient,
+edge reciprocity, degree assortativity.
+
+These are the standard web-graph health metrics computed over the same
+simple directed/undirected views the north-rule algorithms use (the
+batch cousins of GraphJet's per-segment degree statistics, reference
+graphjet-core/src/main/java/com/twitter/graphjet/stats/ — GraphJet
+exposes counters; at batch scale the interesting statistics are the
+closed-form structural ones).
+
+Scale notes: clustering reuses the degree-oriented triangle plan
+(out-degree bounded by O(sqrt(m)) per vertex, plans/triangles.py);
+reciprocity is a single self-equi-join on the distinct edge set;
+assortativity is one pass of integer sufficient statistics (exact
+BIGINT sums, no floating-point accumulation-order sensitivity) folded
+into the Pearson formula in float64 at the very end — the one spot
+cross-engine determinism demands care.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphjet_spark.plans.components import symmetrize
+from graphjet_spark.plans.triangles import per_vertex_triangles
+
+
+def local_clustering(
+    spark: SparkSession, edges: DataFrame, *, round_to: int = 6
+) -> DataFrame:
+    """(id, deg, lcc) per vertex of the undirected simple graph:
+    lcc = 2*T(v) / (deg(v) * (deg(v)-1)), 0 when deg < 2."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    tri = per_vertex_triangles(spark, edges).withColumnRenamed(
+        "triangles", "t"
+    )
+    joined = deg.join(tri, "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+    )
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.lit(2.0)
+        * F.col("t").cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg").cast("double") - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return joined.select("id", "deg", F.round(lcc, round_to).alias("lcc"))
+
+
+def reciprocity(edges: DataFrame, *, round_to: int = 6) -> DataFrame:
+    """One row (directed_edges, mutual_edges, reciprocity) over the
+    distinct self-loop-free directed edge set: the fraction of directed
+    edges whose reverse edge also exists (mutual follow-backs in the
+    GraphJet setting)."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).cast("bigint").alias("directed_edges"))
+        .crossJoin(
+            mutual.agg(F.count(F.lit(1)).cast("bigint").alias("mutual_edges"))
+        )
+        .select(
+            "directed_edges",
+            "mutual_edges",
+            F.round(
+                F.col("mutual_edges").cast("double")
+                / F.col("directed_edges").cast("double"),
+                round_to,
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame, *, round_to: int = 6) -> DataFrame:
+    """One row (n_ends, assortativity): Pearson correlation of endpoint
+    degrees over the symmetrized edge list (Newman 2002, undirected
+    form — each edge contributes both orientations).
+
+    All sufficient statistics are exact BIGINT sums (degrees are
+    integers), so partial/map-side aggregation order cannot perturb the
+    result; the Pearson fold happens once in float64 on the single
+    reduced row, making the value bit-stable across engines."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ends = (
+        sym.join(deg.select(F.col("id").alias("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("dy")), "b")
+        .select("dx", "dy")
+    )
+    stats = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    r = (n * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(n * F.col("syy").cast("double") - sy * sy)
+    )
+    return stats.select(
+        F.col("n").alias("n_ends"), F.round(r, round_to).alias("assortativity")
+    )

@@ -191,3 +191,88 @@ def test_k_core_peeling_mirror(spark):
         assert got == mirror(k), k
     # fixed-iteration mode converges to the same cores here
     assert {r["id"] for r in k_core(spark, df, 3, fixed_iters=6).collect()} == mirror(3)
+
+
+def test_local_clustering_mirror(spark):
+    """LCC vs a literal Python mirror on K4 + pendant tail."""
+    from graphjet_spark.plans.graphstats import local_clustering
+
+    adj: dict[int, set[int]] = {}
+    for a, b in TRI_K4_TAIL:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def mirror(v):
+        nb = adj[v]
+        d = len(nb)
+        if d < 2:
+            return 0.0
+        t = sum(len(adj[u] & nb) for u in nb) // 2
+        return 2.0 * t / (d * (d - 1))
+
+    got = {
+        r["id"]: (r["deg"], r["lcc"])
+        for r in local_clustering(spark, edges_df(spark, TRI_K4_TAIL)).collect()
+    }
+    assert got.keys() == adj.keys()
+    for v in adj:
+        assert got[v][0] == len(adj[v])
+        assert got[v][1] == pytest.approx(mirror(v), abs=1e-6)
+
+
+def test_reciprocity_mirror(spark):
+    from graphjet_spark.plans.graphstats import reciprocity
+
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 4), (1, 2)]
+    # distinct non-loop: (1,2),(2,1),(2,3),(3,4),(4,3) -> 5; mutual: 4
+    row = reciprocity(edges_df(spark, pairs)).first()
+    assert row["directed_edges"] == 5
+    assert row["mutual_edges"] == 4
+    assert row["reciprocity"] == pytest.approx(4 / 5, abs=1e-6)
+
+
+def test_degree_assortativity_mirror(spark):
+    from graphjet_spark.plans.graphstats import degree_assortativity
+
+    pairs = TRI_K4_TAIL
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    xs, ys = [], []
+    for a in adj:
+        for b in adj[a]:
+            xs.append(len(adj[a]))
+            ys.append(len(adj[b]))
+    want = np.corrcoef(xs, ys)[0, 1]
+    row = degree_assortativity(edges_df(spark, pairs)).first()
+    assert row["n_ends"] == len(xs)
+    assert row["assortativity"] == pytest.approx(want, abs=1e-6)
+
+
+def test_sssp_bellman_mirror(spark):
+    """Weighted SSSP vs a literal Bellman-Ford mirror with the shared
+    derived weight 1 + dst % 7."""
+    from graphjet_spark.plans.sssp import sssp
+
+    pairs = [(1, 2), (2, 3), (3, 9), (1, 8), (8, 9), (9, 4), (5, 6)]
+    w = {(s, d): 1 + d % 7 for s, d in pairs}
+    dist = {1: 0}
+    for _ in range(10):
+        for (s, d), wt in w.items():
+            if s in dist and dist[s] + wt < dist.get(d, 1 << 60):
+                dist[d] = dist[s] + wt
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp(spark, edges_df(spark, pairs), 1, fixed_iters=8).collect()
+    }
+    assert got == dist
+    # convergence mode agrees
+    got_conv = {
+        r["id"]: r["dist"] for r in sssp(spark, edges_df(spark, pairs), 1).collect()
+    }
+    assert got_conv == dist

@@ -450,3 +450,45 @@ def test_multimodal_plumbing(spark):
     assert plan.count() > 0
     rp = multimodal.resize_plan(media, max_side=64).collect()
     assert all(max(r["target_width"], r["target_height"]) <= 64 for r in rp)
+
+
+def test_repetition_stats_mirror(spark):
+    """Gopher-style repetition signals vs a literal Counter mirror,
+    including a heavily repeated doc and an empty doc."""
+    from collections import Counter
+
+    from graphjet_spark.operators.textstats import repetition_stats
+
+    texts = {
+        0: "a b a b a b a b",
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "",
+        3: "x",
+        4: "spam spam spam spam spam",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    for did, text in texts.items():
+        toks = text.split()
+        uc = Counter(toks)
+        bc = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        n = len(toks)
+        bn = max(len(toks) - 1, 0)
+        r = got[did]
+        assert r["n_tokens"] == n
+        assert r["distinct_token_frac"] == pytest.approx(
+            len(uc) / n if n else 0.0, abs=1e-6
+        )
+        assert r["top_token_frac"] == pytest.approx(
+            max(uc.values()) / n if n else 0.0, abs=1e-6
+        )
+        assert r["distinct_bigram_frac"] == pytest.approx(
+            len(bc) / bn if bn else 0.0, abs=1e-6
+        )
+        assert r["top_bigram_frac"] == pytest.approx(
+            max(bc.values()) / bn if bn else 0.0, abs=1e-6
+        )
