@@ -194,33 +194,24 @@ def bfs_fixed_sql(source: int, iters: int) -> str:
 
 
 def hits_fixed_sql(iters: int, round_to: int = 9) -> str:
-    """Unrolled HITS (L1-normalized): per iteration authority = in-edge
-    hub sum / total, then hub = out-edge authority sum / total.
+    """Unrolled HITS with deferred L1 normalization (identical to the
+    engine: per iteration authority = in-edge hub sum, hub = out-edge
+    authority sum; each vector divided by its total once at the end).
     Output (id, hub, authority) rounded."""
     parts = [
-        "h0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS h FROM v)",
+        "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM v)",
     ]
     for i in range(iters):
         hp, a, hn = f"h{i}", f"a{i + 1}", f"h{i + 1}"
         parts.append(
-            f"""{a}r AS MATERIALIZED (
-  SELECT e.dst AS id, SUM(r.h) AS raw
+            f"""{a} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.h) AS a
   FROM {hp} r JOIN e ON r.id = e.src GROUP BY e.dst)"""
         )
         parts.append(
-            f"""{a} AS MATERIALIZED (
-  SELECT v.id, COALESCE(x.raw, 0.0) / (SELECT SUM(raw) FROM {a}r) AS a
-  FROM v LEFT JOIN {a}r x ON v.id = x.id)"""
-        )
-        parts.append(
-            f"""{hn}r AS MATERIALIZED (
-  SELECT e.src AS id, SUM(r.a) AS raw
-  FROM {a} r JOIN e ON r.id = e.dst GROUP BY e.src)"""
-        )
-        parts.append(
             f"""{hn} AS MATERIALIZED (
-  SELECT v.id, COALESCE(x.raw, 0.0) / (SELECT SUM(raw) FROM {hn}r) AS h
-  FROM v LEFT JOIN {hn}r x ON v.id = x.id)"""
+  SELECT e.src AS id, SUM(r.a) AS h
+  FROM {a} r JOIN e ON r.id = e.dst GROUP BY e.src)"""
         )
     return (
         oracle_cte().rstrip()
@@ -229,8 +220,13 @@ def hits_fixed_sql(iters: int, round_to: int = 9) -> str:
         + ",\n"
         + ",\n".join(parts)
         + f"""
-SELECT h.id, ROUND(h.h, {round_to}) AS hub, ROUND(a.a, {round_to}) AS authority
-FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+SELECT v.id,
+       ROUND(COALESCE(h.h, 0.0) / (SELECT SUM(h) FROM h{iters}), {round_to})
+         AS hub,
+       ROUND(COALESCE(a.a, 0.0) / (SELECT SUM(a) FROM a{iters}), {round_to})
+         AS authority
+FROM v LEFT JOIN h{iters} h ON v.id = h.id
+LEFT JOIN a{iters} a ON v.id = a.id"""
     )
 
 

@@ -4,20 +4,28 @@ Kleinberg's HITS is SALSA's direct ancestor — SALSA is exactly HITS
 with the adjacency matrix row/column-normalized (Lempel & Moran 2000),
 so a link-graph engine shipping SALSA owes its users HITS too.  One
 superstep: authority(v) = sum of hub scores over in-edges, then hub(u)
-= sum of authority scores over out-edges, each sum-normalized (the
-L1 form — chosen over L2 because it unrolls into exact DuckDB SQL; the
-ranking is identical, only the scale differs).
+= sum of authority scores over out-edges.
 
-Superstep hygiene as elsewhere: the edge table is partitioned/persisted
-once per direction, only the narrow score vectors iterate, lineage is
-truncated per step.  ``fixed_iters`` is the oracle-parity mode.
+Normalization is deferred to the very end (one L1 scaling of each
+vector): every step is linear, so scaling commutes with iteration and
+the final unit-sum vectors are identical to per-step normalization in
+exact arithmetic — but deferring removes two global-total broadcast
+jobs per superstep, leaving exactly ONE Spark job per iteration (the
+eager hub checkpoint).  Raw magnitudes stay far inside float64 range
+for any realistic iteration budget (growth per double-step is bounded
+by max-degree²).
+
+Superstep hygiene as elsewhere, with one persisted copy of the edge
+table per gather direction: the authority step joins on ``src``, the
+hub step on ``dst`` — a single-direction copy would reshuffle the full
+(100-TB-side) edge table every hub step.  ``fixed_iters`` is the
+oracle-parity mode.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 
 def hits(
@@ -28,14 +36,19 @@ def hits(
     partitions: int | None = None,
 ) -> DataFrame:
     """Returns (id, hub, authority) after exactly ``fixed_iters``
-    sum-normalized iterations over the distinct edge set."""
+    double-steps over the distinct edge set, each vector L1-normalized
+    once at the end."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
+    ded = edges.select("src", "dst").distinct()
     e = (
-        edges.select("src", "dst")
-        .distinct()
-        .repartition(partitions, "src")
+        ded.repartition(partitions, "src")
         .sortWithinPartitions("src")
+        .persist()
+    )
+    e_dst = (
+        ded.repartition(partitions, "dst")
+        .sortWithinPartitions("dst")
         .persist()
     )
     vertices = (
@@ -44,48 +57,42 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = vertices.count()
-    h = vertices.select("id", F.lit(1.0 / n).alias("h")).localCheckpoint(
-        eager=True
-    )
 
+    h = vertices.select("id", F.lit(1.0).alias("h"))
     auth = None
     for _ in range(fixed_iters):
-        # authority step: gather hub mass along in-edges, L1-normalize
-        a_raw = (
-            e.join(h, e.src == h.id)
-            .groupBy("dst")
-            .agg(F.sum("h").alias("a_raw"))
-        )
-        a_tot = a_raw.agg(F.coalesce(F.sum("a_raw"), F.lit(0.0)).alias("t"))
+        # authority step: gather hub mass along in-edges (absent rows
+        # are implicit zeros — they can never re-enter the iteration)
         auth = (
-            vertices.join(a_raw, vertices.id == a_raw.dst, "left")
-            .crossJoin(broadcast(a_tot))
-            .select(
-                "id",
-                (F.coalesce("a_raw", F.lit(0.0)) / F.col("t")).alias("a"),
-            )
+            e.join(h, e.src == h.id)
+            .groupBy(e.dst.alias("id"))
+            .agg(F.sum("h").alias("a"))
             .localCheckpoint(eager=False)
         )
-        # hub step: gather authority mass along out-edges, L1-normalize
-        h_raw = (
-            e.join(auth, e.dst == auth.id)
-            .groupBy("src")
-            .agg(F.sum("a").alias("h_raw"))
-        )
-        h_tot = h_raw.agg(F.coalesce(F.sum("h_raw"), F.lit(0.0)).alias("t"))
+        # hub step: gather authority mass along out-edges
         h = (
-            vertices.join(h_raw, vertices.id == h_raw.src, "left")
-            .crossJoin(broadcast(h_tot))
-            .select(
-                "id",
-                (F.coalesce("h_raw", F.lit(0.0)) / F.col("t")).alias("h"),
-            )
+            e_dst.join(auth, e_dst.dst == auth.id)
+            .groupBy(e_dst.src.alias("id"))
+            .agg(F.sum("a").alias("h"))
             .localCheckpoint(eager=True)
         )
 
-    out = h.join(auth, "id").select(
-        "id", F.col("h").alias("hub"), F.col("a").alias("authority")
+    totals = (
+        h.agg(F.sum("h").alias("ht"))
+        .crossJoin(auth.agg(F.sum("a").alias("at")))
+        .first()
+    )
+    out = (
+        vertices.join(h, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            (F.coalesce("h", F.lit(0.0)) / F.lit(totals["ht"])).alias("hub"),
+            (F.coalesce("a", F.lit(0.0)) / F.lit(totals["at"])).alias(
+                "authority"
+            ),
+        )
     )
     e.unpersist()
+    e_dst.unpersist()
     return out

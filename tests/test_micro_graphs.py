@@ -276,3 +276,33 @@ def test_sssp_bellman_mirror(spark):
         r["id"]: r["dist"] for r in sssp(spark, edges_df(spark, pairs), 1).collect()
     }
     assert got_conv == dist
+
+
+def test_hits_mirror(spark):
+    """HITS vs a literal numpy mirror (deferred L1 normalization, same
+    as the engine and the unrolled oracle)."""
+    from graphjet_spark.plans.hits import hits
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (2, 4)]
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    E = set(pairs)
+    h = np.ones(len(nodes))
+    a = np.zeros(len(nodes))
+    for _ in range(8):
+        a = np.zeros(len(nodes))
+        for s, d in E:
+            a[idx[d]] += h[idx[s]]
+        h = np.zeros(len(nodes))
+        for s, d in E:
+            h[idx[s]] += a[idx[d]]
+    h /= h.sum()
+    a /= a.sum()
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits(spark, edges_df(spark, pairs), fixed_iters=8).collect()
+    }
+    assert got.keys() == set(nodes)
+    for v in nodes:
+        assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-12)
+        assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-12)
