@@ -160,6 +160,31 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARMONIC_SOURCES = [1, 2, 3]
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.bfs import harmonic_centrality
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return harmonic_centrality(
+        spark, edges, HARMONIC_SOURCES, fixed_iters=BFS_ITERS
+    )
+
+
+def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram — the connectivity profile a web-graph
+    operator reads before anything else (giant-component share)."""
+    edges = testdata.graph_edges(spark, sf_dir)
+    cc = connected_components(spark, edges, fixed_iters=CC_ITERS)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components")
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.kcore import k_core
 
@@ -653,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hubs_authorities": _q_hits,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
+        "harmonic_centrality": _q_harmonic,
+        "component_sizes": _q_component_sizes,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "local_clustering": _q_local_clustering,
@@ -730,6 +757,10 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),
+        "harmonic_centrality": oracles.harmonic_fixed_sql(
+            tuple(HARMONIC_SOURCES), BFS_ITERS
+        ),
+        "component_sizes": oracles.component_sizes_sql(CC_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "local_clustering": oracles.local_clustering_sql(),

@@ -1298,3 +1298,73 @@ FROM documents d
 LEFT JOIN us ON d.doc_id = us.doc_id
 LEFT JOIN bs ON d.doc_id = bs.doc_id
 """
+
+
+def harmonic_fixed_sql(
+    sources: tuple[int, ...], iters: int, round_to: int = 6
+) -> str:
+    """Unrolled multi-source BFS + harmonic centrality of each source
+    over its ``iters``-hop reachable set (sum of 1/dist)."""
+    parts = []
+    finals = []
+    for k, s in enumerate(sources):
+        parts.append(
+            f"s{k}b0 AS MATERIALIZED (SELECT CAST({s} AS BIGINT) AS id, 0 AS dist)"
+        )
+        for i in range(iters):
+            p, c = f"s{k}b{i}", f"s{k}b{i + 1}"
+            parts.append(
+                f"""{c} AS MATERIALIZED (
+  SELECT id, CAST(MIN(dist) AS INT) AS dist FROM (
+    SELECT id, dist FROM {p}
+    UNION ALL
+    SELECT e.dst AS id, b.dist + 1 AS dist
+    FROM {p} b JOIN e ON b.id = e.src
+  ) GROUP BY id)"""
+            )
+        finals.append(
+            f"SELECT CAST({s} AS BIGINT) AS source, id, dist FROM s{k}b{iters}"
+        )
+    union = "\nUNION ALL\n".join(finals)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f""",
+alld AS MATERIALIZED ({union})
+SELECT source, CAST(COUNT(*) AS BIGINT) AS reached,
+       ROUND(SUM(CAST(1.0 AS DOUBLE) / CAST(dist AS DOUBLE)), {round_to})
+         AS harmonic
+FROM alld WHERE dist > 0 GROUP BY source"""
+    )
+
+
+def component_sizes_sql(iters: int) -> str:
+    """Component-size histogram over the converged hash-min labels:
+    (size, n_components)."""
+    parts = ["c0 AS MATERIALIZED (SELECT id, id AS comp FROM v)"]
+    for i in range(iters):
+        p, c = f"c{i}", f"c{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT cur.id, LEAST(cur.comp, COALESCE(m.mn, cur.comp)) AS comp
+  FROM {p} cur LEFT JOIN (
+    SELECT s.a AS id, MIN(n.comp) AS mn
+    FROM sym s JOIN {p} n ON s.b = n.id
+    GROUP BY s.a
+  ) m ON cur.id = m.id)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f""",
+sizes AS MATERIALIZED (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS size FROM c{iters} GROUP BY comp)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size"""
+    )

@@ -306,3 +306,37 @@ def test_hits_mirror(spark):
     for v in nodes:
         assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-12)
         assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-12)
+
+
+def test_multi_source_bfs_and_harmonic(spark):
+    """Multi-source BFS equals per-source single BFS; harmonic
+    centrality vs a literal mirror."""
+    from graphjet_spark.plans.bfs import (
+        bfs_distances,
+        bfs_distances_multi,
+        harmonic_centrality,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (9, 1), (4, 9), (7, 8)]
+    df = edges_df(spark, pairs)
+    multi = {
+        (r["source"], r["id"]): r["dist"]
+        for r in bfs_distances_multi(spark, df, [1, 7], fixed_iters=6).collect()
+    }
+    for s in (1, 7):
+        single = {
+            r["id"]: r["dist"]
+            for r in bfs_distances(spark, df, s, fixed_iters=6).collect()
+        }
+        assert {v: d for (src, v), d in multi.items() if src == s} == single
+
+    got = {
+        r["source"]: (r["reached"], r["harmonic"])
+        for r in harmonic_centrality(spark, df, [1, 7], fixed_iters=6).collect()
+    }
+    for s in (1, 7):
+        dists = {v: d for (src, v), d in multi.items() if src == s and d > 0}
+        assert got[s][0] == len(dists)
+        assert got[s][1] == pytest.approx(
+            sum(1.0 / d for d in dists.values()), abs=1e-6
+        )
