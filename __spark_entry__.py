@@ -563,6 +563,24 @@ def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _keep_list(spark, sf_dir)
 
 
+SAMPLE_FRACS = {"en": 0.5, "fr": 0.25}
+SAMPLE_DEFAULT = 0.1
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.corpus import hash_threshold_sample
+
+    return hash_threshold_sample(
+        _docs(spark, sf_dir), SAMPLE_FRACS, default_frac=SAMPLE_DEFAULT
+    )
+
+
+def _q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.corpus import source_quality_rollup
+
+    return source_quality_rollup(_docs(spark, sf_dir))
+
+
 def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: top-20 tokens by document
     frequency (ties -> token asc) — the df table every prefix-filter /
@@ -708,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "dedup_keep_list": _q_dedup_keep_list,
         "corpus_select": _q_corpus_select,
+        "corpus_sample": _q_corpus_sample,
+        "source_quality_rollup": _q_source_rollup,
         "vocab_stats": _q_vocab_stats,
         "embedding_keep_list": _q_embedding_keep_list,
         "embedding_near_dups": _q_embedding_dups,
@@ -805,6 +825,12 @@ GROUP BY s.seed ORDER BY s.seed
         "dedup_keep_list": oracles.dedup_keep_list_sql(0.9, iters=12),
         "corpus_select": oracles.corpus_select_sql(
             _LANG_MARKERS, tuple(_STOPWORDS)
+        ),
+        "corpus_sample": oracles.hash_threshold_sample_sql(
+            SAMPLE_FRACS, SAMPLE_DEFAULT
+        ),
+        "source_quality_rollup": oracles.source_quality_rollup_sql(
+            tuple(_STOPWORDS)
         ),
         "vocab_stats": oracles.vocab_stats_sql(20),
         "embedding_keep_list": oracles.embedding_keep_list_sql(0.3, iters=16),

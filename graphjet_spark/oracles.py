@@ -1368,3 +1368,43 @@ sizes AS MATERIALIZED (
 SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
 FROM sizes GROUP BY size"""
     )
+
+
+def hash_threshold_sample_sql(
+    frac_by_lang: dict[str, float], default_frac: float
+) -> str:
+    """Deterministic stratified hash-threshold sample: keep iff the
+    60-bit md5-prefix content hash < frac(lang) * 16^15."""
+    space = 16**15
+    whens = "".join(
+        f" WHEN '{lang}' THEN {int(frac * space)}"
+        for lang, frac in frac_by_lang.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents)
+WHERE h < CASE lang{whens} ELSE {int(default_frac * space)} END
+"""
+
+
+def source_quality_rollup_sql(
+    stopwords: tuple[str, ...],
+    quality_floor: float = 0.7,
+    min_mean_quality: float = 0.75,
+) -> str:
+    """Per-source quality triage over the quality_score chain."""
+    qsql = quality_score_sql(stopwords)
+    return f"""
+SELECT source, n_docs, mean_quality, pass_rate,
+       mean_quality >= {min_mean_quality} AS keep
+FROM (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(quality), 6) AS mean_quality,
+         ROUND(AVG(CASE WHEN quality >= {quality_floor}
+                   THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END), 6) AS pass_rate
+  FROM ( {qsql} ) qq JOIN documents d ON qq.doc_id = d.doc_id
+  GROUP BY d.source)
+"""

@@ -492,3 +492,56 @@ def test_repetition_stats_mirror(spark):
         assert r["top_bigram_frac"] == pytest.approx(
             max(bc.values()) / bn if bn else 0.0, abs=1e-6
         )
+
+
+def test_hash_threshold_sample_deterministic(spark):
+    """Stratified hash sampler: reproducible, stratum-respecting, and
+    within binomial bounds of the target fraction."""
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.operators.corpus import hash_threshold_sample
+
+    rows = [
+        (i, f"doc number {i} with some text payload {i * 7}", 
+         "en" if i % 2 == 0 else "de")
+        for i in range(2000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    fr = {"en": 0.5, "de": 0.1}
+    a = {r["doc_id"] for r in hash_threshold_sample(docs, fr).collect()}
+    b = {r["doc_id"] for r in hash_threshold_sample(docs, fr).collect()}
+    assert a == b  # deterministic
+    en = sum(1 for i in a if i % 2 == 0)
+    de = len(a) - en
+    assert abs(en - 500) < 80   # ~Binomial(1000, .5), 5+ sigma bound
+    assert abs(de - 100) < 60   # ~Binomial(1000, .1)
+    # docs in neither stratum with default_frac=0 never appear
+    docs2 = docs.withColumn("lang", F.lit("zz"))
+    assert hash_threshold_sample(docs2, fr).count() == 0
+
+
+def test_source_quality_rollup_mirror(spark):
+    """Per-source rollup vs recomputing from quality_score output."""
+    from graphjet_spark.operators.corpus import source_quality_rollup
+    from graphjet_spark.operators.textstats import quality_score
+
+    rows = [
+        (i, ("the quick brown fox " * (1 + i % 4)).strip(), f"s{i % 3}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    got = {r["source"]: r for r in source_quality_rollup(docs).collect()}
+    for s in ("s0", "s1", "s2"):
+        qs = [q[i] for i, _, src in rows if src == s]
+        r = got[s]
+        assert r["n_docs"] == len(qs)
+        assert r["mean_quality"] == pytest.approx(
+            sum(qs) / len(qs), abs=1e-6
+        )
+        assert r["pass_rate"] == pytest.approx(
+            sum(1 for v in qs if v >= 0.7) / len(qs), abs=1e-6
+        )
+        assert r["keep"] == (r["mean_quality"] >= 0.75)
