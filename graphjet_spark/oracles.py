@@ -1204,10 +1204,10 @@ ends AS MATERIALIZED (
   FROM sym JOIN degv da ON sym.a = da.id JOIN degv db ON sym.b = db.id),
 st AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
-         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
-         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
-         CAST(SUM(dy * dy) AS BIGINT) AS syy
+         SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+         SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy,
+         SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+         SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy
   FROM ends)
 SELECT n AS n_ends,
        ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)

@@ -86,10 +86,14 @@ def degree_assortativity(edges: DataFrame, *, round_to: int = 6) -> DataFrame:
     degrees over the symmetrized edge list (Newman 2002, undirected
     form — each edge contributes both orientations).
 
-    All sufficient statistics are exact BIGINT sums (degrees are
+    All sufficient statistics are exact integer sums (degrees are
     integers), so partial/map-side aggregation order cannot perturb the
     result; the Pearson fold happens once in float64 on the single
-    reduced row, making the value bit-stable across engines."""
+    reduced row, making the value bit-stable across engines.  The
+    accumulators are 128-bit-class (Spark decimal(38,0) == DuckDB
+    HUGEINT): at 10^12 edges with 10^8-degree mega-hubs the dx*dy
+    products reach ~10^16 and their sum ~10^28 — far past BIGINT, still
+    exact here."""
     sym = symmetrize(edges)
     deg = sym.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -97,15 +101,18 @@ def degree_assortativity(edges: DataFrame, *, round_to: int = 6) -> DataFrame:
     ends = (
         sym.join(deg.select(F.col("id").alias("a"), F.col("d").alias("dx")), "a")
         .join(deg.select(F.col("id").alias("b"), F.col("d").alias("dy")), "b")
-        .select("dx", "dy")
+        .select(
+            F.col("dx").cast("decimal(19,0)").alias("dx"),
+            F.col("dy").cast("decimal(19,0)").alias("dy"),
+        )
     )
     stats = ends.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("dx").cast("bigint").alias("sx"),
-        F.sum("dy").cast("bigint").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
