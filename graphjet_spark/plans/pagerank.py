@@ -108,6 +108,7 @@ def pagerank(
     assume_simple: bool = False,
     teleport: dict[int, float] | None = None,
     weight_col: str | None = None,
+    warm_start: DataFrame | None = None,
 ) -> DataFrame:
     """Compute PageRank; returns ``(id, pagerank)``.
 
@@ -122,6 +123,14 @@ def pagerank(
     GraphJet's query-biased SALSA reset, reference algorithms/salsa/
     fullgraph/LeftSalsaIteration.java:63-95 — resets return to the
     query node).  Initial state is the teleport distribution.
+
+    ``warm_start``: optional ``(id, rank)`` state from a previous run —
+    the delta-ingest pattern (GraphJet's streamed graph, batch form):
+    after edges change, re-converging from the old fixpoint takes far
+    fewer supersteps than a cold start, because the fixpoint is unique
+    (damping < 1) and the perturbation is local.  Vertices unseen in
+    the hint get the uniform share; the padded state is renormalized to
+    unit mass.
     """
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
@@ -166,7 +175,17 @@ def pagerank(
             start_iter = last
             ranks = checkpoint.read_state(spark, last).select("id", "rank")
     if ranks is None:
-        if tele is not None:
+        if warm_start is not None:
+            padded = vertices.join(
+                warm_start.select("id", F.col("rank").alias("wr")), "id", "left"
+            ).select(
+                "id", F.coalesce("wr", F.lit(1.0 / n_f)).alias("rank")
+            )
+            total = padded.agg(F.sum("rank")).collect()[0][0]
+            ranks = padded.select(
+                "id", (F.col("rank") / F.lit(float(total))).alias("rank")
+            )
+        elif tele is not None:
             ranks = tele.select("id", F.col("p").alias("rank"))
         else:
             ranks = vertices.select("id", F.lit(1.0 / n_f).alias("rank"))
