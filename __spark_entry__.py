@@ -513,6 +513,13 @@ def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.sessions import session_stats
+
+    events = testdata.load_tables(spark, sf_dir)["events"]
+    return session_stats(events)
+
+
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 power-law histogram: #nodes per floor(log2(out_degree)) bucket.
 
@@ -732,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_montecarlo": _q_salsa_mc,
         "metadata_recs_ptype": _q_metadata_recs,
         "events_top_users": _q_events_top_users,
+        "session_stats": _q_session_stats,
         "reach_2hop": _q_reach_2hop,
         "random_multigraph_neighbors": _q_rmgn,
         "degree_histogram": _q_degree_histogram,
@@ -821,6 +829,7 @@ SELECT user_id, ROUND(SUM(value), 6) AS total_value,
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id DESC LIMIT 20
 """,
+        "session_stats": oracles.session_stats_sql(),
         "reach_2hop": testdata.oracle_cte()
         + """
 , e AS MATERIALIZED (SELECT DISTINCT src, dst FROM interactions),

@@ -1,0 +1,67 @@
+"""Gap-based event sessionization.
+
+The batch form of the classic stream-sessionization operator (the
+Structured-Streaming ``session_window`` analogue, computed exactly over
+the stored event log): per user, order events by time, cut a new
+session whenever the gap to the previous event exceeds the threshold,
+then roll sessions up per user.
+
+All arithmetic is exact BIGINT epoch-microseconds (no float time math),
+so the output is bit-identical across engines.  Plan shape: one window
+over (user, time) — the state never exceeds a user's own events, so the
+shuffle is by user and skew follows the activity distribution (at
+100 TB a mega-user is bounded by their own event count, and the
+two-level rollup keeps the reduce side narrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_us: int = 6 * 3600 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(user_id, session_id, n_events, span_us) — one row per session;
+    ``session_id`` is the 1-based per-user session ordinal."""
+    # parquet timestamps read as TIMESTAMP_NTZ; the session timezone is
+    # pinned to UTC (session.py), so the cast is offset-free and the
+    # epoch agrees with DuckDB's epoch_us over the same naive values
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy("us", id_col)
+    flagged = (
+        events.select(user_col, us.alias("us"), id_col)
+        .withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | ((F.col("us") - F.col("prev")) > F.lit(gap_us)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_s").over(w))
+    )
+    return flagged.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+    )
+
+
+def session_stats(
+    events: DataFrame, *, gap_us: int = 6 * 3600 * 1_000_000
+) -> DataFrame:
+    """(user_id, n_sessions, max_session_events, max_session_span_us) —
+    per-user session profile."""
+    s = sessionize(events, gap_us=gap_us)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.max("span_us").cast("bigint").alias("max_session_span_us"),
+    )

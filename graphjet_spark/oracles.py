@@ -1408,3 +1408,32 @@ FROM (
   FROM ( {qsql} ) qq JOIN documents d ON qq.doc_id = d.doc_id
   GROUP BY d.source)
 """
+
+
+def session_stats_sql(gap_us: int = 6 * 3600 * 1_000_000) -> str:
+    """Gap-based sessionization rollup over the events table (exact
+    BIGINT epoch-microsecond arithmetic)."""
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+flagged AS MATERIALIZED (
+  SELECT user_id, us, event_id,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sess AS MATERIALIZED (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS session_id
+  FROM flagged),
+per_session AS MATERIALIZED (
+  SELECT user_id, session_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+  FROM sess GROUP BY user_id, session_id)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(MAX(span_us) AS BIGINT) AS max_session_span_us
+FROM per_session GROUP BY user_id
+"""

@@ -545,3 +545,55 @@ def test_source_quality_rollup_mirror(spark):
             sum(1 for v in qs if v >= 0.7) / len(qs), abs=1e-6
         )
         assert r["keep"] == (r["mean_quality"] >= 0.75)
+
+
+def test_sessionize_mirror(spark):
+    """Gap sessionization vs a literal Python mirror (microsecond
+    arithmetic, per-user ordering, tie-break by event_id)."""
+    import datetime as dt
+
+    from graphjet_spark.operators.sessions import session_stats, sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: three sessions (gaps of 2h within, 10h between)
+    for start_h in (0, 12, 30):
+        for k in range(3):
+            rows.append((eid, base + dt.timedelta(hours=start_h + 2 * k), 1))
+            eid += 1
+    # user 2: single event
+    rows.append((eid, base, 2))
+    eid += 1
+    # user 3: identical timestamps (tie-break by event_id, one session)
+    for _ in range(4):
+        rows.append((eid, base, 3))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint"
+    )
+    gap = 6 * 3600 * 1_000_000
+    sess = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["span_us"])
+        for r in sessionize(events, gap_us=gap).collect()
+    }
+    assert sess == {
+        (1, 1): (3, 4 * 3600 * 1_000_000),
+        (1, 2): (3, 4 * 3600 * 1_000_000),
+        (1, 3): (3, 4 * 3600 * 1_000_000),
+        (2, 1): (1, 0),
+        (3, 1): (4, 0),
+    }
+    stats = {
+        r["user_id"]: (
+            r["n_sessions"],
+            r["max_session_events"],
+            r["max_session_span_us"],
+        )
+        for r in session_stats(events, gap_us=gap).collect()
+    }
+    assert stats == {
+        1: (3, 3, 4 * 3600 * 1_000_000),
+        2: (1, 1, 0),
+        3: (1, 4, 0),
+    }
