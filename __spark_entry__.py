@@ -174,6 +174,22 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AA_MAX_CENTER_DEGREE = 64
+AA_MIN_COMMON = 2
+
+
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.linkpred import adamic_adar_pairs
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return adamic_adar_pairs(
+        spark,
+        edges,
+        max_center_degree=AA_MAX_CENTER_DEGREE,
+        min_common=AA_MIN_COMMON,
+    )
+
+
 HARMONIC_SOURCES = [1, 2, 3]
 
 
@@ -716,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hubs_authorities": _q_hits,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
+        "adamic_adar": _q_adamic_adar,
         "harmonic_centrality": _q_harmonic,
         "component_sizes": _q_component_sizes,
         "triangle_count": _q_triangles,
@@ -798,6 +815,9 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),
+        "adamic_adar": oracles.adamic_adar_sql(
+            AA_MAX_CENTER_DEGREE, AA_MIN_COMMON
+        ),
         "harmonic_centrality": oracles.harmonic_fixed_sql(
             tuple(HARMONIC_SOURCES), BFS_ITERS
         ),

@@ -1437,3 +1437,29 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(MAX(span_us) AS BIGINT) AS max_session_span_us
 FROM per_session GROUP BY user_id
 """
+
+
+def adamic_adar_sql(
+    max_center_degree: int = 64, min_common: int = 2, round_to: int = 6
+) -> str:
+    """Degree-capped common-neighbor / Adamic-Adar pairs over the
+    symmetrized simple graph (centers with 2 <= deg <= cap)."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + f""",
+degc AS MATERIALIZED (
+  SELECT a AS c, COUNT(*) AS d FROM sym GROUP BY a
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_center_degree}),
+nb AS MATERIALIZED (
+  SELECT s.a AS c, s.b AS n,
+         CAST(1.0 AS DOUBLE) / LN(CAST(degc.d AS DOUBLE)) AS w
+  FROM sym s JOIN degc ON s.a = degc.c)
+SELECT u.n AS id_a, v.n AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS common,
+       ROUND(SUM(u.w), {round_to}) AS aa
+FROM nb u JOIN nb v ON u.c = v.c AND u.n < v.n
+GROUP BY u.n, v.n
+HAVING COUNT(*) >= {min_common}"""
+    )

@@ -340,3 +340,48 @@ def test_multi_source_bfs_and_harmonic(spark):
         assert got[s][1] == pytest.approx(
             sum(1.0 / d for d in dists.values()), abs=1e-6
         )
+
+
+def test_adamic_adar_mirror(spark):
+    """Degree-capped Adamic-Adar vs a literal Python mirror, including
+    the cap excluding a hub center."""
+    import math
+
+    from graphjet_spark.operators.linkpred import adamic_adar_pairs
+
+    pairs = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]        # small cluster
+        + [(9, k) for k in range(20, 30)]               # hub 9 (deg 10)
+        + [(20, 21)]
+    )
+    cap = 4
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[tuple[int, int], tuple[int, float]] = {}
+    for c, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2 or d > cap:
+            continue
+        for u in nbrs:
+            for v in nbrs:
+                if u < v:
+                    cm, aa = want.get((u, v), (0, 0.0))
+                    want[(u, v)] = (cm + 1, aa + 1.0 / math.log(d))
+    want = {k: v for k, v in want.items() if v[0] >= 2}
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["common"], r["aa"])
+        for r in adamic_adar_pairs(
+            spark, edges_df(spark, pairs), max_center_degree=cap, min_common=2
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+    # the hub's pairs (20,21)... via center 9 must be absent: 9 exceeds cap
+    assert all(not (20 <= a < 30 and 20 <= b < 30) or (a, b) == (20, 21)
+               for a, b in got)
