@@ -529,6 +529,38 @@ def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-day rollup — the batch twin of the
+    Structured Streaming windowed aggregation (same bucketing the
+    watermarked streaming path produces)."""
+    events = testdata.load_tables(spark, sf_dir)["events"]
+    return events.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def _q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quality quantiles ((n-1)*q linear
+    interpolation — identical in Spark percentile and DuckDB
+    quantile_cont)."""
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return q.groupBy("lang").agg(
+        *[
+            F.round(F.percentile("quality", F.lit(p)), 6).alias(
+                f"q{str(p).replace('0.', '')}"
+            )
+            for p in QUANTILES
+        ]
+    )
+
+
 def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.sessions import session_stats
 
@@ -757,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_recs_ptype": _q_metadata_recs,
         "events_top_users": _q_events_top_users,
         "session_stats": _q_session_stats,
+        "events_daily": _q_events_daily,
+        "quality_quantiles": _q_quality_quantiles,
         "reach_2hop": _q_reach_2hop,
         "random_multigraph_neighbors": _q_rmgn,
         "degree_histogram": _q_degree_histogram,
@@ -850,6 +884,21 @@ FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id DESC LIMIT 20
 """,
         "session_stats": oracles.session_stats_sql(),
+        "events_daily": """
+SELECT date_trunc('day', ts) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY day
+""",
+        "quality_quantiles": f"""
+SELECT d.lang,
+       ROUND(quantile_cont(quality, 0.5), 6) AS q5,
+       ROUND(quantile_cont(quality, 0.9), 6) AS q9,
+       ROUND(quantile_cont(quality, 0.99), 6) AS q99
+FROM ( {oracles.quality_score_sql(tuple(_STOPWORDS))} ) qq
+JOIN documents d ON qq.doc_id = d.doc_id
+GROUP BY d.lang
+""",
         "reach_2hop": testdata.oracle_cte()
         + """
 , e AS MATERIALIZED (SELECT DISTINCT src, dst FROM interactions),
