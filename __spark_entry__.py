@@ -174,6 +174,18 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KATZ_ALPHA = 0.05
+KATZ_ITERS = 8
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.katz import katz
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    res = katz(spark, edges, alpha=KATZ_ALPHA, fixed_iters=KATZ_ITERS)
+    return res.select("id", F.round("katz", 9).alias("katz"))
+
+
 AA_MAX_CENTER_DEGREE = 64
 AA_MIN_COMMON = 2
 
@@ -764,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hubs_authorities": _q_hits,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
+        "katz_centrality": _q_katz,
         "adamic_adar": _q_adamic_adar,
         "harmonic_centrality": _q_harmonic,
         "component_sizes": _q_component_sizes,
@@ -849,6 +862,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),
+        "katz_centrality": oracles.katz_fixed_sql(KATZ_ALPHA, KATZ_ITERS),
         "adamic_adar": oracles.adamic_adar_sql(
             AA_MAX_CENTER_DEGREE, AA_MIN_COMMON
         ),

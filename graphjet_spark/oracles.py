@@ -1463,3 +1463,30 @@ FROM nb u JOIN nb v ON u.c = v.c AND u.n < v.n
 GROUP BY u.n, v.n
 HAVING COUNT(*) >= {min_common}"""
     )
+
+
+def katz_fixed_sql(alpha: float, iters: int, round_to: int = 9) -> str:
+    """Unrolled Katz centrality: x = 1 + alpha * A^T x from x0 = 1.
+    Output (id, katz) rounded."""
+    parts = ["x0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v)"]
+    for i in range(iters):
+        p, c = f"x{i}", f"x{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT v.id,
+         CAST(1.0 AS DOUBLE) + {alpha!r} * COALESCE(g.s, 0.0) AS x
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.x) AS s
+    FROM {p} r JOIN e ON r.id = e.src GROUP BY e.dst
+  ) g ON v.id = g.id)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT id, ROUND(x / (SELECT SUM(x) FROM x{iters}), {round_to}) AS katz
+FROM x{iters}"""
+    )

@@ -385,3 +385,31 @@ def test_adamic_adar_mirror(spark):
     # the hub's pairs (20,21)... via center 9 must be absent: 9 exceeds cap
     assert all(not (20 <= a < 30 and 20 <= b < 30) or (a, b) == (20, 21)
                for a, b in got)
+
+
+def test_katz_mirror(spark):
+    """Katz centrality vs a literal numpy mirror (x = 1 + a*A^T x,
+    L1-normalized once at the end)."""
+    from graphjet_spark.plans.katz import katz
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (2, 4), (5, 1)]
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    E = set(pairs)
+    a = 0.1
+    x = np.ones(len(nodes))
+    for _ in range(8):
+        g = np.zeros(len(nodes))
+        for s, d in E:
+            g[idx[d]] += x[idx[s]]
+        x = 1.0 + a * g
+    x /= x.sum()
+    got = {
+        r["id"]: r["katz"]
+        for r in katz(
+            spark, edges_df(spark, pairs), alpha=a, fixed_iters=8
+        ).collect()
+    }
+    assert got.keys() == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(x[idx[v]], abs=1e-12)
