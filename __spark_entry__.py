@@ -226,6 +226,17 @@ def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KTRUSS_K = 4
+KTRUSS_ITERS = 4
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.ktruss import k_truss
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return k_truss(spark, edges, KTRUSS_K, fixed_iters=KTRUSS_ITERS)
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.kcore import k_core
 
@@ -773,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": _q_components_star,
         "label_propagation_5": _q_labelprop,
         "k_core_3": _q_kcore,
+        "k_truss_4": _q_ktruss,
         "hits_hubs_authorities": _q_hits,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
@@ -859,6 +871,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         ),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),
+        "k_truss_4": oracles.k_truss_fixed_sql(KTRUSS_K, KTRUSS_ITERS),
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),

@@ -1490,3 +1490,36 @@ def katz_fixed_sql(alpha: float, iters: int, round_to: int = 9) -> str:
 SELECT id, ROUND(x / (SELECT SUM(x) FROM x{iters}), {round_to}) AS katz
 FROM x{iters}"""
     )
+
+
+def k_truss_fixed_sql(k: int, iters: int) -> str:
+    """Unrolled k-truss edge peeling: each round keeps edges whose
+    common-neighbor count within the surviving subgraph is >= k-2
+    (edges in zero triangles have no support row and drop).  Output the
+    surviving undirected edges (a, b)."""
+    thresh = k - 2
+    parts = [
+        """t0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM graph_edges WHERE src <> dst)"""
+    ]
+    for i in range(iters):
+        p, c = f"t{i}", f"t{i + 1}"
+        parts.append(
+            f"""sy{i} AS MATERIALIZED (
+  SELECT a, b FROM {p} UNION ALL SELECT b, a FROM {p})"""
+        )
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {p} e
+  JOIN sy{i} x ON x.a = e.a
+  JOIN sy{i} y ON y.a = e.b AND y.b = x.b
+  GROUP BY e.a, e.b
+  HAVING COUNT(*) >= {thresh})"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT a, b FROM t{iters}"
+    )

@@ -413,3 +413,36 @@ def test_katz_mirror(spark):
     assert got.keys() == set(nodes)
     for v in nodes:
         assert got[v] == pytest.approx(x[idx[v]], abs=1e-12)
+
+
+def test_k_truss_peeling_mirror(spark):
+    """k-truss vs a literal Python peeling mirror: K5 (5-truss), a C4
+    with a chord (3-truss parts), and pendant edges (peeled)."""
+    from graphjet_spark.plans.ktruss import k_truss
+
+    pairs = (
+        [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]  # K5
+        + [(10, 11), (11, 12), (12, 13), (13, 10), (10, 12)]  # chorded C4
+        + [(5, 20), (20, 21)]  # pendant chain
+    )
+    df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    def mirror(k):
+        surv = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        while True:
+            adj = {}
+            for a, b in surv:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {
+                (a, b)
+                for a, b in surv
+                if len(adj[a] & adj[b]) < k - 2
+            }
+            if not drop:
+                return surv
+            surv -= drop
+
+    for k in (3, 4, 5):
+        got = {(r["a"], r["b"]) for r in k_truss(spark, df, k, fixed_iters=8).collect()}
+        assert got == mirror(k), k
