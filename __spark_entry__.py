@@ -736,6 +736,12 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.textstats import repetition_stats
 
@@ -832,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition,
+        "tfidf_top_terms": _q_tfidf,
         "content_fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
         "minhash_near_dups": _q_minhash,
@@ -957,6 +964,7 @@ GROUP BY s.seed ORDER BY s.seed
         "token_count": oracles.token_count_sql(),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "repetition_stats": oracles.repetition_stats_sql(),
+        "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
         "content_fingerprint": oracles.content_fingerprint_sql(),
         "language_id": oracles.language_id_sql(_LANG_MARKERS),
         "minhash_near_dups": oracles.minhash_near_dups_sql(

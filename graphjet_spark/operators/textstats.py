@@ -263,3 +263,50 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             frac("b_top", "b_n").alias("top_bigram_frac"),
         )
     )
+
+
+# ------------------------------------------------------------- tf-idf
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, term, tfidf, rank) — top-k terms per document by
+    tf * ln(N/df) over whitespace tokens, rank ties broken by term.
+
+    Ordering uses the ROUNDED score so the top-k boundary is
+    cross-engine stable (the repo-wide rule for LIMIT-bounded outputs).
+    Plan: one explode + two aggregations (map-side combined) + one
+    per-doc window — df is a corpus-wide table a real pipeline would
+    materialize alongside the vocabulary (vocab_stats)."""
+    from pyspark.sql import Window
+
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    tok = docs.select("doc_id", F.explode(words).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            round_to,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

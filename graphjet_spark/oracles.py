@@ -1523,3 +1523,32 @@ def k_truss_fixed_sql(k: int, iters: int) -> str:
         + ",\n".join(parts)
         + f"\nSELECT a, b FROM t{iters}"
     )
+
+
+def tfidf_top_terms_sql(k: int = 5, round_to: int = 6) -> str:
+    """Top-k terms per document by tf * ln(N/df); rank by rounded score
+    then term (cross-engine-stable boundary)."""
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents),
+tok AS MATERIALIZED (SELECT doc_id, unnest(w) AS term FROM w),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dftbl AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+ndocs AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS MATERIALIZED (
+  SELECT tf.doc_id, tf.term,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * LN((SELECT n FROM ndocs) / dftbl.df), {round_to}) AS tfidf
+  FROM tf JOIN dftbl ON tf.term = dftbl.term)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""

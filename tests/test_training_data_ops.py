@@ -597,3 +597,41 @@ def test_sessionize_mirror(spark):
         2: (1, 1, 0),
         3: (1, 4, 0),
     }
+
+
+def test_tfidf_top_terms_mirror(spark):
+    """TF-IDF top-k vs a literal Counter mirror with rounded-score
+    ordering and term tie-break."""
+    import math
+    from collections import Counter
+
+    from graphjet_spark.operators.textstats import tfidf_top_terms
+
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana cherry cherry date",
+        2: "apple apple apple egg",
+        3: "",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    n = len(texts)
+    tfs = {d: Counter(t.split()) for d, t in texts.items()}
+    df = Counter(term for c in tfs.values() for term in c)
+    want = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            (
+                (round(tf * math.log(n / df[t]), 6), t)
+                for t, tf in c.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for r, (s, t) in enumerate(scored[:2], 1):
+            want[(d, t)] = (s, r)
+    got = {
+        (r["doc_id"], r["term"]): (r["tfidf"], r["rank"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    assert got == pytest.approx(want)
