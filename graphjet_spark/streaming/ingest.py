@@ -151,3 +151,32 @@ def read_edges(spark: SparkSession, out_dir: str) -> DataFrame:
     if not seg_dirs:
         raise FileNotFoundError(f"no segments under {out_dir}")
     return spark.read.option("basePath", out_dir).parquet(*seg_dirs)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark —
+    the streaming twin of the batch ``events_daily`` rollup.
+
+    With append output mode a window finalizes once the watermark
+    passes its end; rows arriving later than the watermark are dropped
+    (the bounded-state contract that lets this run forever at 100 TB/day
+    event volume — state size is windows-in-flight, not history)."""
+    from pyspark.sql import functions as F
+
+    w = F.window(F.col(ts_col), window_duration)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )

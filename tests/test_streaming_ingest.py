@@ -126,3 +126,55 @@ def test_running_degrees_stateful_resume(spark, tmp_path):
     _feed([(1, 13), (3, 10)])
     got2 = _run()
     assert got2 == {1: 4, 2: 1, 3: 1}
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time tumbling windows + watermark: windows finalize in
+    append mode once the watermark passes, and a row arriving later
+    than the watermark is dropped, never mutating a finalized window."""
+    import datetime as dt
+
+    ev_dir = str(tmp_path / "ev_in")
+    ck = str(tmp_path / "win_ck")
+    out_dir = str(tmp_path / "win_out")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _feed(offsets_h):
+        rows = [(t0 + dt.timedelta(hours=h), 1) for h in offsets_h]
+        spark.createDataFrame(rows, "ts timestamp, user_id bigint").coalesce(
+            1
+        ).write.mode("append").parquet(ev_dir)
+
+    def _run():
+        stream = spark.readStream.schema("ts timestamp, user_id bigint").parquet(
+            ev_dir
+        )
+        q = (
+            ingest.windowed_event_counts(
+                stream, window_duration="1 hour", watermark="2 hours"
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["window_start"].hour: r["n_events"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # batch 1: two on-time events + one far-ahead event that advances
+    # the watermark to 04:00, finalizing the 00:00 and 01:00 windows
+    _feed([0.5, 1.5, 6.0])
+    got1 = _run()
+    assert got1 == {0: 1, 1: 1}
+
+    # batch 2: a LATE row at 00:45 (behind the 04:00 watermark -> must
+    # be dropped) + an event at 10:00 advancing the watermark to 08:00,
+    # which finalizes the 06:00 window — still with count 1
+    _feed([0.75, 10.0])
+    got2 = _run()
+    assert got2 == {0: 1, 1: 1, 6: 1}
