@@ -724,6 +724,12 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_embs(spark, sf_dir), threshold=0.3)
 
 
+def _q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.ann import embedding_cluster_stats
+
+    return embedding_cluster_stats(_embs(spark, sf_dir))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
 
@@ -835,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_keep_list": _q_embedding_keep_list,
         "embedding_near_dups": _q_embedding_dups,
         "ann_topk_cosine": _q_ann_topk,
+        "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition,
@@ -961,6 +968,7 @@ GROUP BY s.seed ORDER BY s.seed
         "embedding_keep_list": oracles.embedding_keep_list_sql(0.3, iters=16),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.3),
         "ann_topk_cosine": oracles.ann_topk_sql(),
+        "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "repetition_stats": oracles.repetition_stats_sql(),

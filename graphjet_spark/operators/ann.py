@@ -349,3 +349,47 @@ def lsh_bucketed_topk(
     )
     # exact cosine on the reduced candidate set only
     return _score_candidates(embeddings, cand, query_ids, k, id_col, vec_col)
+
+
+def embedding_cluster_stats(
+    embs: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """(label, n_vectors, cohesion) — per-label centroid cohesion: the
+    mean cosine of each member vector to its label centroid (the
+    standard cluster-quality readout for an embedding corpus).
+
+    Plan: posexplode to (vec, dim) rows, centroid = per-(label, dim)
+    mean (map-side combined), then one join back for the dot/norm
+    reductions — all JVM-side column arithmetic, no Python, and every
+    stage keyed by (label, dim) or vec so it distributes at any corpus
+    size."""
+    dims = embs.select(
+        "vec_id",
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    centroid = dims.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    per_vec = (
+        dims.join(centroid, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+        .select(
+            "label",
+            (F.col("dot") / (F.col("nv") * F.col("nc"))).alias("cos"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg("cos"), round_to).alias("cohesion"),
+    )

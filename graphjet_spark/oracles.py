@@ -1552,3 +1552,25 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
   FROM scored)
 WHERE rank <= {k}
 """
+
+
+def embedding_cluster_stats_sql(round_to: int = 6) -> str:
+    """Per-label centroid cohesion over the embeddings table."""
+    return f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+centroid AS MATERIALIZED (
+  SELECT label, i, AVG(x) AS c FROM dims GROUP BY label, i),
+per_vec AS MATERIALIZED (
+  SELECT d.vec_id, d.label,
+         SUM(d.x * c.c) / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(c.c * c.c)))
+           AS cos
+  FROM dims d JOIN centroid c ON d.label = c.label AND d.i = c.i
+  GROUP BY d.vec_id, d.label)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(cos), {round_to}) AS cohesion
+FROM per_vec GROUP BY label
+"""

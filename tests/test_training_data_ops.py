@@ -635,3 +635,35 @@ def test_tfidf_top_terms_mirror(spark):
         for r in tfidf_top_terms(docs, k=2).collect()
     }
     assert got == pytest.approx(want)
+
+
+def test_embedding_cluster_stats_mirror(spark):
+    """Cluster cohesion vs a numpy mirror on two labeled clusters."""
+    from graphjet_spark.operators.ann import embedding_cluster_stats
+
+    rng = np.random.default_rng(5)
+    rows, vid = [], 0
+    centers = {0: np.array([1.0, 0, 0, 0]), 1: np.array([0, 1.0, 0, 0])}
+    vecs = {0: [], 1: []}
+    for lbl, c in centers.items():
+        for _ in range(8):
+            v = c + rng.normal(0, 0.1, 4)
+            vecs[lbl].append(v)
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    embs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["cohesion"])
+        for r in embedding_cluster_stats(embs).collect()
+    }
+    for lbl, vs in vecs.items():
+        # mirror must see the float32-rounded vectors, as parquet/Spark do
+        arr = np.stack(vs).astype(np.float32).astype(np.float64)
+        cen = arr.mean(axis=0)
+        cos = (arr @ cen) / (
+            np.linalg.norm(arr, axis=1) * np.linalg.norm(cen)
+        )
+        assert got[lbl][0] == len(vs)
+        assert got[lbl][1] == pytest.approx(cos.mean(), abs=1e-6)
