@@ -742,6 +742,18 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
 
+DECON_N = 3
+DECON_MOD = 97
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.dedup import decontamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0).select("doc_id")
+    return decontamination_flags(docs, bench, n=DECON_N)
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.textstats import tfidf_top_terms
 
@@ -846,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition,
         "tfidf_top_terms": _q_tfidf,
+        "decontamination_flags": _q_decontamination,
         "content_fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
         "minhash_near_dups": _q_minhash,
@@ -973,6 +986,9 @@ GROUP BY s.seed ORDER BY s.seed
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "repetition_stats": oracles.repetition_stats_sql(),
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
+        "decontamination_flags": oracles.decontamination_sql(
+            DECON_N, DECON_MOD
+        ),
         "content_fingerprint": oracles.content_fingerprint_sql(),
         "language_id": oracles.language_id_sql(_LANG_MARKERS),
         "minhash_near_dups": oracles.minhash_near_dups_sql(

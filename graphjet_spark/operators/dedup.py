@@ -709,3 +709,32 @@ def embedding_near_dups_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def decontamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shared_grams) — training documents sharing at least one
+    token n-gram with the benchmark set (the standard eval-set
+    decontamination sweep: flag, then drop or audit).
+
+    ``benchmark`` is a (doc_id) DataFrame naming the held-out docs.
+    Plan shape: distinct benchmark grams (small side, broadcastable at
+    real benchmark sizes) equi-joined against training grams — never
+    doc x doc, so it scales with corpus gram volume, not pairs."""
+    grams = token_sets(docs, text_col, n)
+    bgrams = (
+        grams.join(benchmark.select("doc_id"), "doc_id", "left_semi")
+        .select("tok")
+        .distinct()
+    )
+    return (
+        grams.join(benchmark.select("doc_id"), "doc_id", "left_anti")
+        .join(bgrams, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )

@@ -1574,3 +1574,28 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
        ROUND(AVG(cos), {round_to}) AS cohesion
 FROM per_vec GROUP BY label
 """
+
+
+def decontamination_sql(n: int = 3, mod: int = 97) -> str:
+    """Benchmark-overlap flags: training docs (doc_id % mod <> 0)
+    sharing >= 1 token n-gram with the benchmark docs (doc_id % mod = 0)."""
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    gram_list = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n} + 2), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({gram_list}) AS tok FROM w)
+  WHERE tok <> ''),
+bg AS MATERIALIZED (
+  SELECT DISTINCT tok FROM grams WHERE doc_id % {mod} = 0)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM grams g JOIN bg ON g.tok = bg.tok
+WHERE g.doc_id % {mod} <> 0
+GROUP BY g.doc_id
+"""

@@ -667,3 +667,38 @@ def test_embedding_cluster_stats_mirror(spark):
         )
         assert got[lbl][0] == len(vs)
         assert got[lbl][1] == pytest.approx(cos.mean(), abs=1e-6)
+
+
+def test_decontamination_flags_mirror(spark):
+    """Benchmark n-gram overlap flags vs a literal Python mirror."""
+    from graphjet_spark.operators.dedup import decontamination_flags
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",          # benchmark
+        1: "zeta alpha beta gamma eta",               # shares 'alpha beta gamma'
+        2: "beta gamma delta theta iota",             # shares 'beta gamma delta'
+        3: "completely unrelated words here now",     # clean
+        4: "alpha beta zeta gamma delta",             # no shared TRIgram
+        5: "xx",                                      # too short for 3-grams
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    bench = docs.where("doc_id = 0").select("doc_id")
+    got = {
+        r["doc_id"]: r["shared_grams"]
+        for r in decontamination_flags(docs, bench, n=3).collect()
+    }
+
+    def grams(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    bg = grams(texts[0])
+    want = {
+        d: len(grams(t) & bg)
+        for d, t in texts.items()
+        if d != 0 and grams(t) & bg
+    }
+    assert got == want
+    assert 3 not in got and 4 not in got and 5 not in got
