@@ -73,6 +73,23 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_table(_tables(spark, sf_dir, "graph_edges").pairs)
 
 
+ASOF_CUTOFF = "1998-01-01 00:00:00"
+
+
+def _q_one_mode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.projection import one_mode_projection
+
+    inter = testdata.interactions(spark, sf_dir)
+    return one_mode_projection(inter, min_cooccurrence=2)
+
+
+def _q_degrees_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.projection import degrees_asof
+
+    inter = testdata.interactions(spark, sf_dir)
+    return degrees_asof(inter, F.lit(ASOF_CUTOFF).cast("timestamp"))
+
+
 def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = testdata.interactions(spark, sf_dir)
     return top_k_by_degree(inter, k=20, side="right")
@@ -801,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
         "top_parts_by_engagement": _q_top_parts,
+        "one_mode_projection": _q_one_mode_projection,
+        "degrees_asof": _q_degrees_asof,
         "pagerank_fixed10": _q_pagerank,
         "personalized_pagerank": _q_ppr,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -887,6 +906,8 @@ SELECT dst AS id, COUNT(*) AS degree
 FROM interactions GROUP BY dst
 ORDER BY degree DESC, id DESC LIMIT 20
 """,
+        "one_mode_projection": oracles.one_mode_projection_sql(2),
+        "degrees_asof": oracles.degrees_asof_sql(ASOF_CUTOFF),
         "pagerank_fixed10": oracles.pagerank_fixed_sql(PR_ITERS),
         "personalized_pagerank": oracles.personalized_pagerank_fixed_sql(
             PPR_ITERS, PPR_SEEDS

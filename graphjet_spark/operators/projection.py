@@ -1,0 +1,66 @@
+"""One-mode projection of the bipartite interaction graph and temporal
+as-of views.
+
+``one_mode_projection`` folds customer→part interactions into a
+part↔part co-engagement graph — the classic bipartite projection that
+underlies every co-occurrence recommender (GraphJet computes it
+implicitly per query inside IntersectionSimilarity, reference
+graphjet-core/src/main/java/com/twitter/graphjet/algorithms/
+intersection/IntersectionSimilarity.java:118-152; here it is the
+explicit materialized table form).  Scale control is the reference's
+own F12 per-seed cap: only each left vertex's latest ``cap`` edges (by
+the chronological ``seq`` key, MultiSegmentIterator order) participate,
+which bounds pair fan-out at cap² per left vertex — hub customers
+cannot go quadratic.
+
+``degrees_asof`` is the time-travel read: degrees over the graph as it
+existed at a cutoff — the batch analogue of GraphJet reading only
+segments older than t (temporally-ordered edge pools).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphjet_spark.operators.degrees import degree_table
+
+
+def one_mode_projection(
+    interactions: DataFrame,
+    *,
+    min_cooccurrence: int = 2,
+    max_edges_per_node: int = 500,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """(a, b, weight) — right-side co-engagement pairs (a < b) with
+    weight = number of left vertices engaging both, computed over each
+    left vertex's latest ``max_edges_per_node`` edges."""
+    w = Window.partitionBy("src").orderBy(F.desc(seq_col))
+    latest = (
+        interactions.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_edges_per_node)
+        .select("src", "dst")
+        .distinct()
+    )
+    l1 = latest.select("src", F.col("dst").alias("a"))
+    l2 = latest.select(F.col("src").alias("src2"), F.col("dst").alias("b"))
+    pairs = l1.join(
+        l2, (F.col("src") == F.col("src2")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        .where(F.col("weight") >= min_cooccurrence)
+    )
+
+
+def degrees_asof(interactions: DataFrame, cutoff: Column) -> DataFrame:
+    """(id, out_degree, in_degree) over the distinct edges whose
+    timestamp is <= ``cutoff`` — the graph as it existed then."""
+    e = (
+        interactions.where(F.col("ts") <= cutoff)
+        .select("src", "dst")
+        .distinct()
+    )
+    return degree_table(e)

@@ -1599,3 +1599,42 @@ FROM grams g JOIN bg ON g.tok = bg.tok
 WHERE g.doc_id % {mod} <> 0
 GROUP BY g.doc_id
 """
+
+
+def one_mode_projection_sql(
+    min_cooccurrence: int = 2, max_edges_per_node: int = 500
+) -> str:
+    """Right-side co-engagement projection over each left vertex's
+    latest ``max_edges_per_node`` interactions (seq order)."""
+    return (
+        oracle_cte().rstrip()
+        + f""",
+latest AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY seq DESC) AS rn
+    FROM interactions) WHERE rn <= {max_edges_per_node})
+SELECT l1.dst AS a, l2.dst AS b,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM latest l1 JOIN latest l2
+  ON l1.src = l2.src AND l1.dst < l2.dst
+GROUP BY l1.dst, l2.dst
+HAVING COUNT(*) >= {min_cooccurrence}"""
+    )
+
+
+def degrees_asof_sql(cutoff: str) -> str:
+    """Degrees over the distinct interaction edges with ts <= cutoff."""
+    return (
+        oracle_cte().rstrip()
+        + f""",
+e2 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM interactions
+  WHERE ts <= TIMESTAMP '{cutoff}'),
+od AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM e2 GROUP BY src),
+ind AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS c FROM e2 GROUP BY dst)
+SELECT COALESCE(od.id, ind.id) AS id,
+       COALESCE(od.c, 0) AS out_degree,
+       COALESCE(ind.c, 0) AS in_degree
+FROM od FULL OUTER JOIN ind ON od.id = ind.id"""
+    )
