@@ -266,6 +266,14 @@ def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(spark, edges, iters=LP_ITERS)
 
 
+def _q_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.labelprop import modularity
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    labels = label_propagation(spark, edges, iters=LP_ITERS)
+    return modularity(spark, edges, labels)
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
     return triangle_count(spark, edges)
@@ -826,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "connected_components_star": _q_components_star,
         "label_propagation_5": _q_labelprop,
+        "lp_modularity": _q_lp_modularity,
         "k_core_3": _q_kcore,
         "k_truss_4": _q_ktruss,
         "hits_hubs_authorities": _q_hits,
@@ -918,6 +927,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
             CC_ITERS
         ),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
+        "lp_modularity": oracles.lp_modularity_sql(LP_ITERS),
         "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),
         "k_truss_4": oracles.k_truss_fixed_sql(KTRUSS_K, KTRUSS_ITERS),
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),

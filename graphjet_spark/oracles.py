@@ -1638,3 +1638,49 @@ SELECT COALESCE(od.id, ind.id) AS id,
        COALESCE(ind.c, 0) AS in_degree
 FROM od FULL OUTER JOIN ind ON od.id = ind.id"""
     )
+
+
+def lp_modularity_sql(iters: int, round_to: int = 6) -> str:
+    """Newman modularity of the unrolled label-propagation partition:
+    Q = sum_c [ s_c/S - (d_c/S)^2 ], S = |sym|."""
+    parts = ["l0 AS MATERIALIZED (SELECT id, id AS lbl FROM v)"]
+    for i in range(iters):
+        p, c = f"l{i}", f"l{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT id, lbl FROM (
+    SELECT s.a AS id, n.lbl,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.a
+             ORDER BY COUNT(*) DESC, n.lbl ASC) AS rn
+    FROM sym s JOIN {p} n ON s.b = n.id
+    GROUP BY s.a, n.lbl
+  ) t WHERE rn = 1)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f""",
+lab AS MATERIALIZED (
+  SELECT s.a, s.b, la.lbl AS ca, lb.lbl AS cb
+  FROM sym s JOIN l{iters} la ON s.a = la.id
+  JOIN l{iters} lb ON s.b = lb.id),
+stot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM lab),
+sc AS MATERIALIZED (
+  SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS s_c
+  FROM lab WHERE ca = cb GROUP BY ca),
+dc AS MATERIALIZED (
+  SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS d_c FROM lab GROUP BY ca),
+perc AS MATERIALIZED (
+  SELECT dc.c,
+         CAST(COALESCE(sc.s_c, 0) AS DOUBLE) / (SELECT s FROM stot)
+           - (CAST(dc.d_c AS DOUBLE) / (SELECT s FROM stot))
+             * (CAST(dc.d_c AS DOUBLE) / (SELECT s FROM stot)) AS q_c
+  FROM dc LEFT JOIN sc ON dc.c = sc.c)
+SELECT CAST(COUNT(*) AS BIGINT) AS communities,
+       ROUND(SUM(q_c), {round_to}) AS modularity
+FROM perc"""
+    )

@@ -85,3 +85,46 @@ def label_propagation(
 
     sym.unpersist()
     return labels.select("id", F.col("lbl").alias("label"))
+
+
+def modularity(
+    spark: SparkSession,
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """One row (communities, modularity) — Newman modularity of a
+    vertex partition over the undirected simple graph:
+    Q = sum_c [ s_c/S - (d_c/S)^2 ] with S = |sym| = 2m, s_c = directed
+    within-community adjacency count, d_c = total degree of c.
+
+    All sufficient statistics are exact integer sums; the fold to
+    float64 happens on the per-community rollup (narrow), so the value
+    is stable across engines at ROUND 6."""
+    sym = symmetrize(edges)
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("cb"))
+    lab = sym.join(la, "a").join(lb, "b")
+    s_tot = lab.count()
+    sc = (
+        lab.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s_c"))
+    )
+    dc = (
+        lab.groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    per_c = dc.join(sc, "c", "left").select(
+        "c",
+        (
+            F.coalesce("s_c", F.lit(0)).cast("double") / F.lit(float(s_tot))
+            - (F.col("d_c").cast("double") / F.lit(float(s_tot)))
+            * (F.col("d_c").cast("double") / F.lit(float(s_tot)))
+        ).alias("q_c"),
+    )
+    return per_c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("communities"),
+        F.round(F.sum("q_c"), round_to).alias("modularity"),
+    )

@@ -446,3 +446,33 @@ def test_k_truss_peeling_mirror(spark):
     for k in (3, 4, 5):
         got = {(r["a"], r["b"]) for r in k_truss(spark, df, k, fixed_iters=8).collect()}
         assert got == mirror(k), k
+
+
+def test_modularity_mirror(spark):
+    """Modularity of a known-good partition vs the closed-form value:
+    two 4-cliques joined by one bridge, partitioned by clique."""
+    from graphjet_spark.plans.labelprop import modularity
+
+    got = modularity(
+        spark,
+        edges_df(spark, LP_CLIQUES),
+        label_propagation(spark, edges_df(spark, LP_CLIQUES), iters=5),
+    ).first()
+    # LP converges to the two cliques here (asserted in
+    # test_label_propagation_cliques): m = 13 undirected edges,
+    # within: 6+1 (bridge endpoint 4's clique) ... compute the mirror:
+    adj = {}
+    for a, b in LP_CLIQUES:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comm = {v: (1 if v < 10 else 11) for v in adj}
+    S = sum(len(n) for n in adj.values())
+    cs = sorted(set(comm.values()))
+    q = 0.0
+    for c in cs:
+        members = {v for v in adj if comm[v] == c}
+        s_c = sum(len(adj[v] & members) for v in members)
+        d_c = sum(len(adj[v]) for v in members)
+        q += s_c / S - (d_c / S) ** 2
+    assert got["communities"] == len(cs)
+    assert got["modularity"] == pytest.approx(q, abs=1e-6)
