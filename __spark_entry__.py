@@ -170,6 +170,14 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SSSP_ITERS = 6
+WALK_LEN = 4
+
+
+def _q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.walks import hash_walk_corpus
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return hash_walk_corpus(spark, edges, length=WALK_LEN)
 
 
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hubs_authorities": _q_hits,
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
+        "walk_corpus": _q_walk_corpus,
         "katz_centrality": _q_katz,
         "adamic_adar": _q_adamic_adar,
         "harmonic_centrality": _q_harmonic,
@@ -933,6 +942,7 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),
+        "walk_corpus": oracles.hash_walk_corpus_sql(WALK_LEN),
         "katz_centrality": oracles.katz_fixed_sql(KATZ_ALPHA, KATZ_ITERS),
         "adamic_adar": oracles.adamic_adar_sql(
             AA_MAX_CENTER_DEGREE, AA_MIN_COMMON

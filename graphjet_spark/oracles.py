@@ -1684,3 +1684,33 @@ SELECT CAST(COUNT(*) AS BIGINT) AS communities,
        ROUND(SUM(q_c), {round_to}) AS modularity
 FROM perc"""
     )
+
+
+def hash_walk_corpus_sql(length: int = 4) -> str:
+    """Deterministic hash-walk corpus: step i of walk w moves to
+    sorted-adjacency index H(w, i) mod out_degree (cross-engine
+    md5-prefix hash).  Output (walk_id, step, vertex)."""
+    parts = [
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs "
+        "FROM e GROUP BY src)",
+        "w0 AS MATERIALIZED (SELECT src AS walk_id, src AS vertex FROM adj)",
+    ]
+    finals = ["SELECT walk_id, 0 AS step, vertex FROM w0"]
+    for i in range(1, length + 1):
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT f.walk_id,
+         a.nbrs[CAST((('0x' || substr(md5(f.walk_id || ':' || '{i}'), 1, 15))::BIGINT
+                % len(a.nbrs)) + 1 AS BIGINT)] AS vertex
+  FROM w{i - 1} f JOIN adj a ON f.vertex = a.src)"""
+        )
+        finals.append(f"SELECT walk_id, {i} AS step, vertex FROM w{i}")
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )

@@ -1,0 +1,83 @@
+"""Deterministic hash-walk corpus generation (DeepWalk-style input).
+
+Generates one fixed-length random walk per start vertex, where step i
+of walk w picks neighbor index ``H(w, i) mod out_degree`` with H the
+cross-engine md5-prefix hash over the sorted adjacency list.  The walk
+distribution matches uniform neighbor sampling (H is uniform over its
+60-bit range), but the corpus is a pure function of the graph — no RNG
+state, no partitioning dependence, byte-identical on any engine — so
+the gate can value-compare it against a DuckDB oracle, unlike seeded-
+RNG walk generators (salsa_montecarlo) which are rows-only by nature.
+
+This is the walk-corpus producer feeding skip-gram node-embedding
+training (DeepWalk, Perozzi 2014; GraphJet's own per-walk machinery is
+the Monte-Carlo SALSA family, plans/salsa.py — this is its
+batch-corpus cousin).
+
+Scale: the adjacency-list table (src, nbrs) is built once (the same
+collect_list shape as adjacency_blocks) and each step is one equi-join
+of the narrow walk frontier against it; walks at sinks simply stop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _step_hash(walk_col: str, step: int):
+    """Cross-engine uniform 60-bit hash of (walk_id, step)."""
+    s = F.concat(
+        F.col(walk_col).cast("string"), F.lit(":"), F.lit(str(step))
+    )
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def hash_walk_corpus(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    length: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(walk_id, step, vertex) — one ``length``-step walk per vertex
+    with out-edges; step 0 is the start vertex, walks stop at sinks."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").distinct()
+    adj = (
+        e.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .repartition(partitions, "src")
+        .persist()
+    )
+    adj.count()
+
+    frontier = adj.select(
+        F.col("src").alias("walk_id"), F.col("src").alias("vertex")
+    ).localCheckpoint(eager=True)
+    out = [frontier.select("walk_id", F.lit(0).alias("step"), "vertex")]
+
+    for i in range(1, length + 1):
+        nxt = (
+            frontier.join(adj, frontier.vertex == adj.src)
+            .select(
+                "walk_id",
+                F.element_at(
+                    "nbrs",
+                    (
+                        F.pmod(_step_hash("walk_id", i), F.size("nbrs"))
+                        + F.lit(1)
+                    ).cast("int"),
+                ).alias("vertex"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(nxt.select("walk_id", F.lit(i).alias("step"), "vertex"))
+        frontier = nxt
+
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    adj.unpersist()
+    return result

@@ -476,3 +476,35 @@ def test_modularity_mirror(spark):
         q += s_c / S - (d_c / S) ** 2
     assert got["communities"] == len(cs)
     assert got["modularity"] == pytest.approx(q, abs=1e-6)
+
+
+def test_hash_walk_corpus_properties(spark):
+    """Hash-walk corpus: every consecutive (vertex, next) is a real
+    edge, walks stop exactly at sinks, and the corpus is
+    partitioning-independent (pure function of the graph)."""
+    from graphjet_spark.plans.walks import hash_walk_corpus
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 6)]  # 6 is a sink
+    df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    rows = hash_walk_corpus(spark, df, length=5).collect()
+    walks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    out = {}
+    for s, d in pairs:
+        out.setdefault(s, set()).add(d)
+    assert set(walks) == set(out)  # one walk per vertex with out-edges
+    for wid, steps in walks.items():
+        assert steps[0] == wid
+        ks = sorted(steps)
+        assert ks == list(range(len(ks)))  # contiguous steps
+        for i in range(1, len(ks)):
+            assert steps[i] in out[steps[i - 1]]  # real edges only
+        last = steps[max(ks)]
+        # walk either used the full budget or stopped at a sink
+        assert max(ks) == 5 or last not in out
+    # walk 5 must stop at 6 after one step
+    assert walks[5] == {0: 5, 1: 6}
+
+    rows2 = hash_walk_corpus(spark, df.repartition(7), length=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
