@@ -180,6 +180,17 @@ def _q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_walk_corpus(spark, edges, length=WALK_LEN)
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.walks import hash_walk_corpus, skipgram_pairs
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    corpus = hash_walk_corpus(spark, edges, length=WALK_LEN)
+    return skipgram_pairs(corpus, window=SKIPGRAM_WINDOW)
+
+
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.sssp import sssp
 
@@ -849,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
         "walk_corpus": _q_walk_corpus,
+        "skipgram_pairs": _q_skipgram_pairs,
         "katz_centrality": _q_katz,
         "adamic_adar": _q_adamic_adar,
         "harmonic_centrality": _q_harmonic,
@@ -943,6 +955,9 @@ ORDER BY degree DESC, id DESC LIMIT 20
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),
         "walk_corpus": oracles.hash_walk_corpus_sql(WALK_LEN),
+        "skipgram_pairs": oracles.skipgram_pairs_sql(
+            WALK_LEN, SKIPGRAM_WINDOW
+        ),
         "katz_centrality": oracles.katz_fixed_sql(KATZ_ALPHA, KATZ_ITERS),
         "adamic_adar": oracles.adamic_adar_sql(
             AA_MAX_CENTER_DEGREE, AA_MIN_COMMON

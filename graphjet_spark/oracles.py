@@ -1714,3 +1714,19 @@ def hash_walk_corpus_sql(length: int = 4) -> str:
         + "\n"
         + "\nUNION ALL\n".join(finals)
     )
+
+
+def skipgram_pairs_sql(length: int = 4, window: int = 2) -> str:
+    """Skip-gram pairs over the deterministic hash-walk corpus."""
+    base = hash_walk_corpus_sql(length)
+    return f"""
+WITH corpus AS MATERIALIZED (
+{base}
+)
+SELECT a.vertex AS center, b.vertex AS context,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM corpus a JOIN corpus b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+  AND ABS(a.step - b.step) <= {window}
+GROUP BY a.vertex, b.vertex
+"""

@@ -81,3 +81,32 @@ def hash_walk_corpus(
         result = result.unionByName(df)
     adj.unpersist()
     return result
+
+
+def skipgram_pairs(
+    corpus: DataFrame, *, window: int = 2
+) -> DataFrame:
+    """(center, context, cnt) — skip-gram training pairs from a walk
+    corpus: co-occurrences within ``window`` steps on the same walk
+    (the (node, context) rows a word2vec/DeepWalk trainer consumes).
+    One self-equi-join on walk_id with a banded step predicate — the
+    band keeps the join linear in corpus size times window."""
+    a = corpus.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("si"),
+        F.col("vertex").alias("center"),
+    )
+    b = corpus.select(
+        F.col("walk_id").alias("w2"),
+        F.col("step").alias("sj"),
+        F.col("vertex").alias("context"),
+    )
+    joined = a.join(
+        b,
+        (F.col("w") == F.col("w2"))
+        & (F.col("si") != F.col("sj"))
+        & (F.abs(F.col("si") - F.col("sj")) <= window),
+    )
+    return joined.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
