@@ -90,6 +90,58 @@ def _q_degrees_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees_asof(inter, F.lit(ASOF_CUTOFF).cast("timestamp"))
 
 
+def _q_graph_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph evolution curve: per month, the number of never-before-
+    seen distinct edges and the cumulative edge count — the analytics
+    view of GraphJet's temporally-ordered segment growth (a segment's
+    size IS this curve's increment)."""
+    from pyspark.sql import Window
+
+    inter = testdata.interactions(spark, sf_dir)
+    first_seen = inter.groupBy("src", "dst").agg(
+        F.min(F.date_trunc("month", F.col("ts").cast("timestamp"))).alias(
+            "month"
+        )
+    )
+    monthly = first_seen.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_edges")
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        "month",
+        "new_edges",
+        F.sum("new_edges").over(w).cast("bigint").alias("cum_edges"),
+    )
+
+
+def _q_nation_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-decorated rollup: engagement per customer nation
+    (broadcast-dim join path — the J5 metadata decoration applied to a
+    proper dimension table)."""
+    tables = testdata.load_tables(spark, sf_dir)
+    inter = testdata.interactions(spark, sf_dir)
+    cust = tables["customer"].select(
+        F.col("c_custkey").cast("bigint").alias("src"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+    )
+    nation = tables["nation"].select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    return (
+        inter.join(F.broadcast(cust), "src")
+        .join(F.broadcast(nation), "nationkey")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_interactions"),
+            F.countDistinct("src").cast("bigint").alias("n_customers"),
+            F.round(F.sum("weight"), 6).alias("total_weight"),
+        )
+    )
+
+
 def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = testdata.interactions(spark, sf_dir)
     return top_k_by_degree(inter, k=20, side="right")
@@ -847,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_by_engagement": _q_top_parts,
         "one_mode_projection": _q_one_mode_projection,
         "degrees_asof": _q_degrees_asof,
+        "graph_growth": _q_graph_growth,
+        "nation_engagement": _q_nation_engagement,
         "pagerank_fixed10": _q_pagerank,
         "personalized_pagerank": _q_ppr,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -938,6 +992,30 @@ ORDER BY degree DESC, id DESC LIMIT 20
 """,
         "one_mode_projection": oracles.one_mode_projection_sql(2),
         "degrees_asof": oracles.degrees_asof_sql(ASOF_CUTOFF),
+        "graph_growth": cte
+        + """
+, fs AS MATERIALIZED (
+  SELECT src, dst, MIN(date_trunc('month', ts)) AS month
+  FROM interactions GROUP BY src, dst),
+monthly AS MATERIALIZED (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS new_edges
+  FROM fs GROUP BY month)
+SELECT month, new_edges,
+       CAST(SUM(new_edges) OVER (ORDER BY month
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_edges
+FROM monthly
+""",
+        "nation_engagement": cte
+        + """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_interactions,
+       CAST(COUNT(DISTINCT i.src) AS BIGINT) AS n_customers,
+       ROUND(SUM(i.weight), 6) AS total_weight
+FROM interactions i
+JOIN customer c ON i.src = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
         "pagerank_fixed10": oracles.pagerank_fixed_sql(PR_ITERS),
         "personalized_pagerank": oracles.personalized_pagerank_fixed_sql(
             PPR_ITERS, PPR_SEEDS
