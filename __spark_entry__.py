@@ -856,6 +856,12 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.textstats import collocations_pmi
+
+    return collocations_pmi(_docs(spark, sf_dir), min_count=5)
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.textstats import repetition_stats
 
@@ -961,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition,
         "tfidf_top_terms": _q_tfidf,
+        "collocations_pmi": _q_collocations,
         "decontamination_flags": _q_decontamination,
         "content_fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
@@ -1120,6 +1127,7 @@ GROUP BY s.seed ORDER BY s.seed
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "repetition_stats": oracles.repetition_stats_sql(),
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
+        "collocations_pmi": oracles.collocations_pmi_sql(5),
         "decontamination_flags": oracles.decontamination_sql(
             DECON_N, DECON_MOD
         ),

@@ -310,3 +310,61 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --------------------------------------------------------- collocations
+
+def collocations_pmi(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(w1, w2, pair_count, pmi) — corpus-level collocation extraction:
+    pointwise mutual information of adjacent token pairs,
+    PMI = ln( (c_xy / N_bi) / ((c_x / N_uni) * (c_y / N_uni)) ),
+    for pairs with count >= min_count (phrase-mining input for
+    tokenizer/vocabulary construction).
+
+    Same adjacency construction as repetition_stats (posexplode +
+    lead); counts are corpus-wide aggregates with map-side combine, the
+    PMI fold is a row-local float64 expression over exact counts."""
+    from pyspark.sql import Window
+
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    tok = docs.select("doc_id", F.posexplode(words).alias("pos", "t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = tok.count()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("nxt", F.lead("t").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("t").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n_bi = bi.agg(F.sum("c_xy")).collect()[0][0]
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bi.where(F.col("c_xy") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.lit(float(n_bi)))
+                    / (
+                        (F.col("c_x").cast("double") / F.lit(float(n_uni)))
+                        * (F.col("c_y").cast("double") / F.lit(float(n_uni)))
+                    )
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )

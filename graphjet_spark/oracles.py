@@ -1730,3 +1730,31 @@ FROM corpus a JOIN corpus b
   AND ABS(a.step - b.step) <= {window}
 GROUP BY a.vertex, b.vertex
 """
+
+
+def collocations_pmi_sql(min_count: int = 5, round_to: int = 6) -> str:
+    """PMI collocations over adjacent whitespace-token pairs."""
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents),
+tok AS MATERIALIZED (
+  SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM w),
+uni AS MATERIALIZED (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+nuni AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+bi AS MATERIALIZED (
+  SELECT a.t AS w1, b.t AS w2, COUNT(*) AS c_xy
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.t, b.t),
+nbi AS MATERIALIZED (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n FROM bi)
+SELECT bi.w1, bi.w2, CAST(bi.c_xy AS BIGINT) AS pair_count,
+       ROUND(LN((CAST(bi.c_xy AS DOUBLE) / (SELECT n FROM nbi))
+             / ((CAST(ux.c AS DOUBLE) / (SELECT n FROM nuni))
+                * (CAST(uy.c AS DOUBLE) / (SELECT n FROM nuni)))),
+             {round_to}) AS pmi
+FROM bi JOIN uni ux ON bi.w1 = ux.t JOIN uni uy ON bi.w2 = uy.t
+WHERE bi.c_xy >= {min_count}
+"""
