@@ -274,6 +274,17 @@ def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", F.round("katz", 9).alias("katz"))
 
 
+EIGEN_ITERS = 8
+
+
+def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.katz import eigenvector_centrality
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    res = eigenvector_centrality(spark, edges, fixed_iters=EIGEN_ITERS)
+    return res.select("id", F.round("eigen", 9).alias("eigen"))
+
+
 AA_MAX_CENTER_DEGREE = 64
 AA_MIN_COMMON = 2
 
@@ -922,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_corpus": _q_walk_corpus,
         "skipgram_pairs": _q_skipgram_pairs,
         "katz_centrality": _q_katz,
+        "eigenvector_centrality": _q_eigenvector,
         "adamic_adar": _q_adamic_adar,
         "harmonic_centrality": _q_harmonic,
         "component_sizes": _q_component_sizes,
@@ -1044,6 +1056,7 @@ GROUP BY n.n_name
             WALK_LEN, SKIPGRAM_WINDOW
         ),
         "katz_centrality": oracles.katz_fixed_sql(KATZ_ALPHA, KATZ_ITERS),
+        "eigenvector_centrality": oracles.eigenvector_fixed_sql(EIGEN_ITERS),
         "adamic_adar": oracles.adamic_adar_sql(
             AA_MAX_CENTER_DEGREE, AA_MIN_COMMON
         ),

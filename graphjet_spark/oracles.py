@@ -1758,3 +1758,29 @@ SELECT bi.w1, bi.w2, CAST(bi.c_xy AS BIGINT) AS pair_count,
 FROM bi JOIN uni ux ON bi.w1 = ux.t JOIN uni uy ON bi.w2 = uy.t
 WHERE bi.c_xy >= {min_count}
 """
+
+
+def eigenvector_fixed_sql(iters: int, round_to: int = 9) -> str:
+    """Unrolled power iteration x = A^T x over the symmetrized simple
+    graph, L1-normalized once at the end.  Output (id, eigen)."""
+    parts = [
+        "x0 AS MATERIALIZED (SELECT DISTINCT a AS id, "
+        "CAST(1.0 AS DOUBLE) AS x FROM sym)"
+    ]
+    for i in range(iters):
+        p, c = f"x{i}", f"x{i + 1}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT s.b AS id, SUM(r.x) AS x
+  FROM {p} r JOIN sym s ON r.id = s.a GROUP BY s.b)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT id, ROUND(x / (SELECT SUM(x) FROM x{iters}), {round_to}) AS eigen
+FROM x{iters}"""
+    )

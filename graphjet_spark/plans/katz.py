@@ -75,3 +75,48 @@ def katz(
     return x.select(
         "id", (F.col("x") / F.lit(float(total))).alias("katz")
     )
+
+
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    fixed_iters: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, eigen) — power iteration x = A^T x over the undirected
+    symmetrized simple graph (Bonacich centrality), L1-normalized once
+    at the end (same deferred-normalization argument as HITS/Katz:
+    scaling commutes with the linear map and removes per-step global
+    jobs; the symmetrized matrix keeps the iteration irreducible on
+    each component, unlike the raw directed form which starves source
+    vertices)."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    sym = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+        .repartition(partitions, "a")
+        .sortWithinPartitions("a")
+        .persist()
+    )
+    x = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.lit(1.0).alias("x")
+    )
+    for _ in range(fixed_iters):
+        x = (
+            sym.join(x, sym.a == x.id)
+            .groupBy(sym.b.alias("id"))
+            .agg(F.sum("x").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    total = x.agg(F.sum("x")).collect()[0][0]
+    sym.unpersist()
+    return x.select("id", (F.col("x") / F.lit(float(total))).alias("eigen"))

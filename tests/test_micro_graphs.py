@@ -508,3 +508,31 @@ def test_hash_walk_corpus_properties(spark):
 
     rows2 = hash_walk_corpus(spark, df.repartition(7), length=5).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_eigenvector_centrality_mirror(spark):
+    """Eigenvector centrality vs a literal numpy power-iteration mirror
+    over the symmetrized graph."""
+    from graphjet_spark.plans.katz import eigenvector_centrality
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 6)]
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({x for p in und for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    x = np.ones(len(nodes))
+    for _ in range(8):
+        nxt = np.zeros(len(nodes))
+        for a, b in und:
+            nxt[idx[a]] += x[idx[b]]
+            nxt[idx[b]] += x[idx[a]]
+        x = nxt
+    x /= x.sum()
+    got = {
+        r["id"]: r["eigen"]
+        for r in eigenvector_centrality(
+            spark, edges_df(spark, pairs), fixed_iters=8
+        ).collect()
+    }
+    assert got.keys() == set(nodes)  # self-loop-only vertex 6 excluded
+    for v in nodes:
+        assert got[v] == pytest.approx(x[idx[v]], abs=1e-12)
