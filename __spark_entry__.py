@@ -691,6 +691,13 @@ def _q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.sessions import event_burstiness
+
+    events = testdata.load_tables(spark, sf_dir)["events"]
+    return event_burstiness(events)
+
+
 def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.sessions import session_stats
 
@@ -959,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_recs_ptype": _q_metadata_recs,
         "events_top_users": _q_events_top_users,
         "session_stats": _q_session_stats,
+        "event_burstiness": _q_burstiness,
         "events_daily": _q_events_daily,
         "quality_quantiles": _q_quality_quantiles,
         "reach_2hop": _q_reach_2hop,
@@ -1092,6 +1100,7 @@ FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id DESC LIMIT 20
 """,
         "session_stats": oracles.session_stats_sql(),
+        "event_burstiness": oracles.event_burstiness_sql(),
         "events_daily": """
 SELECT date_trunc('day', ts) AS day,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1784,3 +1784,32 @@ def eigenvector_fixed_sql(iters: int, round_to: int = 9) -> str:
 SELECT id, ROUND(x / (SELECT SUM(x) FROM x{iters}), {round_to}) AS eigen
 FROM x{iters}"""
     )
+
+
+def event_burstiness_sql(round_to: int = 6) -> str:
+    """Per-user inter-event gap burstiness B = (sigma-mu)/(sigma+mu)
+    from exact integer sufficient statistics."""
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+g AS MATERIALIZED (
+  SELECT user_id, CAST(us - LAG(us) OVER w AS HUGEINT) AS g
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+  QUALIFY g IS NOT NULL),
+st AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(g) AS sg, SUM(g * g) AS sgg
+  FROM g GROUP BY user_id),
+folded AS MATERIALIZED (
+  SELECT user_id, n_gaps, total_gap_us, mu,
+         SQRT(GREATEST(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                         - mu * mu, 0.0)) AS sigma
+  FROM (
+    SELECT user_id, n_gaps, sgg, CAST(sg AS BIGINT) AS total_gap_us,
+           CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu
+    FROM st))
+SELECT user_id, n_gaps, total_gap_us,
+       ROUND(CASE WHEN sigma + mu > 0 THEN (sigma - mu) / (sigma + mu)
+             ELSE 0.0 END, {round_to}) AS burstiness
+FROM folded
+"""

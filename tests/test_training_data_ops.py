@@ -702,3 +702,46 @@ def test_decontamination_flags_mirror(spark):
     }
     assert got == want
     assert 3 not in got and 4 not in got and 5 not in got
+
+
+def test_event_burstiness_mirror(spark):
+    """Burstiness vs a numpy mirror: periodic user -> B near -1,
+    bursty user -> B > 0, single-event user omitted."""
+    import datetime as dt
+
+    from graphjet_spark.operators.sessions import event_burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: perfectly periodic hourly events
+    for k in range(10):
+        rows.append((eid, t0 + dt.timedelta(hours=k), 1)); eid += 1
+    # user 2: bursts (1-min spacing) separated by week gaps
+    for burst in range(3):
+        for k in range(4):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=7 * burst, minutes=k), 2)
+            ); eid += 1
+    # user 3: single event
+    rows.append((eid, t0, 3)); eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint"
+    )
+    got = {
+        r["user_id"]: r for r in event_burstiness(events).collect()
+    }
+    assert 3 not in got
+    for uid in (1, 2):
+        ts = sorted(
+            int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            for e, t, u in rows
+            if u == uid
+        )
+        gaps = np.diff(ts).astype(np.float64)
+        mu, sigma = gaps.mean(), gaps.std()
+        b = (sigma - mu) / (sigma + mu) if sigma + mu > 0 else 0.0
+        assert got[uid]["n_gaps"] == len(gaps)
+        assert got[uid]["total_gap_us"] == int(gaps.sum())
+        assert got[uid]["burstiness"] == pytest.approx(b, abs=1e-6)
+    assert got[1]["burstiness"] == pytest.approx(-1.0, abs=1e-6)
+    assert got[2]["burstiness"] > 0.3
