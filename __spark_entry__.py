@@ -691,6 +691,13 @@ def _q_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.sessions import event_transitions
+
+    events = testdata.load_tables(spark, sf_dir)["events"]
+    return event_transitions(events)
+
+
 def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.sessions import event_burstiness
 
@@ -967,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": _q_events_top_users,
         "session_stats": _q_session_stats,
         "event_burstiness": _q_burstiness,
+        "event_transitions": _q_event_transitions,
         "events_daily": _q_events_daily,
         "quality_quantiles": _q_quality_quantiles,
         "reach_2hop": _q_reach_2hop,
@@ -1101,6 +1109,7 @@ ORDER BY total_value DESC, user_id DESC LIMIT 20
 """,
         "session_stats": oracles.session_stats_sql(),
         "event_burstiness": oracles.event_burstiness_sql(),
+        "event_transitions": oracles.event_transitions_sql(),
         "events_daily": """
 SELECT date_trunc('day', ts) AS day,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -120,3 +120,42 @@ def event_burstiness(
             round_to,
         ).alias("burstiness"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """(type_from, type_to, cnt, p) — the corpus-wide event-type
+    transition matrix: consecutive same-user event pairs ordered by
+    time, with row-normalized probabilities (the first-order Markov
+    statistics a behavior model trains on).  One per-user window + one
+    corpus-wide aggregate, both map-side combined."""
+    w = Window.partitionBy(user_col).orderBy("us", id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pairs = (
+        events.select(
+            user_col, us.alias("us"), id_col, F.col(type_col).alias("t")
+        )
+        .withColumn("nxt", F.lead("t").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("t").alias("type_from"), F.col("nxt").alias("type_to"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    row_tot = pairs.groupBy("type_from").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    return pairs.join(row_tot, "type_from").select(
+        "type_from",
+        "type_to",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.col("tot").cast("double"),
+            round_to,
+        ).alias("p"),
+    )

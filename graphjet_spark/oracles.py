@@ -1813,3 +1813,26 @@ SELECT user_id, n_gaps, total_gap_us,
              ELSE 0.0 END, {round_to}) AS burstiness
 FROM folded
 """
+
+
+def event_transitions_sql(round_to: int = 6) -> str:
+    """Corpus-wide event-type transition matrix with row-normalized
+    probabilities."""
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type AS t
+  FROM events),
+pr AS MATERIALIZED (
+  SELECT t AS type_from, LEAD(t) OVER w AS type_to
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+  QUALIFY type_to IS NOT NULL),
+cnts AS MATERIALIZED (
+  SELECT type_from, type_to, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pr GROUP BY type_from, type_to),
+tots AS MATERIALIZED (
+  SELECT type_from, CAST(SUM(cnt) AS BIGINT) AS tot
+  FROM cnts GROUP BY type_from)
+SELECT c.type_from, c.type_to, c.cnt,
+       ROUND(CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), {round_to}) AS p
+FROM cnts c JOIN tots t ON c.type_from = t.type_from
+"""

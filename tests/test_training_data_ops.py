@@ -745,3 +745,35 @@ def test_event_burstiness_mirror(spark):
         assert got[uid]["burstiness"] == pytest.approx(b, abs=1e-6)
     assert got[1]["burstiness"] == pytest.approx(-1.0, abs=1e-6)
     assert got[2]["burstiness"] > 0.3
+
+
+def test_event_transitions_mirror(spark):
+    """Transition matrix vs a Counter mirror over per-user sequences."""
+    import datetime as dt
+    from collections import Counter
+
+    from graphjet_spark.operators.sessions import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {1: ["a", "b", "a", "c"], 2: ["b", "b"], 3: ["c"]}
+    rows, eid = [], 0
+    for uid, seq in seqs.items():
+        for k, t in enumerate(seq):
+            rows.append((eid, t0 + dt.timedelta(minutes=k), uid, t))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string"
+    )
+    got = {
+        (r["type_from"], r["type_to"]): (r["cnt"], r["p"])
+        for r in event_transitions(events).collect()
+    }
+    c = Counter()
+    for seq in seqs.values():
+        for x, y in zip(seq, seq[1:]):
+            c[(x, y)] += 1
+    tot = Counter()
+    for (x, _), n in c.items():
+        tot[x] += n
+    want = {k: (n, round(n / tot[k[0]], 6)) for k, n in c.items()}
+    assert got == pytest.approx(want)
