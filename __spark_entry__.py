@@ -881,6 +881,12 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
+def _q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.5, max_df=100)
+
+
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.textstats import collocations_pmi
 
@@ -996,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "tfidf_top_terms": _q_tfidf,
         "collocations_pmi": _q_collocations,
+        "tfidf_cosine_pairs": _q_tfidf_cosine,
         "decontamination_flags": _q_decontamination,
         "content_fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
@@ -1159,6 +1166,7 @@ GROUP BY s.seed ORDER BY s.seed
         "repetition_stats": oracles.repetition_stats_sql(),
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
         "collocations_pmi": oracles.collocations_pmi_sql(5),
+        "tfidf_cosine_pairs": oracles.tfidf_cosine_pairs_sql(0.5, 100),
         "decontamination_flags": oracles.decontamination_sql(
             DECON_N, DECON_MOD
         ),

@@ -738,3 +738,64 @@ def decontamination_flags(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine) — document pairs with TF-IDF cosine >=
+    threshold over whitespace tokens, doc_a < doc_b.
+
+    The weighted companion of ngram_jaccard_pairs: per-(doc, term)
+    weights tf * ln(N/df), L2-normalized per document, paired through a
+    term inverted index restricted to terms with df <= ``max_df``.
+    The df-cap IS the operator's semantics (cosine over non-ubiquitous
+    terms), not an approximation bolted on: ubiquitous terms carry
+    ln(N/df) ~ 0 weight anyway, and capping them bounds the inverted
+    index fan-out at max_df² per term — the same principle as the
+    Adamic-Adar center cap and the AllPairs prefix filter."""
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    tok = docs.select("doc_id", F.explode(words).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    wts = (
+        tf.join(df_tbl.where(F.col("df") <= max_df), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    unit = wts.join(norms, "doc_id").select(
+        "term", "doc_id", (F.col("w") / F.col("nrm")).alias("u")
+    )
+    a = unit.select("term", F.col("doc_id").alias("doc_a"), F.col("u").alias("ua"))
+    b = unit.select(
+        F.col("term").alias("term2"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("u").alias("ub"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("term") == F.col("term2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), round_to).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

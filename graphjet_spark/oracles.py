@@ -1836,3 +1836,39 @@ SELECT c.type_from, c.type_to, c.cnt,
        ROUND(CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), {round_to}) AS p
 FROM cnts c JOIN tots t ON c.type_from = t.type_from
 """
+
+
+def tfidf_cosine_pairs_sql(
+    threshold: float = 0.5, max_df: int = 100, round_to: int = 6
+) -> str:
+    """TF-IDF cosine document pairs over df-capped terms."""
+    return rf"""
+WITH w0 AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents),
+tok AS MATERIALIZED (SELECT doc_id, unnest(w) AS term FROM w0),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dftbl AS MATERIALIZED (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+ndocs AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+wts AS MATERIALIZED (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE)
+           * LN((SELECT n FROM ndocs) / CAST(d.df AS DOUBLE)) AS w
+  FROM tf JOIN dftbl d ON tf.term = d.term
+  WHERE d.df <= {max_df}),
+norms AS MATERIALIZED (
+  SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM wts GROUP BY doc_id),
+unit AS MATERIALIZED (
+  SELECT wts.term, wts.doc_id, wts.w / norms.nrm AS u
+  FROM wts JOIN norms ON wts.doc_id = norms.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(SUM(a.u * b.u), {round_to}) AS cosine
+FROM unit a JOIN unit b
+  ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING ROUND(SUM(a.u * b.u), {round_to}) >= {threshold}
+"""

@@ -777,3 +777,62 @@ def test_event_transitions_mirror(spark):
         tot[x] += n
     want = {k: (n, round(n / tot[k[0]], 6)) for k, n in c.items()}
     assert got == pytest.approx(want)
+
+
+def test_tfidf_cosine_pairs_mirror(spark):
+    """TF-IDF cosine pairs vs a numpy mirror (including the df-cap
+    dropping a ubiquitous term)."""
+    import math
+
+    from graphjet_spark.operators.dedup import tfidf_cosine_pairs
+
+    texts = {
+        0: "common alpha beta gamma",
+        1: "common alpha beta delta",
+        2: "common epsilon zeta eta",
+        3: "common theta iota kappa",
+        4: "common theta iota kappa",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    n = len(texts)
+    cap = 4  # 'common' has df=5 > cap -> dropped
+    tfs = {d: {} for d in texts}
+    df = {}
+    for d, t in texts.items():
+        for w in t.split():
+            tfs[d][w] = tfs[d].get(w, 0) + 1
+        for w in set(t.split()):
+            df[w] = df.get(w, 0) + 1
+    vecs = {}
+    for d, c in tfs.items():
+        v = {
+            w: tf * math.log(n / df[w])
+            for w, tf in c.items()
+            if df[w] <= cap
+        }
+        nrm = math.sqrt(sum(x * x for x in v.values()))
+        vecs[d] = {w: x / nrm for w, x in v.items()}
+    want = {}
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                cos = round(
+                    sum(
+                        vecs[a][w] * vecs[b][w]
+                        for w in vecs[a]
+                        if w in vecs[b]
+                    ),
+                    6,
+                )
+                if cos >= 0.5:
+                    want[(a, b)] = cos
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            docs, threshold=0.5, max_df=cap
+        ).collect()
+    }
+    assert got == pytest.approx(want)
+    assert (3, 4) in got and got[(3, 4)] == pytest.approx(1.0, abs=1e-6)
