@@ -380,6 +380,16 @@ def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(edges)
 
 
+RICH_CLUB_KS = (4, 8, 16, 32)
+
+
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.plans.graphstats import rich_club
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return rich_club(spark, edges, list(RICH_CLUB_KS))
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.graphstats import degree_assortativity
 
@@ -962,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": _q_local_clustering,
         "reciprocity": _q_reciprocity,
         "degree_assortativity": _q_assortativity,
+        "rich_club": _q_rich_club,
         "intersection_similarity_cosine": _q_similarity,
         "intersection_similarity_jaccard": _q_similarity_jaccard,
         "intersection_similarity_overlap": _q_similarity_overlap,
@@ -1092,6 +1103,7 @@ GROUP BY n.n_name
         "local_clustering": oracles.local_clustering_sql(),
         "reciprocity": oracles.reciprocity_sql(),
         "degree_assortativity": oracles.degree_assortativity_sql(),
+        "rich_club": oracles.rich_club_sql(RICH_CLUB_KS),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),
         "intersection_similarity_jaccard": oracles.similarity_jaccard_sql(),
         "intersection_similarity_overlap": oracles.similarity_overlap_sql(),

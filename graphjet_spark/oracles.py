@@ -1872,3 +1872,37 @@ FROM unit a JOIN unit b
 GROUP BY a.doc_id, b.doc_id
 HAVING ROUND(SUM(a.u * b.u), {round_to}) >= {threshold}
 """
+
+
+def rich_club_sql(ks: tuple[int, ...], round_to: int = 6) -> str:
+    """Rich-club coefficient per degree threshold k."""
+    kvals = ", ".join(f"({k})" for k in ks)
+    return (
+        oracle_cte().rstrip()
+        + f""",
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM graph_edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+  SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+ed AS MATERIALIZED (
+  SELECT da.d AS da, db.d AS db
+  FROM und JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id),
+ks(k) AS (SELECT * FROM (VALUES {kvals})),
+ek AS MATERIALIZED (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS rich_edges
+  FROM ed JOIN ks ON ed.da > ks.k AND ed.db > ks.k GROUP BY k),
+nk AS MATERIALIZED (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich
+  FROM deg JOIN ks ON deg.d > ks.k GROUP BY k)
+SELECT ks.k,
+       COALESCE(nk.n_rich, 0) AS n_rich,
+       COALESCE(ek.rich_edges, 0) AS rich_edges,
+       ROUND(CASE WHEN COALESCE(nk.n_rich, 0) >= 2 THEN
+         2.0 * CAST(COALESCE(ek.rich_edges, 0) AS DOUBLE)
+           / (CAST(COALESCE(nk.n_rich, 0) AS DOUBLE)
+              * (CAST(COALESCE(nk.n_rich, 0) AS DOUBLE) - 1.0))
+         ELSE 0.0 END, {round_to}) AS phi
+FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+"""
+    )

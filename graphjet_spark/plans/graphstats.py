@@ -124,3 +124,74 @@ def degree_assortativity(edges: DataFrame, *, round_to: int = 6) -> DataFrame:
     return stats.select(
         F.col("n").alias("n_ends"), F.round(r, round_to).alias("assortativity")
     )
+
+
+def rich_club(
+    spark: SparkSession,
+    edges: DataFrame,
+    ks: list[int],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """(k, n_rich, rich_edges, phi) per degree threshold k: the
+    rich-club coefficient phi(k) = 2 E_k / (N_k (N_k - 1)) over the
+    vertices of degree > k (Zhou & Mondragon 2004 — how densely the
+    hubs interconnect, the classic web/Internet-graph signature).
+
+    One pass: each undirected edge is decorated with both endpoint
+    degrees once, then a small broadcast join against the k list counts
+    per-threshold edges and vertices — no per-k scan of the graph."""
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    edge_deg = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+        .select("da", "db")
+    )
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    e_k = (
+        edge_deg.join(
+            F.broadcast(kdf),
+            (F.col("da") > F.col("k")) & (F.col("db") > F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rich_edges"))
+    )
+    n_k = (
+        deg.join(F.broadcast(kdf), F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rich"))
+    )
+    return (
+        kdf.join(n_k, "k", "left")
+        .join(e_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_rich", F.lit(0)).cast("bigint").alias("n_rich"),
+            F.coalesce("rich_edges", F.lit(0)).cast("bigint").alias("rich_edges"),
+            F.round(
+                F.when(
+                    F.coalesce("n_rich", F.lit(0)) >= 2,
+                    F.lit(2.0)
+                    * F.coalesce("rich_edges", F.lit(0)).cast("double")
+                    / (
+                        F.coalesce("n_rich", F.lit(0)).cast("double")
+                        * (F.coalesce("n_rich", F.lit(0)).cast("double") - 1.0)
+                    ),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("phi"),
+        )
+    )
