@@ -894,7 +894,9 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.dedup import tfidf_cosine_pairs
 
-    return tfidf_cosine_pairs(_docs(spark, sf_dir), threshold=0.5, max_df=100)
+    return tfidf_cosine_pairs(
+        _docs(spark, sf_dir), threshold=0.5, max_df_frac=0.2
+    )
 
 
 def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,7 +1180,7 @@ GROUP BY s.seed ORDER BY s.seed
         "repetition_stats": oracles.repetition_stats_sql(),
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
         "collocations_pmi": oracles.collocations_pmi_sql(5),
-        "tfidf_cosine_pairs": oracles.tfidf_cosine_pairs_sql(0.5, 100),
+        "tfidf_cosine_pairs": oracles.tfidf_cosine_pairs_sql(0.5, 0.2),
         "decontamination_flags": oracles.decontamination_sql(
             DECON_N, DECON_MOD
         ),

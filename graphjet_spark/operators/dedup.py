@@ -744,7 +744,7 @@ def tfidf_cosine_pairs(
     docs: DataFrame,
     *,
     threshold: float = 0.5,
-    max_df: int = 100,
+    max_df_frac: float = 0.2,
     text_col: str = "text",
     round_to: int = 6,
 ) -> DataFrame:
@@ -753,7 +753,10 @@ def tfidf_cosine_pairs(
 
     The weighted companion of ngram_jaccard_pairs: per-(doc, term)
     weights tf * ln(N/df), L2-normalized per document, paired through a
-    term inverted index restricted to terms with df <= ``max_df``.
+    term inverted index restricted to terms with df <= max_df_frac*N
+    (a corpus FRACTION, so the semantics are scale-invariant — a fixed
+    absolute cap would silently stop-list the whole vocabulary as the
+    corpus grows).
     The df-cap IS the operator's semantics (cosine over non-ubiquitous
     terms), not an approximation bolted on: ubiquitous terms carry
     ln(N/df) ~ 0 weight anyway, and capping them bounds the inverted
@@ -766,6 +769,7 @@ def tfidf_cosine_pairs(
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
+    max_df = int(max_df_frac * n_docs)
     wts = (
         tf.join(df_tbl.where(F.col("df") <= max_df), "term")
         .select(

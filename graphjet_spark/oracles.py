@@ -1839,7 +1839,7 @@ FROM cnts c JOIN tots t ON c.type_from = t.type_from
 
 
 def tfidf_cosine_pairs_sql(
-    threshold: float = 0.5, max_df: int = 100, round_to: int = 6
+    threshold: float = 0.5, max_df_frac: float = 0.2, round_to: int = 6
 ) -> str:
     """TF-IDF cosine document pairs over df-capped terms."""
     return rf"""
@@ -1859,7 +1859,7 @@ wts AS MATERIALIZED (
          CAST(tf.tf AS DOUBLE)
            * LN((SELECT n FROM ndocs) / CAST(d.df AS DOUBLE)) AS w
   FROM tf JOIN dftbl d ON tf.term = d.term
-  WHERE d.df <= {max_df}),
+  WHERE d.df <= CAST(FLOOR({max_df_frac} * (SELECT n FROM ndocs)) AS BIGINT)),
 norms AS MATERIALIZED (
   SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM wts GROUP BY doc_id),
 unit AS MATERIALIZED (

@@ -831,7 +831,7 @@ def test_tfidf_cosine_pairs_mirror(spark):
     got = {
         (r["doc_a"], r["doc_b"]): r["cosine"]
         for r in tfidf_cosine_pairs(
-            docs, threshold=0.5, max_df=cap
+            docs, threshold=0.5, max_df_frac=cap / len(texts)
         ).collect()
     }
     assert got == pytest.approx(want)
