@@ -144,3 +144,101 @@ def test_triangles_match_enumeration_and_orientation(spark, pairs):
     # orientation invariance: reversing every edge changes nothing
     rev = [(d, s) for s, d in pairs]
     assert triangle_count(spark, _df(spark, rev)).first()["triangles"] == want
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_k_truss_matches_peeling(spark, pairs):
+    """k-truss (k=3,4) equals literal support peeling on random graphs."""
+    from graphjet_spark.plans.ktruss import k_truss
+
+    und = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    if not und:
+        return
+
+    def mirror(k):
+        surv = set(und)
+        while True:
+            adj: dict = {}
+            for a, b in surv:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {(a, b) for a, b in surv if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                return surv
+            surv -= drop
+
+    for k in (3, 4):
+        got = {
+            (r["a"], r["b"])
+            for r in k_truss(spark, _df(spark, pairs), k, fixed_iters=10).collect()
+        }
+        assert got == mirror(k), k
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_adamic_adar_matches_bruteforce(spark, pairs):
+    """Degree-capped Adamic-Adar equals brute-force enumeration."""
+    import math
+
+    from graphjet_spark.operators.linkpred import adamic_adar_pairs
+
+    adj: dict = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    if not adj:
+        return
+    cap = 5
+    want: dict = {}
+    for c, nbrs in adj.items():
+        deg = len(nbrs)
+        if deg < 2 or deg > cap:
+            continue
+        for u in nbrs:
+            for v in nbrs:
+                if u < v:
+                    cm, aa = want.get((u, v), (0, 0.0))
+                    want[(u, v)] = (cm + 1, aa + 1.0 / math.log(deg))
+    want = {
+        k: (cm, round(aa, 6)) for k, (cm, aa) in want.items() if cm >= 1
+    }
+    got = {
+        (r["id_a"], r["id_b"]): (r["common"], r["aa"])
+        for r in adamic_adar_pairs(
+            spark, _df(spark, pairs), max_center_degree=cap, min_common=1
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_local_clustering_matches_bruteforce(spark, pairs):
+    from graphjet_spark.plans.graphstats import local_clustering
+
+    adj: dict = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    if not adj:
+        return
+    got = {
+        r["id"]: (r["deg"], r["lcc"])
+        for r in local_clustering(spark, _df(spark, pairs)).collect()
+    }
+    assert got.keys() == adj.keys()
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(len(adj[u] & nbrs) for u in nbrs) // 2
+        want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[v][0] == d
+        assert got[v][1] == pytest.approx(want, abs=1e-6)
