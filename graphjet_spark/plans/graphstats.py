@@ -117,10 +117,15 @@ def degree_assortativity(edges: DataFrame, *, round_to: int = 6) -> DataFrame:
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    r = (n * F.col("sxy").cast("double") - sx * sy) / (
-        F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
-        * F.sqrt(n * F.col("syy").cast("double") - sy * sy)
+    den = F.sqrt(n * F.col("sxx").cast("double") - sx * sx) * F.sqrt(
+        n * F.col("syy").cast("double") - sy * sy
     )
+    # zero degree variance (regular graphs) leaves the correlation
+    # undefined — NULL, matching the oracle's CASE guard
+    r = F.when(
+        den > 0,
+        (n * F.col("sxy").cast("double") - sx * sy) / den,
+    ).otherwise(F.lit(None).cast("double"))
     return stats.select(
         F.col("n").alias("n_ends"), F.round(r, round_to).alias("assortativity")
     )

@@ -242,3 +242,105 @@ def test_local_clustering_matches_bruteforce(spark, pairs):
         want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
         assert got[v][0] == d
         assert got[v][1] == pytest.approx(want, abs=1e-6)
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_sssp_matches_bellman_ford(spark, pairs):
+    """Weighted SSSP equals a literal Bellman-Ford with the shared
+    derived weight on random graphs."""
+    from graphjet_spark.plans.sssp import sssp
+
+    src = pairs[0][0]
+    w = {(s, d): 1 + d % 7 for s, d in set(pairs)}
+    dist = {src: 0}
+    for _ in range(12):
+        for (s, d), wt in w.items():
+            if s in dist and dist[s] + wt < dist.get(d, 1 << 60):
+                dist[d] = dist[s] + wt
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp(spark, _df(spark, pairs), src, fixed_iters=12).collect()
+    }
+    assert got == dist
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_modularity_matches_bruteforce(spark, pairs):
+    """Modularity of the LP partition equals the closed-form Q computed
+    from the same labels."""
+    from graphjet_spark.plans.labelprop import label_propagation, modularity
+
+    und = {(s, d) for s, d in pairs if s != d}
+    if not und:
+        return
+    labels_df = label_propagation(spark, _df(spark, pairs), iters=3)
+    labels = {r["id"]: r["label"] for r in labels_df.collect()}
+    adj: dict = {}
+    for s, d in und:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    S = sum(len(n) for n in adj.values())
+    per_c: dict = {}
+    for v, nbrs in adj.items():
+        c = labels[v]
+        sc, dc = per_c.get(c, (0, 0))
+        sc += sum(1 for u in nbrs if labels[u] == c)
+        dc += len(nbrs)
+        per_c[c] = (sc, dc)
+    want = sum(sc / S - (dc / S) ** 2 for sc, dc in per_c.values())
+    got = modularity(spark, _df(spark, pairs), labels_df).first()
+    assert got["communities"] == len(per_c)
+    assert got["modularity"] == pytest.approx(want, abs=1e-6)
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_assortativity_matches_numpy(spark, pairs):
+    import numpy as np
+
+    from graphjet_spark.plans.graphstats import degree_assortativity
+
+    adj: dict = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    xs, ys = [], []
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            xs.append(len(adj[a]))
+            ys.append(len(adj[b]))
+    if not xs:
+        return
+    row = degree_assortativity(_df(spark, pairs)).first()
+    assert row["n_ends"] == len(xs)
+    with np.errstate(invalid="ignore"):
+        want = np.corrcoef(xs, ys)[0, 1]
+    if np.isnan(want):
+        assert row["assortativity"] is None
+    else:
+        assert row["assortativity"] == pytest.approx(want, abs=1e-6)
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_hash_walk_corpus_valid_on_random_graphs(spark, pairs):
+    """Every consecutive hop is a real edge; one walk per out-vertex."""
+    from graphjet_spark.plans.walks import hash_walk_corpus
+
+    out: dict = {}
+    for s, d in set(pairs):
+        out.setdefault(s, set()).add(d)
+    rows = hash_walk_corpus(spark, _df(spark, pairs), length=3).collect()
+    walks: dict = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    assert set(walks) == set(out)
+    for wid, steps in walks.items():
+        assert steps[0] == wid
+        ks = sorted(steps)
+        for i in range(1, len(ks)):
+            assert steps[i] in out[steps[i - 1]]
