@@ -73,8 +73,11 @@ def reciprocity(edges: DataFrame, *, round_to: int = 6) -> DataFrame:
             "directed_edges",
             "mutual_edges",
             F.round(
-                F.col("mutual_edges").cast("double")
-                / F.col("directed_edges").cast("double"),
+                F.when(
+                    F.col("directed_edges") > 0,
+                    F.col("mutual_edges").cast("double")
+                    / F.col("directed_edges").cast("double"),
+                ).otherwise(F.lit(None).cast("double")),
                 round_to,
             ).alias("reciprocity"),
         )

@@ -82,6 +82,12 @@ def hits(
         .crossJoin(auth.agg(F.sum("a").alias("at")))
         .first()
     )
+    if totals["ht"] is None or totals["at"] is None:  # empty graph
+        e.unpersist()
+        e_dst.unpersist()
+        return vertices.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
     out = (
         vertices.join(h, "id", "left")
         .join(auth, "id", "left")

@@ -72,6 +72,8 @@ def katz(
     # magnitude.  Ranking is unchanged.
     total = x.agg(F.sum("x")).collect()[0][0]
     e.unpersist()
+    if total is None:  # empty graph
+        return x.select("id", F.col("x").alias("katz"))
     return x.select(
         "id", (F.col("x") / F.lit(float(total))).alias("katz")
     )
@@ -119,4 +121,6 @@ def eigenvector_centrality(
         )
     total = x.agg(F.sum("x")).collect()[0][0]
     sym.unpersist()
+    if total is None:  # empty graph
+        return x.select("id", F.col("x").alias("eigen"))
     return x.select("id", (F.col("x") / F.lit(float(total))).alias("eigen"))

@@ -536,3 +536,25 @@ def test_eigenvector_centrality_mirror(spark):
     assert got.keys() == set(nodes)  # self-loop-only vertex 6 excluded
     for v in nodes:
         assert got[v] == pytest.approx(x[idx[v]], abs=1e-12)
+
+
+def test_degenerate_graphs_do_not_crash(spark):
+    """All-self-loop and empty effective graphs: structural stats return
+    NULL/empty instead of dividing by zero (ANSI mode)."""
+    from graphjet_spark.plans.graphstats import (
+        degree_assortativity,
+        reciprocity,
+    )
+    from graphjet_spark.plans.hits import hits
+    from graphjet_spark.plans.katz import eigenvector_centrality
+
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src bigint, dst bigint")
+    row = reciprocity(loops).first()
+    assert row["directed_edges"] == 0 and row["reciprocity"] is None
+    assert degree_assortativity(loops).first()["assortativity"] is None
+    assert eigenvector_centrality(spark, loops, fixed_iters=2).count() == 0
+    # single-edge graph: defined outputs, no crash
+    one = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    assert degree_assortativity(one).first()["assortativity"] is None
+    got = {r["id"]: r["hub"] for r in hits(spark, one, fixed_iters=2).collect()}
+    assert got[1] == 1.0 and got[2] == 0.0
