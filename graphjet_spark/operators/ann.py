@@ -386,7 +386,12 @@ def embedding_cluster_stats(
         )
         .select(
             "label",
-            (F.col("dot") / (F.col("nv") * F.col("nc"))).alias("cos"),
+            # zero-norm vectors have undefined cosine: NULL (skipped by
+            # the cohesion AVG on both engines)
+            F.when(
+                F.col("nv") * F.col("nc") > 0,
+                F.col("dot") / (F.col("nv") * F.col("nc")),
+            ).otherwise(F.lit(None).cast("double")).alias("cos"),
         )
     )
     return per_vec.groupBy("label").agg(

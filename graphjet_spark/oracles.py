@@ -1571,8 +1571,10 @@ centroid AS MATERIALIZED (
   SELECT label, i, AVG(x) AS c FROM dims GROUP BY label, i),
 per_vec AS MATERIALIZED (
   SELECT d.vec_id, d.label,
-         SUM(d.x * c.c) / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(c.c * c.c)))
-           AS cos
+         CASE WHEN SQRT(SUM(d.x * d.x)) * SQRT(SUM(c.c * c.c)) > 0
+              THEN SUM(d.x * c.c)
+                   / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(c.c * c.c)))
+              ELSE NULL END AS cos
   FROM dims d JOIN centroid c ON d.label = c.label AND d.i = c.i
   GROUP BY d.vec_id, d.label)
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
