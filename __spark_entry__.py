@@ -147,6 +147,92 @@ def _q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_by_degree(inter, k=20, side="right")
 
 
+def _q_typed_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(node, edge_type) degree table over the typed interaction
+    stream — the typed-degree lookup GraphJet answers per edge type
+    (reference bipartite/segment/LeftRegularBipartiteGraphSegment.java
+    keeps per-type pools for exactly this query)."""
+    inter = testdata.interactions(spark, sf_dir)
+    return inter.groupBy(
+        F.col("src").alias("id"), "edge_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+
+
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: share of all token occurrences
+    covered by the top-k tokens by frequency (k in a fixed ladder) —
+    the tokenizer-sizing diagnostic.  Rank ties break on the token
+    string so the curve is cross-engine stable.
+
+    Scale note: cumulative sums are only needed at ranks <= max(k),
+    so the plan trims to the top-max(k) tokens with a TakeOrdered
+    (no full-vocabulary sort shuffle) before the single-partition
+    window — the windowed set is <= 1000 rows at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    tok = docs.select(F.explode(words).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(
+        max(VOCAB_COVERAGE_KS)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("t")))
+        .alias("rk"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    kdf = spark.createDataFrame(
+        [(int(k),) for k in VOCAB_COVERAGE_KS], "k int"
+    )
+    return (
+        ranked.join(F.broadcast(kdf), F.col("rk") == F.col("k"))
+        .select(
+            "k",
+            F.round(
+                F.col("cum").cast("double") / F.lit(float(total)), 6
+            ).alias("vocab_share"),
+        )
+    )
+
+
+def _q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report: the sanity numbers every ingest
+    run logs before any downstream job trusts the data."""
+    docs = _docs(spark, sf_dir)
+    words = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_chars") == 0).cast("int")).cast("bigint").alias(
+            "n_empty"
+        ),
+        F.sum((F.col("n_tok") < 10).cast("int")).cast("bigint").alias(
+            "n_short"
+        ),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
     pr = pagerank(spark, edges, fixed_iters=PR_ITERS)
@@ -946,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
         "top_parts_by_engagement": _q_top_parts,
+        "typed_degrees": _q_typed_degrees,
+        "vocab_coverage": _q_vocab_coverage,
+        "corpus_health": _q_corpus_health,
         "one_mode_projection": _q_one_mode_projection,
         "degrees_asof": _q_degrees_asof,
         "graph_growth": _q_graph_growth,
@@ -1044,6 +1133,44 @@ FROM od FULL OUTER JOIN ind ON od.id = ind.id
 SELECT dst AS id, COUNT(*) AS degree
 FROM interactions GROUP BY dst
 ORDER BY degree DESC, id DESC LIMIT 20
+""",
+        "typed_degrees": cte
+        + """
+SELECT src AS id, edge_type, CAST(COUNT(*) AS BIGINT) AS degree
+FROM interactions GROUP BY src, edge_type
+""",
+        "vocab_coverage": rf"""
+WITH w AS MATERIALIZED (
+  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents),
+tok AS MATERIALIZED (SELECT unnest(w) AS t FROM w),
+total AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+counts AS MATERIALIZED (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+ranked AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rk,
+         SUM(c) OVER (ORDER BY c DESC, t ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts),
+ks(k) AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in VOCAB_COVERAGE_KS)}))
+SELECT ks.k,
+       ROUND(CAST(ranked.cum AS DOUBLE) / (SELECT n FROM total), 6)
+         AS vocab_share
+FROM ranked JOIN ks ON ranked.rk = ks.k
+""",
+        "corpus_health": r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty,
+       CAST(SUM(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END) < 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)
+            AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
 """,
         "one_mode_projection": oracles.one_mode_projection_sql(2),
         "degrees_asof": oracles.degrees_asof_sql(ASOF_CUTOFF),
