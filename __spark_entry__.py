@@ -170,7 +170,10 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: cumulative sums are only needed at ranks <= max(k),
     so the plan trims to the top-max(k) tokens with a TakeOrdered
     (no full-vocabulary sort shuffle) before the single-partition
-    window — the windowed set is <= 1000 rows at any corpus size."""
+    window — the windowed set is <= 1000 rows at any corpus size.
+    The corpus is scanned ONCE: both the top-k trim and the total
+    occurrence count read the materialized vocabulary table (token,
+    count), never the token stream twice."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -178,8 +181,10 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("text")) == "", F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
     tok = docs.select(F.explode(words).alias("t"))
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.count()
+    counts = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    total = counts.agg(F.sum("c")).collect()[0][0]
     top = counts.orderBy(F.desc("c"), F.asc("t")).limit(
         max(VOCAB_COVERAGE_KS)
     )
