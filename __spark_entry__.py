@@ -45,11 +45,12 @@ from graphjet_spark.operators.similarity import intersection_similarity
 from graphjet_spark.operators.socialproof import social_proof
 from graphjet_spark.plans.components import (
     connected_components,
+    connected_components_delta,
     connected_components_star,
 )
 from graphjet_spark.plans.context import GraphTables
 from graphjet_spark.plans.labelprop import label_propagation
-from graphjet_spark.plans.pagerank import pagerank
+from graphjet_spark.plans.pagerank import pagerank, ppr_grouped
 from graphjet_spark.plans.salsa import salsa, salsa_montecarlo
 from graphjet_spark.plans.triangles import per_vertex_triangles, triangle_count
 from graphjet_spark.sources import testdata
@@ -269,6 +270,34 @@ def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = testdata.graph_edges(spark, sf_dir)
     pr = pagerank(spark, edges, fixed_iters=PPR_ITERS, teleport=PPR_SEEDS)
     return pr.select("id", F.round("pagerank", 9).alias("ppr"))
+
+
+GPPR_SEEDS = (1, 2, 3, 4, 5)
+GPPR_ITERS = 6
+
+
+def _q_grouped_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch rec serving: top-20 personalized-PageRank targets for
+    MANY seed users in one superstep loop (sparse (seed, id) state) —
+    the grouped batch form of GraphJet's one-user-at-a-time walk
+    queries."""
+    edges = testdata.graph_edges(spark, sf_dir)
+    return ppr_grouped(
+        spark, edges, list(GPPR_SEEDS), fixed_iters=GPPR_ITERS, k=20
+    )
+
+
+def _q_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest re-label: converge CC on ~86% of the edges, then
+    fold the held-out delta batch in via the condensed-graph merge path
+    — output must equal (and is oracled against) the full-graph CC
+    fixpoint."""
+    edges = testdata.graph_edges(spark, sf_dir)
+    is_delta = F.pmod(F.col("src") + F.col("dst"), F.lit(7)) == 0
+    old_lab = connected_components_star(spark, edges.filter(~is_delta))
+    return connected_components_delta(
+        spark, old_lab, edges.filter(is_delta)
+    )
 
 
 # Engine-resident component labels (per sf_dir): the CC fixpoint is a
@@ -1046,9 +1075,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_engagement": _q_nation_engagement,
         "pagerank_fixed10": _q_pagerank,
         "personalized_pagerank": _q_ppr,
+        "grouped_ppr_topk": _q_grouped_ppr,
         "pagerank_weighted": _q_pagerank_weighted,
         "connected_components": _q_components,
         "connected_components_star": _q_components_star,
+        "connected_components_delta": _q_components_delta,
         "label_propagation_5": _q_labelprop,
         "lp_modularity": _q_lp_modularity,
         "k_core_3": _q_kcore,
@@ -1207,9 +1238,17 @@ GROUP BY n.n_name
         "personalized_pagerank": oracles.personalized_pagerank_fixed_sql(
             PPR_ITERS, PPR_SEEDS
         ),
+        "grouped_ppr_topk": oracles.grouped_ppr_sql(
+            GPPR_ITERS, GPPR_SEEDS, k=20
+        ),
         "pagerank_weighted": oracles.pagerank_weighted_fixed_sql(WPR_ITERS),
         "connected_components": oracles.connected_components_fixed_sql(CC_ITERS),
         "connected_components_star": oracles.connected_components_fixed_sql(
+            CC_ITERS
+        ),
+        # delta path must land on the same fixpoint as the full-graph
+        # converged hash-min oracle
+        "connected_components_delta": oracles.connected_components_fixed_sql(
             CC_ITERS
         ),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),

@@ -1913,3 +1913,69 @@ SELECT ks.k,
 FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
 """
     )
+
+
+def grouped_ppr_sql(
+    iters: int,
+    seeds: tuple[int, ...],
+    *,
+    damping: float = 0.85,
+    k: int = 20,
+    round_to: int = 9,
+) -> str:
+    """Unrolled grouped personalized PageRank (state keyed (seed, id),
+    sparse: only reached vertices carry rows), top-k per seed on the
+    rounded score with id tie-break.  Mirrors plans/pagerank.py::
+    ppr_grouped: each seed restarts to itself; dangling mass returns to
+    the owning seed; seeds absent from the vertex set are dropped."""
+    d = damping
+    vals = ", ".join(f"(CAST({int(s)} AS BIGINT))" for s in sorted(seeds))
+    parts = [
+        f"""gs AS MATERIALIZED (
+  SELECT s.seed FROM (VALUES {vals}) s(seed) JOIN v ON s.seed = v.id)""",
+        "g0 AS MATERIALIZED (SELECT seed, seed AS id, 1.0 AS rank FROM gs)",
+    ]
+    for i in range(iters):
+        prev, cur = f"g{i}", f"g{i + 1}"
+        parts.append(
+            f"""gc{i} AS MATERIALIZED (
+  SELECT r.seed, e.dst AS id, SUM(r.rank / od.deg) AS c
+  FROM {prev} r JOIN e ON r.id = e.src JOIN od ON e.src = od.src
+  GROUP BY r.seed, e.dst)"""
+        )
+        parts.append(
+            f"""gd{i} AS MATERIALIZED (
+  SELECT r.seed, COALESCE(SUM(r.rank), 0.0) AS dm
+  FROM {prev} r LEFT JOIN od ON r.id = od.src
+  WHERE od.src IS NULL GROUP BY r.seed)"""
+        )
+        parts.append(
+            f"""gb{i} AS MATERIALIZED (
+  SELECT gs.seed, gs.seed AS id,
+         (1.0 - {d}) + {d} * COALESCE(gd{i}.dm, 0.0) AS b
+  FROM gs LEFT JOIN gd{i} ON gs.seed = gd{i}.seed)"""
+        )
+        parts.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT COALESCE(c.seed, b.seed) AS seed,
+         COALESCE(c.id, b.id) AS id,
+         {d} * COALESCE(c.c, 0.0) + COALESCE(b.b, 0.0) AS rank
+  FROM gc{i} c FULL OUTER JOIN gb{i} b
+    ON c.seed = b.seed AND c.id = b.id)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + body
+        + f""",
+gfin AS MATERIALIZED (
+  SELECT seed, id, ROUND(rank, {round_to}) AS ppr,
+         ROW_NUMBER() OVER (
+           PARTITION BY seed
+           ORDER BY ROUND(rank, {round_to}) DESC, id ASC) AS rn
+  FROM g{iters})
+SELECT seed, id, ppr FROM gfin WHERE rn <= {k}"""
+    )

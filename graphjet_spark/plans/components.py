@@ -242,3 +242,67 @@ def connected_components_star(
     )
     vertices.unpersist()
     return labels
+
+
+def connected_components_delta(
+    spark: SparkSession,
+    old_labels: DataFrame,
+    delta_edges: DataFrame,
+    *,
+    max_iter: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Labels of ``G ∪ ΔE`` from converged labels of ``G`` — the
+    delta-ingest path.  GraphJet appends edges to a live segment and
+    serves queries over old + new immediately (reference bipartite/
+    segment/MultiSegmentBipartiteGraph growth path); the batch analogue
+    is re-labeling after an append WITHOUT re-flooding the whole graph.
+
+    Appending edges can only MERGE components, so hash-min runs on the
+    CONDENSED graph whose vertices are the old component labels touched
+    by ΔE (plus brand-new vertices), then old labels map through the
+    resulting merge table.  Superstep work is proportional to |ΔE| and
+    the handful of affected components — the untouched remainder of a
+    100-TB graph never enters a shuffle; the only full-size operation
+    is the final output-sized remap join.
+
+    ``old_labels`` must be converged ``(id, component)`` with
+    component = min reachable vertex id (what
+    :func:`connected_components` / :func:`connected_components_star`
+    return).  Old labels are min ids of their old components and
+    merging takes the min over merged label groups, so the output is
+    again exactly the min reachable id — identical to a full recompute
+    (property-tested vs union-find).
+    """
+    lab = old_labels.select("id", "component")
+    e = delta_edges.select("src", "dst")
+    ls = lab.select(F.col("id").alias("src"), F.col("component").alias("lsrc"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("component").alias("ldst"))
+    lifted = (
+        e.join(ls, "src", "left")
+        .join(ld, "dst", "left")
+        .select(
+            F.coalesce("lsrc", F.col("src")).alias("src"),
+            F.coalesce("ldst", F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    merge = connected_components(
+        spark, lifted, max_iter=max_iter, partitions=partitions
+    ).select(F.col("id").alias("component"), F.col("component").alias("root"))
+
+    # brand-new vertices (absent from the old labeling) start as their
+    # own label, then remap exactly like old labels; a new vertex whose
+    # condensed edges were all self-loops stays its own component.
+    new_ids = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(lab, "id", "left_anti")
+    )
+    base = lab.unionByName(
+        new_ids.select("id", F.col("id").alias("component"))
+    )
+    return base.join(merge, "component", "left").select(
+        "id", F.coalesce("root", F.col("component")).alias("component")
+    )

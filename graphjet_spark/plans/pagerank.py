@@ -312,3 +312,109 @@ def pagerank(
     dangling.unpersist()
     vertices.unpersist()
     return ranks.select("id", F.col("rank").alias("pagerank"))
+
+
+def ppr_grouped(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    *,
+    damping: float = 0.85,
+    fixed_iters: int = 6,
+    k: int = 20,
+    partitions: int | None = None,
+    assume_simple: bool = False,
+) -> DataFrame:
+    """Batch personalized PageRank for MANY seeds in ONE superstep loop;
+    returns the top-``k`` ``(seed, id, ppr)`` rows per seed.
+
+    GraphJet answers one user's random-walk recommendation query at a
+    time from its in-memory index (reference algorithms/salsa/
+    SalsaIterations.java drives per-request iterations); the batch
+    analogue a Spark cluster wants is the *grouped* form — every user's
+    personalized vector computed together, state keyed ``(seed, id)``.
+    Each seed is an independent restart-to-self distribution
+    (teleport = delta_seed), so the result rows for one seed equal
+    :func:`pagerank` with ``teleport={seed: 1.0}`` (tested).
+
+    Scale design: state is SPARSE — only ``(seed, id)`` pairs with
+    nonzero mass exist (the seed's expanding forward-reachable set), so
+    state size is sum_s |N_L(s)|, never ``|seeds| x |V|``; the per-
+    superstep join re-uses the cached src-partitioned links exchange
+    (only the narrow state shuffles); the ``(seed, dst)`` sum gets
+    map-side combine so mega-hubs never concentrate rows; per-seed
+    dangling mass folds into the same superstep job (no driver action
+    in the loop).  Seeds absent from the vertex set are dropped.
+    """
+    d = damping
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    links, vertices, dangling, _n = _prepare(
+        edges, partitions, assume_simple, None
+    )
+    seed_df = (
+        spark.createDataFrame([(int(s),) for s in seeds], "seed bigint")
+        .join(vertices, F.col("seed") == vertices.id, "left_semi")
+        .persist()
+    )
+    seed_df.count()
+    state = seed_df.select(
+        "seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _it in range(fixed_iters):
+        contribs = (
+            state.join(links, state.id == links.src)
+            .groupBy("seed", "dst")
+            .agg(F.sum(F.col("rank") / F.col("out_degree")).alias("c"))
+        )
+        # per-seed dangling mass: a tiny (seed, dm) aggregate folded
+        # lazily into the superstep plan
+        dm = (
+            state.join(dangling, "id", "left_semi")
+            .groupBy("seed")
+            .agg(F.sum("rank").alias("dm"))
+        )
+        base = seed_df.join(dm, "seed", "left").select(
+            "seed",
+            F.col("seed").alias("id"),
+            (
+                F.lit(1.0 - d)
+                + F.lit(d) * F.coalesce("dm", F.lit(0.0))
+            ).alias("b"),
+        )
+        state = (
+            contribs.select(
+                "seed",
+                F.col("dst").alias("id"),
+                (F.lit(d) * F.col("c")).alias("cc"),
+            )
+            .join(base, ["seed", "id"], "full_outer")
+            .select(
+                "seed",
+                "id",
+                (
+                    F.coalesce("cc", F.lit(0.0))
+                    + F.coalesce("b", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .repartition(partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    from pyspark.sql import Window
+
+    # top-k boundary on the ROUNDED score + id tie-break: total order,
+    # cross-engine stable (CLAUDE.md oracle rule)
+    w = Window.partitionBy("seed").orderBy(F.desc("ppr"), F.asc("id"))
+    out = (
+        state.select("seed", "id", F.round("rank", 9).alias("ppr"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    links.unpersist()
+    dangling.unpersist()
+    vertices.unpersist()
+    seed_df.unpersist()
+    return out

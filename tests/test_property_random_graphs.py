@@ -344,3 +344,86 @@ def test_hash_walk_corpus_valid_on_random_graphs(spark, pairs):
         ks = sorted(steps)
         for i in range(1, len(ks)):
             assert steps[i] in out[steps[i - 1]]
+
+
+@given(
+    pairs=edges_strategy,
+    delta_mod=st.integers(2, 5),
+)
+@SLOW
+def test_components_delta_matches_full_recompute(spark, pairs, delta_mod):
+    """Split random edges old/delta; incremental re-label from the
+    converged old labeling must equal union-find over ALL edges."""
+    from graphjet_spark.plans.components import connected_components_delta
+
+    pairs = [(s, d) for s, d in pairs if s != d]
+    if not pairs:
+        return
+    old = [(s, d) for s, d in pairs if (s + d) % delta_mod != 0]
+    delta = [(s, d) for s, d in pairs if (s + d) % delta_mod == 0]
+    if not old or not delta:
+        return
+    old_lab = connected_components_star(spark, _df(spark, old))
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_delta(
+            spark, old_lab, _df(spark, delta)
+        ).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    want = {v: find(v) for v in {x for p in pairs for x in p}}
+    # canonicalize: min vertex id per union-find root
+    roots = {}
+    for v, r in want.items():
+        roots[r] = min(roots.get(r, v), v)
+    want = {v: roots[r] for v, r in want.items()}
+    assert got == want
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_grouped_ppr_matches_per_seed_pagerank(spark, pairs):
+    """Each seed's rows from the grouped batch must equal an
+    independent personalized pagerank(teleport={seed: 1.0}) run."""
+    from graphjet_spark.plans.pagerank import pagerank, ppr_grouped
+
+    pairs = [(s, d) for s, d in pairs if s != d]
+    if not pairs:
+        return
+    seeds = sorted({s for s, _ in pairs})[:3]
+    edges = _df(spark, pairs)
+    grouped = ppr_grouped(
+        spark, edges, seeds, fixed_iters=4, k=1000
+    ).collect()
+    by_seed = {}
+    for r in grouped:
+        by_seed.setdefault(r["seed"], {})[r["id"]] = r["ppr"]
+    for s in seeds:
+        # unrounded dense values: avoids HALF_UP-vs-banker's boundary
+        # artifacts — the sparse side is Spark-rounded to 9, so compare
+        # with 2e-9 slack and require presence only above that slack
+        dense = {
+            r["id"]: r["pagerank"]
+            for r in pagerank(
+                spark, edges, fixed_iters=4, teleport={s: 1.0}
+            ).collect()
+        }
+        got = by_seed.get(s, {})
+        for i, p in got.items():
+            assert abs(p - dense.get(i, 0.0)) < 2e-9
+        for i, p in dense.items():
+            if p > 2e-9:
+                assert i in got
