@@ -287,6 +287,22 @@ def _q_grouped_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANF_ITERS = 5
+
+
+def _q_anf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF (approximate neighborhood function) sketch histogram:
+    Flajolet-Martin BIGINT sketches OR-folded along out-edges per
+    superstep (plans/anf.py).  The md5-prefix sketch hash makes this
+    approximate algorithm a pure function of the graph, so the exact
+    integer (t, sketch_sum, cnt) histogram is value-oracled with no
+    float tolerance."""
+    from graphjet_spark.plans.anf import anf_sketch_histogram
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return anf_sketch_histogram(spark, edges, iters=ANF_ITERS)
+
+
 def _q_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-ingest re-label: converge CC on ~86% of the edges, then
     fold the held-out delta batch in via the condensed-graph merge path
@@ -1080,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "connected_components_star": _q_components_star,
         "connected_components_delta": _q_components_delta,
+        "anf_histogram": _q_anf_histogram,
         "label_propagation_5": _q_labelprop,
         "lp_modularity": _q_lp_modularity,
         "k_core_3": _q_kcore,
@@ -1251,6 +1268,7 @@ GROUP BY n.n_name
         "connected_components_delta": oracles.connected_components_fixed_sql(
             CC_ITERS
         ),
+        "anf_histogram": oracles.anf_histogram_sql(ANF_ITERS),
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "lp_modularity": oracles.lp_modularity_sql(LP_ITERS),
         "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),

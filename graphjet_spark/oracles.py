@@ -1979,3 +1979,62 @@ gfin AS MATERIALIZED (
   FROM g{iters})
 SELECT seed, id, ppr FROM gfin WHERE rn <= {k}"""
     )
+
+
+def anf_histogram_sql(iters: int, r: int = 8) -> str:
+    """Unrolled ANF supersteps (plans/anf.py twin): md5-prefix FM
+    sketches, bit_or gathers along out-edges, exact integer
+    (t, sketch_sum, cnt) histogram per hop — no float anywhere."""
+    mcols = [f"m{j}" for j in range(r)]
+
+    def mask(j: int) -> str:
+        h = (
+            f"(('0x'||substr(md5(CAST(id AS VARCHAR)||':'||'{j}'),1,15))"
+            "::BIGINT)"
+        )
+        tz = (
+            f"LEAST(60, CASE WHEN {h} = 0 THEN 60 "
+            f"ELSE bit_count(({h} & -{h}) - 1) END)"
+        )
+        return f"(CAST(1 AS BIGINT) << {tz})"
+
+    parts = [
+        "s0 AS MATERIALIZED (SELECT id, "
+        + ", ".join(f"{mask(j)} AS {c}" for j, c in enumerate(mcols))
+        + " FROM v)"
+    ]
+    for t in range(1, iters + 1):
+        prev = f"s{t - 1}"
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT e.src AS id, "
+            + ", ".join(f"bit_or(s.{c}) AS n{j}" for j, c in enumerate(mcols))
+            + f" FROM e JOIN {prev} s ON e.dst = s.id GROUP BY e.src)"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT s.id, "
+            + ", ".join(
+                f"(s.{c} | COALESCE(a.n{j}, 0)) AS {c}"
+                for j, c in enumerate(mcols)
+            )
+            + f" FROM {prev} s LEFT JOIN a{t} a ON s.id = a.id)"
+        )
+    sexpr = " + ".join(
+        f"(CAST(bit_count(xor({c}, {c} + 1)) AS INTEGER) - 1)" for c in mcols
+    )
+    hists = [
+        f"""SELECT CAST({t} AS INTEGER) AS t, sketch_sum,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT CAST({sexpr} AS INTEGER) AS sketch_sum FROM s{t})
+GROUP BY sketch_sum"""
+        for t in range(iters + 1)
+    ]
+    body = ",\n".join(parts)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + body
+        + "\n"
+        + "\nUNION ALL\n".join(hists)
+    )

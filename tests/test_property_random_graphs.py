@@ -427,3 +427,82 @@ def test_grouped_ppr_matches_per_seed_pagerank(spark, pairs):
         for i, p in dense.items():
             if p > 2e-9:
                 assert i in got
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_anf_sketches_match_literal_mirror(spark, pairs):
+    """Exact-equality mirror of the ANF superstep algebra: Python
+    md5 masks + set-union supersteps must reproduce the engine's
+    integer sketch histogram bit-for-bit."""
+    import hashlib
+    from collections import defaultdict
+
+    from graphjet_spark.plans.anf import anf_sketch_histogram
+
+    pairs = list(set(pairs))
+    R, T = 8, 3
+    ids = sorted({x for p in pairs for x in p})
+
+    def mask(v, j):
+        h = int(hashlib.md5(f"{v}:{j}".encode()).hexdigest()[:15], 16)
+        if h == 0:
+            tz = 60
+        else:
+            tz = min(60, (h & -h).bit_length() - 1)
+        return 1 << tz
+
+    state = {v: [mask(v, j) for j in range(R)] for v in ids}
+    out_adj = defaultdict(set)
+    for s, d in pairs:
+        out_adj[s].add(d)
+
+    def lowest_zero(m):
+        b = 0
+        while m & (1 << b):
+            b += 1
+        return b
+
+    def hist(t, st):
+        c = Counter(
+            sum(lowest_zero(m) for m in masks) for masks in st.values()
+        )
+        return {(t, s): n for s, n in c.items()}
+
+    want = hist(0, state)
+    for t in range(1, T + 1):
+        new = {}
+        for v in ids:
+            ms = list(state[v])
+            for w in out_adj[v]:
+                for j in range(R):
+                    ms[j] |= state[w][j]
+            new[v] = ms
+        state = new
+        want.update(hist(t, state))
+
+    got = {
+        (r["t"], r["sketch_sum"]): r["cnt"]
+        for r in anf_sketch_histogram(
+            spark, _df(spark, pairs), iters=T
+        ).collect()
+    }
+    assert got == want
+
+
+def test_anf_estimate_tracks_true_neighborhood_function(spark):
+    """On a 40-clique the true N(1) is n^2; the folded FM estimate
+    must land within the standard ~1/sqrt(r) relative error band."""
+    from graphjet_spark.plans.anf import (
+        anf_sketch_histogram,
+        neighborhood_function,
+    )
+
+    n = 40
+    pairs = [(a, b) for a in range(1, n + 1) for b in range(1, n + 1) if a != b]
+    hist = anf_sketch_histogram(spark, _df(spark, pairs), iters=1)
+    nf = {
+        r["t"]: r["nf_est"]
+        for r in neighborhood_function(hist).collect()
+    }
+    assert abs(nf[1] - n * n) / (n * n) < 0.5
