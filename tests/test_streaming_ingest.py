@@ -178,3 +178,57 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     _feed([0.75, 10.0])
     got2 = _run()
     assert got2 == {0: 1, 1: 1, 6: 1}
+
+
+def test_streaming_components_match_batch_cc(spark, tmp_path):
+    """Live CC labels folded per micro-batch through the condensed-
+    graph delta path must equal batch CC over all edges ingested so
+    far — after each feed AND across a query restart."""
+    from graphjet_spark.plans.components import connected_components_star
+
+    edges_dir = str(tmp_path / "cc_edges_in")
+    ck = str(tmp_path / "cc_ck")
+    labels_dir = str(tmp_path / "cc_labels")
+
+    def _feed(rows):
+        spark.createDataFrame(rows, "src bigint, dst bigint").coalesce(
+            1
+        ).write.mode("append").parquet(edges_dir)
+
+    def _run():
+        stream = spark.readStream.schema("src bigint, dst bigint").parquet(
+            edges_dir
+        )
+        q = ingest.streaming_components(
+            spark, stream, labels_dir, checkpoint_dir=ck
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def _want(all_rows):
+        df = spark.createDataFrame(all_rows, "src bigint, dst bigint")
+        return {
+            r["id"]: r["component"]
+            for r in connected_components_star(spark, df).collect()
+        }
+
+    batch1 = [(1, 2), (3, 4), (10, 11)]
+    _feed(batch1)
+    _run()
+    got = {
+        r["id"]: r["component"]
+        for r in ingest.read_component_labels(spark, labels_dir).collect()
+    }
+    assert got == _want(batch1)
+
+    # second feed bridges 2-3 (merges {1,2} with {3,4}) and adds a new
+    # vertex; restart the query from the checkpoint
+    batch2 = [(2, 3), (11, 12)]
+    _feed(batch2)
+    _run()
+    got = {
+        r["id"]: r["component"]
+        for r in ingest.read_component_labels(spark, labels_dir).collect()
+    }
+    assert got == _want(batch1 + batch2)
+    assert got[4] == 1 and got[12] == 10
