@@ -287,6 +287,22 @@ def _q_grouped_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (the Broder bowtie decomposition
+    input) over the graph enriched with deterministic back-edges —
+    the base testdata graph is a layered DAG, so reversing the
+    (src+dst)%5==0 slice plants real multi-vertex SCCs.  No SQL twin
+    exists for mutual reachability (rows-only gate); correctness is
+    the literal Tarjan mirror property test."""
+    from graphjet_spark.plans.scc import strongly_connected_components
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    back = edges.filter(
+        F.pmod(F.col("src") + F.col("dst"), F.lit(5)) == 0
+    ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return strongly_connected_components(spark, edges.unionByName(back))
+
+
 ANF_ITERS = 5
 
 
@@ -1097,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": _q_components_star,
         "connected_components_delta": _q_components_delta,
         "anf_histogram": _q_anf_histogram,
+        "scc_labels": _q_scc,
         "label_propagation_5": _q_labelprop,
         "lp_modularity": _q_lp_modularity,
         "k_core_3": _q_kcore,

@@ -1,0 +1,160 @@
+"""Strongly connected components over a directed DataFrame edge table
+— the Broder et al. WWW'00 "bowtie" decomposition statistic of web
+link graphs (SCC/IN/OUT), i.e. THE classic Common-Crawl-scale directed
+analysis.  GraphJet itself never needs SCC (bipartite engagement has no
+directed cycles); this is a beyond-reference link-graph operator.
+
+Algorithm: Trim + forward-min coloring + same-color backward sweep
+(the Pregel/FW-BW family: Fleischer/Hendrickson/Pinar IPDPS'00 divide
+& conquer, Salihoglu/Widom's Pregel formulation).  Per outer round:
+
+1. **Trim**: peel vertices with zero in- or out-degree within the
+   remaining subgraph — each is a singleton SCC.  Web-ish graphs are
+   DAG-dominated, so trim alone consumes most of the mass.
+2. **Color**: propagate ``color(v) = min(id over v and its remaining
+   ancestors)`` to fixpoint (hash-min along edge direction — the same
+   superstep shape and hygiene as connected components).
+3. **Backward sweep**: the SCC of each color root r = vertices of
+   color r that can reach r through same-color vertices; grown as a
+   reverse-BFS fixpoint.  color(v) = min reachable-ancestor id, so for
+   captured members the label IS the SCC's min vertex id.
+4. Remove captured SCCs; repeat.  The minimum remaining vertex is
+   always a root, so every round captures at least one SCC.
+
+State per superstep is the narrow ``(id, color)`` relation; all joins
+shuffle only state against the once-partitioned remaining edge table;
+min-aggregations get map-side combine.  Output ``(id, scc)`` with
+``scc`` = min vertex id of the component (matching the CC label
+convention, property-tested vs a literal Tarjan mirror).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fixpoint_count(df: DataFrame) -> int:
+    return df.count()
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_rounds: int = 30,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Returns ``(id, scc)``; ``scc`` = min vertex id in the SCC."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    remaining = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # vertices appearing only in self-loops are singleton SCCs too
+    self_only = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(remaining, "id", "left_anti")
+    )
+    done = [self_only.select("id", F.col("id").alias("scc"))]
+
+    for _round in range(max_rounds):
+        if remaining.limit(1).count() == 0:
+            break
+        er = (
+            e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+        # --- 1. trim: zero in- or out-degree => singleton SCC --------
+        srcs = er.select(F.col("src").alias("id")).distinct()
+        dsts = er.select(F.col("dst").alias("id")).distinct()
+        both = srcs.join(dsts, "id", "left_semi")
+        trimmed = remaining.join(both, "id", "left_anti")
+        if trimmed.limit(1).count() > 0:
+            done.append(trimmed.select("id", F.col("id").alias("scc")))
+            remaining = both.localCheckpoint(eager=True)
+            continue
+
+        # --- 2. forward-min coloring to fixpoint ---------------------
+        colors = remaining.select("id", F.col("id").alias("color"))
+        colors = colors.localCheckpoint(eager=True)
+        while True:
+            incoming = (
+                er.join(colors, er.src == colors.id)
+                .groupBy("dst")
+                .agg(F.min("color").alias("mn"))
+            )
+            new_colors = (
+                colors.join(incoming, colors.id == incoming.dst, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("color"), F.coalesce("mn", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), "id")
+                .where(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            colors = new_colors
+            if changed == 0:
+                break
+
+        # --- 3. backward sweep within each color ---------------------
+        member = colors.where(F.col("color") == F.col("id")).select(
+            "id", "color"
+        )
+        member = member.localCheckpoint(eager=True)
+        ce = (
+            er.join(colors.withColumnRenamed("id", "src")
+                    .withColumnRenamed("color", "csrc"), "src")
+            .join(colors.withColumnRenamed("id", "dst")
+                  .withColumnRenamed("color", "cdst"), "dst")
+            .where(F.col("csrc") == F.col("cdst"))
+            .select("src", "dst", F.col("csrc").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        while True:
+            grown = (
+                ce.join(
+                    member.withColumnRenamed("id", "dst"),
+                    ["dst", "color"],
+                    "left_semi",
+                )
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+                .join(member, ["id", "color"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if grown.limit(1).count() == 0:
+                break
+            member = member.unionByName(grown).localCheckpoint(eager=True)
+
+        done.append(member.select("id", F.col("color").alias("scc")))
+        remaining = remaining.join(
+            member.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out

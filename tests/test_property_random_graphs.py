@@ -506,3 +506,97 @@ def test_anf_estimate_tracks_true_neighborhood_function(spark):
         for r in neighborhood_function(hist).collect()
     }
     assert abs(nf[1] - n * n) / (n * n) < 0.5
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_scc_matches_tarjan(spark, pairs):
+    """FW-BW-coloring SCC equals a literal iterative Tarjan mirror
+    (labels = min vertex id per component)."""
+    from graphjet_spark.plans.scc import strongly_connected_components
+
+    ids = sorted({x for p in pairs for x in p})
+    adj = {v: [] for v in ids}
+    for s, d in pairs:
+        if s != d:
+            adj[s].append(d)
+
+    # iterative Tarjan
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+
+    for v in ids:
+        if v not in index:
+            strongconnect(v)
+    want = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(
+            spark, _df(spark, pairs)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_scc_cycle_chain(spark):
+    """Chain of 3-cycles linked by DAG edges: every cycle is its own
+    SCC — exercises multiple coloring rounds after trim stalls."""
+    from graphjet_spark.plans.scc import strongly_connected_components
+
+    pairs = []
+    for c in range(4):
+        b = 10 * c
+        pairs += [(b + 1, b + 2), (b + 2, b + 3), (b + 3, b + 1)]
+        if c:
+            pairs.append((b - 10 + 1, b + 1))
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(
+            spark, _df(spark, pairs)
+        ).collect()
+    }
+    want = {10 * c + i: 10 * c + 1 for c in range(4) for i in (1, 2, 3)}
+    assert got == want
