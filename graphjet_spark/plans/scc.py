@@ -73,9 +73,13 @@ def strongly_connected_components(
     for _round in range(max_rounds):
         if remaining.limit(1).count() == 0:
             break
+        # src-partitioned + sorted once (CSR layout): the coloring
+        # fixpoint's per-iteration SMJ never re-sorts the edge side
         er = (
             e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .repartition(partitions, "src")
+            .sortWithinPartitions("src")
             .localCheckpoint(eager=True)
         )
 
@@ -90,8 +94,12 @@ def strongly_connected_components(
             continue
 
         # --- 2. forward-min coloring to fixpoint ---------------------
-        colors = remaining.select("id", F.col("id").alias("color"))
-        colors = colors.localCheckpoint(eager=True)
+        # prev color rides along as a column so change detection is a
+        # predicate over the just-checkpointed relation — no per-
+        # iteration self-join
+        colors = remaining.select(
+            "id", F.col("id").alias("color")
+        ).localCheckpoint(eager=True)
         while True:
             incoming = (
                 er.join(colors, er.src == colors.id)
@@ -105,17 +113,16 @@ def strongly_connected_components(
                     F.least(
                         F.col("color"), F.coalesce("mn", F.col("color"))
                     ).alias("color"),
+                    F.col("color").alias("prev"),
                 )
                 .localCheckpoint(eager=True)
             )
             changed = (
-                new_colors.alias("n")
-                .join(colors.alias("o"), "id")
-                .where(F.col("n.color") != F.col("o.color"))
+                new_colors.where(F.col("color") != F.col("prev"))
                 .limit(1)
                 .count()
             )
-            colors = new_colors
+            colors = new_colors.select("id", "color")
             if changed == 0:
                 break
 
@@ -131,6 +138,10 @@ def strongly_connected_components(
                   .withColumnRenamed("color", "cdst"), "dst")
             .where(F.col("csrc") == F.col("cdst"))
             .select("src", "dst", F.col("csrc").alias("color"))
+            # gather key of the sweep is (dst, color): partition + sort
+            # once so each BFS hop re-sorts only the small frontier
+            .repartition(partitions, "dst", "color")
+            .sortWithinPartitions("dst", "color")
             .localCheckpoint(eager=True)
         )
         while True:
