@@ -115,6 +115,11 @@ Deterministic: both runs produced identical top-5 ranks
 
 **Speedup {args.small}->{args.large} cores: {speedup:.2f}x (ideal
 {ratio:.0f}x) -> scaling efficiency {efficiency:.2f}** (target >= 0.8).
+Normalized by the concurrently-measured CPU envelope
+({envelope:.2f}x, i.e. max attainable efficiency
+{envelope / ratio:.2f}), the engine achieves
+**{speedup / envelope:.2f} of attainable** — both numbers reported per
+the round-1 verdict.
 
 ## Why the {args.small}->{args.large} band
 
