@@ -303,6 +303,41 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(spark, edges.unionByName(back))
 
 
+TREND_START, TREND_MID, TREND_END = (
+    "1997-01-01 00:00:00",
+    "1997-07-01 00:00:00",
+    "1998-01-01 00:00:00",
+)
+
+
+def _q_trending_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal momentum: top-20 right nodes by in-degree growth in the
+    recent half-window vs the prior half-window (laplace-smoothed
+    ratio) — the time-sliced view GraphJet's temporally-ordered
+    segments exist to serve (newest-segment scans vs whole-index
+    scans).  One scan + one map-side-combined groupBy + bounded top-k;
+    the top-k boundary orders on the ROUNDED score with id tie-break
+    (cross-engine stable)."""
+    inter = testdata.interactions(spark, sf_dir)
+    win = inter.filter(
+        (F.col("ts") >= F.lit(TREND_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(TREND_END).cast("timestamp"))
+    )
+    mid = F.lit(TREND_MID).cast("timestamp")
+    agg = win.groupBy(F.col("dst").alias("id")).agg(
+        F.sum((F.col("ts") >= mid).cast("int")).cast("bigint").alias("recent"),
+        F.sum((F.col("ts") < mid).cast("int")).cast("bigint").alias("prior"),
+    )
+    trend = F.round(
+        (F.col("recent") + F.lit(1.0)) / (F.col("prior") + F.lit(1.0)), 6
+    )
+    return (
+        agg.select("id", "recent", "prior", trend.alias("trend"))
+        .orderBy(F.desc("trend"), F.asc("id"))
+        .limit(20)
+    )
+
+
 ANF_ITERS = 5
 
 
@@ -1114,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_delta": _q_components_delta,
         "anf_histogram": _q_anf_histogram,
         "scc_labels": _q_scc,
+        "trending_nodes": _q_trending_nodes,
         "label_propagation_5": _q_labelprop,
         "lp_modularity": _q_lp_modularity,
         "k_core_3": _q_kcore,
@@ -1286,6 +1322,22 @@ GROUP BY n.n_name
             CC_ITERS
         ),
         "anf_histogram": oracles.anf_histogram_sql(ANF_ITERS),
+        "trending_nodes": cte
+        + f"""
+SELECT dst AS id,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '{TREND_MID}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS recent,
+       CAST(SUM(CASE WHEN ts <  TIMESTAMP '{TREND_MID}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS prior,
+       ROUND((SUM(CASE WHEN ts >= TIMESTAMP '{TREND_MID}' THEN 1 ELSE 0 END)
+              + CAST(1.0 AS DOUBLE))
+           / (SUM(CASE WHEN ts <  TIMESTAMP '{TREND_MID}' THEN 1 ELSE 0 END)
+              + CAST(1.0 AS DOUBLE)), 6) AS trend
+FROM interactions
+WHERE ts >= TIMESTAMP '{TREND_START}' AND ts < TIMESTAMP '{TREND_END}'
+GROUP BY dst
+ORDER BY trend DESC, id ASC LIMIT 20
+""",
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "lp_modularity": oracles.lp_modularity_sql(LP_ITERS),
         "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),
