@@ -84,6 +84,15 @@ def _q_one_mode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one_mode_projection(inter, min_cooccurrence=2)
 
 
+def _q_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite motif census: wedges + butterflies (2x2 bicliques)
+    over the capped interaction graph — exact integers."""
+    from graphjet_spark.operators.projection import butterfly_count
+
+    inter = testdata.interactions(spark, sf_dir)
+    return butterfly_count(inter)
+
+
 def _q_degrees_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.projection import degrees_asof
 
@@ -1150,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_histogram": _q_anf_histogram,
         "scc_labels": _q_scc,
         "trending_nodes": _q_trending_nodes,
+        "butterfly_count": _q_butterfly_count,
         "label_propagation_5": _q_labelprop,
         "lp_modularity": _q_lp_modularity,
         "k_core_3": _q_kcore,
@@ -1279,6 +1289,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents
 """,
         "one_mode_projection": oracles.one_mode_projection_sql(2),
+        "butterfly_count": oracles.butterfly_count_sql(),
         "degrees_asof": oracles.degrees_asof_sql(ASOF_CUTOFF),
         "graph_growth": cte
         + """

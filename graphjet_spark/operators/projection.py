@@ -64,3 +64,59 @@ def degrees_asof(interactions: DataFrame, cutoff: Column) -> DataFrame:
         .distinct()
     )
     return degree_table(e)
+
+
+def butterfly_count(
+    interactions: DataFrame,
+    *,
+    max_edges_per_node: int = 500,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """One-row ``(wedges, butterflies)`` motif census of the bipartite
+    graph — butterflies (2x2 bicliques) are the bipartite analogue of
+    triangles (Sanei-Mehri et al. KDD'18), the clustering signal for
+    engagement graphs like GraphJet's.  Exact integers over each left
+    vertex's latest ``max_edges_per_node`` edges (the reference's F12
+    cap as the hub fan-out bound, same semantics as
+    :func:`one_mode_projection`):
+
+    - wedges = sum over left vertices of C(deg, 2) — co-engagement
+      pair slots;
+    - butterflies = sum over right pairs of C(w, 2) where w is the
+      pair's co-engagement weight (each pair of common left vertices
+      closes one butterfly).
+
+    Both folds are map-side-combined aggregations over tables the
+    projection already produces; no new join shapes.
+    """
+    pairs = one_mode_projection(
+        interactions,
+        min_cooccurrence=2,
+        max_edges_per_node=max_edges_per_node,
+        seq_col=seq_col,
+    )
+    w = Window.partitionBy("src").orderBy(F.desc(seq_col))
+    latest = (
+        interactions.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_edges_per_node)
+        .select("src", "dst")
+        .distinct()
+    )
+    wedges = (
+        latest.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(d * (d - 1) DIV 2 AS BIGINT)"))
+            .cast("bigint")
+            .alias("wedges")
+        )
+    )
+    bfly = pairs.agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(weight * (weight - 1) DIV 2 AS BIGINT)")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("butterflies")
+    )
+    return wedges.crossJoin(bfly)

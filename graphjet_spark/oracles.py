@@ -2038,3 +2038,31 @@ GROUP BY sketch_sum"""
         + "\n"
         + "\nUNION ALL\n".join(hists)
     )
+
+
+def butterfly_count_sql(max_edges_per_node: int = 500) -> str:
+    """One-row (wedges, butterflies) bipartite motif census over the
+    capped latest-edge set (operators/projection.py twin) — exact
+    BIGINTs, no tolerance."""
+    return (
+        oracle_cte().rstrip()
+        + f""",
+latest AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY seq DESC) AS rn
+    FROM interactions) WHERE rn <= {max_edges_per_node}),
+pairw AS MATERIALIZED (
+  SELECT l1.dst AS a, l2.dst AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM latest l1 JOIN latest l2
+    ON l1.src = l2.src AND l1.dst < l2.dst
+  GROUP BY l1.dst, l2.dst
+  HAVING COUNT(*) >= 2),
+wg AS MATERIALIZED (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS d FROM latest GROUP BY src))
+SELECT wg.wedges,
+       CAST(COALESCE((SELECT SUM(w * (w - 1) // 2) FROM pairw), 0)
+            AS BIGINT) AS butterflies
+FROM wg"""
+    )

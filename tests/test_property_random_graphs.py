@@ -600,3 +600,29 @@ def test_scc_cycle_chain(spark):
     }
     want = {10 * c + i: 10 * c + 1 for c in range(4) for i in (1, 2, 3)}
     assert got == want
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_butterfly_count_matches_bruteforce(spark, pairs):
+    """Wedge + butterfly census equals brute-force enumeration over
+    the distinct bipartite edge set (cap unhit at this size)."""
+    from graphjet_spark.operators.projection import butterfly_count
+
+    edges = sorted(set(pairs))
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want_w = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    rights = sorted({d for _, d in edges})
+    want_b = 0
+    for i, a in enumerate(rights):
+        for b in rights[i + 1 :]:
+            w = sum(1 for v in adj.values() if a in v and b in v)
+            want_b += w * (w - 1) // 2
+    df = spark.createDataFrame(
+        [(s, d, i) for i, (s, d) in enumerate(edges)],
+        "src bigint, dst bigint, seq bigint",
+    )
+    row = butterfly_count(df).first()
+    assert (row["wedges"], row["butterflies"]) == (want_w, want_b)
