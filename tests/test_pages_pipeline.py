@@ -139,3 +139,29 @@ def test_adjacency_blocks_invariants(corpus):
     summ = block_summary(adj).toPandas()
     assert summ["rows"].sum() == adj.count()
     adj.unpersist()
+
+
+def test_host_graph_matches_ground_truth_fold(corpus):
+    """Host-level webgraph fold equals the same fold of the
+    synthesizer's exact link ground truth (pandas mirror)."""
+    import re
+
+    from graphjet_spark.plans.build_edges import host_graph
+
+    _, true_links, pages = corpus
+    got = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in host_graph(build_edges(pages)).collect()
+    }
+
+    rx = re.compile(r"^[a-z]+://([^/]+)")
+    agg: dict = {}
+    for src_url, dst_url in zip(
+        true_links["src_url"], true_links["dst_url"]
+    ):
+        key = (rx.match(src_url).group(1), rx.match(dst_url).group(1))
+        links, pages_set = agg.setdefault(key, [0, set()])
+        agg[key][0] += 1
+        agg[key][1].add(src_url)
+    want = {k: (n, len(s)) for k, (n, s) in agg.items()}
+    assert got == want
