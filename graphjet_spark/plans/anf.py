@@ -55,11 +55,20 @@ def anf_sketch_histogram(
     r: int = 8,
     iters: int = 5,
     partitions: int | None = None,
+    checkpoint: "CheckpointManager | None" = None,
 ) -> DataFrame:
     """Run ``iters`` ANF supersteps with ``r`` FM sketches per vertex;
     return the exact integer histogram ``(t, sketch_sum, cnt)`` where
     ``sketch_sum`` = sum over the r sketches of the lowest-zero-bit
-    index of M_t(v) (the FM estimator's sufficient statistic)."""
+    index of M_t(v) (the FM estimator's sufficient statistic).
+
+    With ``checkpoint``, every superstep's sketch state commits
+    atomically (iteration t = state after t hops, t=0 = initial masks)
+    with per-partition lineage rows, and an interrupted run resumes
+    from the last committed hop — earlier hops' histograms are rebuilt
+    from their committed state, so the resumed output is identical to
+    an uninterrupted run (the sketches are a pure function of the
+    graph)."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     e = (
@@ -79,9 +88,6 @@ def anf_sketch_histogram(
         .repartition(partitions, "id")
     )
     mcols = [f"m{j}" for j in range(r)]
-    state = vertices.select(
-        "id", *[F.expr(_mask_expr(j)).alias(c) for j, c in enumerate(mcols)]
-    ).localCheckpoint(eager=True)
 
     # lowest ZERO bit index b: m ^ (m+1) = 2^(b+1) - 1, bit_count = b+1
     s_expr = " + ".join(
@@ -98,8 +104,50 @@ def anf_sketch_histogram(
             )
         )
 
-    out = [hist(0, state)]
-    for t in range(1, iters + 1):
+    def commit(t: int, st: DataFrame) -> DataFrame:
+        if checkpoint is None:
+            return st
+        rows = st.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("rows")).collect()
+        committed = checkpoint.commit_state(
+            t,
+            st,
+            {
+                "algo": "anf",
+                "rows": sum(x["rows"] for x in rows),
+                "partitions": [
+                    {"partition_id": x["partition_id"], "rows": x["rows"]}
+                    for x in rows
+                ],
+            },
+        )
+        return spark.read.parquet(committed)
+
+    start_t = 0
+    state = None
+    if checkpoint is not None:
+        last = checkpoint.last_committed()
+        if last is not None:
+            start_t = min(last, iters)
+            state = checkpoint.read_state(spark, start_t)
+    if state is None:
+        state = vertices.select(
+            "id",
+            *[F.expr(_mask_expr(j)).alias(c) for j, c in enumerate(mcols)],
+        ).localCheckpoint(eager=True)
+        state = commit(0, state)
+
+    # histograms for hops already on disk (resume) or just the initial
+    out = [
+        hist(
+            t,
+            checkpoint.read_state(spark, t) if checkpoint is not None else state,
+        )
+        for t in range(0, start_t)
+    ]
+    out.append(hist(start_t, state))
+    for t in range(start_t + 1, iters + 1):
         gathered = (
             e.join(state, e.dst == state.id)
             .groupBy("src")
@@ -121,6 +169,7 @@ def anf_sketch_histogram(
             .repartition(partitions, "id")
             .localCheckpoint(eager=True)
         )
+        state = commit(t, state)
         out.append(hist(t, state))
     res = out[0]
     for h in out[1:]:

@@ -324,9 +324,14 @@ def ppr_grouped(
     k: int = 20,
     partitions: int | None = None,
     assume_simple: bool = False,
+    checkpoint: CheckpointManager | None = None,
 ) -> DataFrame:
     """Batch personalized PageRank for MANY seeds in ONE superstep loop;
-    returns the top-``k`` ``(seed, id, ppr)`` rows per seed.
+    returns the top-``k`` ``(seed, id, ppr)`` rows per seed.  With
+    ``checkpoint``, each superstep's sparse (seed, id, rank) state
+    commits atomically with per-partition lineage rows and a resumed
+    run continues from the last committed iteration (same contract as
+    :func:`pagerank`).
 
     GraphJet answers one user's random-walk recommendation query at a
     time from its in-memory index (reference algorithms/salsa/
@@ -358,11 +363,40 @@ def ppr_grouped(
         .persist()
     )
     seed_df.count()
-    state = seed_df.select(
-        "seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank")
-    ).localCheckpoint(eager=True)
 
-    for _it in range(fixed_iters):
+    def _commit(it: int, st: DataFrame) -> DataFrame:
+        if checkpoint is None:
+            return st
+        rows = st.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("rows")).collect()
+        committed = checkpoint.commit_state(
+            it,
+            st,
+            {
+                "algo": "ppr_grouped",
+                "rows": sum(x["rows"] for x in rows),
+                "partitions": [
+                    {"partition_id": x["partition_id"], "rows": x["rows"]}
+                    for x in rows
+                ],
+            },
+        )
+        return spark.read.parquet(committed)
+
+    start_iter = 0
+    state = None
+    if checkpoint is not None:
+        last = checkpoint.last_committed()
+        if last is not None:
+            start_iter = min(last, fixed_iters)
+            state = checkpoint.read_state(spark, start_iter)
+    if state is None:
+        state = seed_df.select(
+            "seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank")
+        ).localCheckpoint(eager=True)
+
+    for _it in range(start_iter, fixed_iters):
         contribs = (
             state.join(links, state.id == links.src)
             .groupBy("seed", "dst")
@@ -401,6 +435,7 @@ def ppr_grouped(
             .repartition(partitions, "id")
             .localCheckpoint(eager=True)
         )
+        state = _commit(_it + 1, state)
 
     from pyspark.sql import Window
 

@@ -133,3 +133,60 @@ def test_warm_start_delta_ingest(spark, tmp_path):
     for v in cold:
         assert warm[v] == pytest.approx(cold[v], abs=1e-8)
     assert warm_mgr.last_committed() < cold_mgr.last_committed()
+
+
+def test_anf_resume_matches_uninterrupted(spark, tmp_path):
+    """ANF interrupted after 2 hops resumes and yields a histogram
+    identical to an uninterrupted 4-hop run (exact integers)."""
+    from graphjet_spark.plans.anf import anf_sketch_histogram
+    from graphjet_spark.plans.checkpoints import CheckpointManager
+
+    pairs = [(i, (i * 3) % 40 + 1) for i in range(1, 60)]
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    full = {
+        (r["t"], r["sketch_sum"]): r["cnt"]
+        for r in anf_sketch_histogram(spark, edges, iters=4).collect()
+    }
+    ck = CheckpointManager(str(tmp_path), "anf")
+    anf_sketch_histogram(spark, edges, iters=2, checkpoint=ck).collect()
+    assert ck.last_committed() == 2
+    resumed = {
+        (r["t"], r["sketch_sum"]): r["cnt"]
+        for r in anf_sketch_histogram(
+            spark, edges, iters=4, checkpoint=ck
+        ).collect()
+    }
+    assert resumed == full
+    assert ck.last_committed() == 4
+
+
+def test_ppr_grouped_resume_matches_uninterrupted(spark, tmp_path):
+    """Grouped PPR interrupted after 2 supersteps resumes to the same
+    top-k as an uninterrupted 5-superstep run."""
+    from graphjet_spark.plans.checkpoints import CheckpointManager
+    from graphjet_spark.plans.pagerank import ppr_grouped
+
+    pairs = [(i, (i * 7) % 30 + 1) for i in range(1, 50)]
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    seeds = [1, 2, 3]
+
+    full = sorted(
+        (r["seed"], r["id"], r["ppr"])
+        for r in ppr_grouped(
+            spark, edges, seeds, fixed_iters=5, k=10
+        ).collect()
+    )
+    ck = CheckpointManager(str(tmp_path), "gppr")
+    ppr_grouped(
+        spark, edges, seeds, fixed_iters=2, k=10, checkpoint=ck
+    ).collect()
+    assert ck.last_committed() == 2
+    resumed = sorted(
+        (r["seed"], r["id"], r["ppr"])
+        for r in ppr_grouped(
+            spark, edges, seeds, fixed_iters=5, k=10, checkpoint=ck
+        ).collect()
+    )
+    assert resumed == full
+    assert ck.last_committed() == 5
