@@ -44,8 +44,16 @@ def strongly_connected_components(
     *,
     max_rounds: int = 30,
     partitions: int | None = None,
+    checkpoint: "CheckpointManager | None" = None,
 ) -> DataFrame:
-    """Returns ``(id, scc)``; ``scc`` = min vertex id in the SCC."""
+    """Returns ``(id, scc)``; ``scc`` = min vertex id in the SCC.
+
+    With ``checkpoint``, each outer round commits one encoded state
+    table ``(id, scc, final)`` — captured SCCs carry ``final=1``, the
+    remaining frontier ``final=0`` — with per-partition lineage rows;
+    a resumed run reloads the last committed round and continues (the
+    decomposition is deterministic, so the result is identical to an
+    uninterrupted run — resume-equality tested)."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     e = (
@@ -70,7 +78,51 @@ def strongly_connected_components(
     )
     done = [self_only.select("id", F.col("id").alias("scc"))]
 
-    for _round in range(max_rounds):
+    start_round = 0
+    if checkpoint is not None:
+        last = checkpoint.last_committed()
+        if last is not None:
+            st = checkpoint.read_state(spark, last)
+            done = [
+                st.where(F.col("final") == 1).select("id", "scc")
+            ]
+            remaining = (
+                st.where(F.col("final") == 0)
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+            start_round = last
+
+    def _commit(round_idx: int) -> None:
+        if checkpoint is None:
+            return
+        acc = done[0]
+        for d in done[1:]:
+            acc = acc.unionByName(d)
+        st = acc.select("id", "scc", F.lit(1).alias("final")).unionByName(
+            remaining.select(
+                "id", F.col("id").alias("scc"), F.lit(0).alias("final")
+            )
+        )
+        rows = st.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count(F.lit(1)).alias("rows")).collect()
+        committed = checkpoint.commit_state(
+            round_idx,
+            st,
+            {
+                "algo": "scc",
+                "rows": sum(x["rows"] for x in rows),
+                "partitions": [
+                    {"partition_id": x["partition_id"], "rows": x["rows"]}
+                    for x in rows
+                ],
+            },
+        )
+        re = spark.read.parquet(committed)
+        done[:] = [re.where(F.col("final") == 1).select("id", "scc")]
+
+    for _round in range(start_round, max_rounds):
         if remaining.limit(1).count() == 0:
             break
         # src-partitioned + sorted once (CSR layout): the coloring
@@ -91,6 +143,7 @@ def strongly_connected_components(
         if trimmed.limit(1).count() > 0:
             done.append(trimmed.select("id", F.col("id").alias("scc")))
             remaining = both.localCheckpoint(eager=True)
+            _commit(_round + 1)
             continue
 
         # --- 2. forward-min coloring to fixpoint ---------------------
@@ -164,6 +217,7 @@ def strongly_connected_components(
         remaining = remaining.join(
             member.select("id"), "id", "left_anti"
         ).localCheckpoint(eager=True)
+        _commit(_round + 1)
 
     out = done[0]
     for d in done[1:]:

@@ -190,3 +190,36 @@ def test_ppr_grouped_resume_matches_uninterrupted(spark, tmp_path):
     )
     assert resumed == full
     assert ck.last_committed() == 5
+
+
+def test_scc_resume_matches_uninterrupted(spark, tmp_path):
+    """SCC interrupted mid-decomposition (round budget 1) resumes from
+    the committed round and matches an uninterrupted run exactly."""
+    from graphjet_spark.plans.checkpoints import CheckpointManager
+    from graphjet_spark.plans.scc import strongly_connected_components
+
+    pairs = []
+    for c in range(4):
+        b = 10 * c
+        pairs += [(b + 1, b + 2), (b + 2, b + 3), (b + 3, b + 1)]
+        if c:
+            pairs.append((b - 10 + 1, b + 1))
+    pairs += [(100, 101), (101, 102)]  # trimmed DAG tail
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+    full = sorted(
+        (r["id"], r["scc"])
+        for r in strongly_connected_components(spark, edges).collect()
+    )
+    ck = CheckpointManager(str(tmp_path), "scc")
+    strongly_connected_components(
+        spark, edges, max_rounds=1, checkpoint=ck
+    ).collect()
+    assert ck.last_committed() == 1
+    resumed = sorted(
+        (r["id"], r["scc"])
+        for r in strongly_connected_components(
+            spark, edges, checkpoint=ck
+        ).collect()
+    )
+    assert resumed == full
