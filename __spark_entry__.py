@@ -347,6 +347,21 @@ def _q_trending_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BETW_SOURCES = (1, 2, 3, 4)
+BETW_DEPTH = 6
+
+
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness (depth-truncated) — the
+    bridge-detection centrality in its web-scale form."""
+    from graphjet_spark.plans.betweenness import betweenness_sampled
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return betweenness_sampled(
+        spark, edges, list(BETW_SOURCES), max_depth=BETW_DEPTH
+    )
+
+
 ANF_ITERS = 5
 
 
@@ -954,6 +969,20 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=1, threshold=0.9)
 
 
+SUBSTR_WINDOW = 8
+SUBSTR_DF_CAP = 50
+
+
+def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dup pairs (Lee et al. ACL'22 — verbatim
+    8-token runs shared across documents, df-capped window hashes)."""
+    from graphjet_spark.operators.dedup import exact_substring_pairs
+
+    return exact_substring_pairs(
+        _docs(spark, sf_dir), window=SUBSTR_WINDOW, df_cap=SUBSTR_DF_CAP
+    )
+
+
 # Engine-resident dedup keep-list (per sf_dir per process): at 100 TB
 # this is a table the ingest pipeline maintains and queries join — the
 # doc-side analogue of _GRAPH_TABLES.  First query to touch it pays the
@@ -1160,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_labels": _q_scc,
         "trending_nodes": _q_trending_nodes,
         "butterfly_count": _q_butterfly_count,
+        "betweenness_sampled": _q_betweenness,
         "label_propagation_5": _q_labelprop,
         "lp_modularity": _q_lp_modularity,
         "k_core_3": _q_kcore,
@@ -1206,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_dups": _q_ngram_jaccard,
+        "exact_substring_dups": _q_exact_substring,
         "dedup_keep_list": _q_dedup_keep_list,
         "corpus_select": _q_corpus_select,
         "corpus_sample": _q_corpus_sample,
@@ -1290,6 +1321,9 @@ FROM documents
 """,
         "one_mode_projection": oracles.one_mode_projection_sql(2),
         "butterfly_count": oracles.butterfly_count_sql(),
+        "betweenness_sampled": oracles.betweenness_sampled_sql(
+            BETW_SOURCES, BETW_DEPTH
+        ),
         "degrees_asof": oracles.degrees_asof_sql(ASOF_CUTOFF),
         "graph_growth": cte
         + """
@@ -1429,6 +1463,9 @@ GROUP BY s.seed ORDER BY s.seed
         "degree_histogram": oracles.degree_histogram_sql(),
         "exact_dedup": oracles.exact_dedup_sql(),
         "ngram_jaccard_dups": oracles.ngram_jaccard_sql(0.9),
+        "exact_substring_dups": oracles.exact_substring_pairs_sql(
+            SUBSTR_WINDOW, SUBSTR_DF_CAP
+        ),
         "dedup_keep_list": oracles.dedup_keep_list_sql(0.9, iters=12),
         "corpus_select": oracles.corpus_select_sql(
             _LANG_MARKERS, tuple(_STOPWORDS)

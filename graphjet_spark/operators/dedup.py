@@ -803,3 +803,59 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("ua") * F.col("ub")), round_to).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    *,
+    window: int = 8,
+    df_cap: int = 50,
+    min_shared: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate pairs (Lee et al. ACL'22,
+    "Deduplicating Training Data Makes Language Models Better"): two
+    documents are flagged when they share at least ``min_shared``
+    verbatim runs of ``window`` whitespace tokens.  The suffix-array of
+    the paper is replaced by its distributed equivalent — every
+    length-``window`` token window is hashed (cross-engine md5-prefix,
+    see ``_hash60``) and duplicate spans fall out of an equi-join on
+    the window hash; a window appearing in more than ``df_cap``
+    documents is dropped as boilerplate (same df-capping rationale as
+    ``ngram_jaccard_pairs``: hot spans are the quadratic fan-out at
+    web scale, and mass-repeated boilerplate is exactly what the
+    training-data curator wants excluded from the pair evidence).
+
+    Output ``(doc_a, doc_b, shared_windows)`` with doc_a < doc_b —
+    pure integers, fully cross-engine oracle-able.
+    """
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    wins_arr = F.expr(
+        f"CASE WHEN size({toks}) >= {window} THEN "
+        f"transform(sequence(0, size({toks}) - {window}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {window}))) "
+        f"ELSE array() END"
+    )
+    wins = (
+        docs.select("doc_id", F.explode(wins_arr).alias("s"))
+        .select("doc_id", _hash60(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # keep only windows seen in >= 2 docs (pair evidence) and <= df_cap
+    # docs (boilerplate guard) — the join fan-out is bounded by df_cap.
+    keep = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select("h")
+    )
+    fw = wins.join(keep, "h")
+    a = fw.select("h", F.col("doc_id").alias("doc_a"))
+    b = fw.select(F.col("h").alias("h2"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_shared)
+    )

@@ -2066,3 +2066,104 @@ SELECT wg.wedges,
             AS BIGINT) AS butterflies
 FROM wg"""
     )
+
+
+def betweenness_sampled_sql(
+    sources: tuple[int, ...],
+    max_depth: int = 6,
+    round_to: int = 6,
+) -> str:
+    """Unrolled sampled-source Brandes betweenness (plans/betweenness.py
+    twin): forward per-level sigma CTEs, backward per-level dependency
+    CTEs deepest-first, bc = per-vertex sum over sources."""
+    vals = ", ".join(f"(CAST({int(s)} AS BIGINT))" for s in sorted(sources))
+    parts = [
+        f"""bsrc AS MATERIALIZED (
+  SELECT t.s FROM (VALUES {vals}) t(s) JOIN v ON t.s = v.id)""",
+        """vis0 AS MATERIALIZED (
+  SELECT s, s AS v, 0 AS d, CAST(1.0 AS DOUBLE) AS sigma FROM bsrc)""",
+        "fr0 AS MATERIALIZED (SELECT * FROM vis0)",
+    ]
+    for l in range(1, max_depth + 1):
+        parts.append(
+            f"""cand{l} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, SUM(f.sigma) AS sigma
+  FROM fr{l - 1} f JOIN e ON f.v = e.src GROUP BY f.s, e.dst)"""
+        )
+        parts.append(
+            f"""fr{l} AS MATERIALIZED (
+  SELECT c.s, c.v, {l} AS d, c.sigma FROM cand{l} c
+  LEFT JOIN vis{l - 1} o ON c.s = o.s AND c.v = o.v
+  WHERE o.v IS NULL)"""
+        )
+        parts.append(
+            f"""vis{l} AS MATERIALIZED (
+  SELECT * FROM vis{l - 1} UNION ALL SELECT * FROM fr{l})"""
+        )
+    vis = f"vis{max_depth}"
+    parts.append(
+        f"""acc{max_depth} AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS s, CAST(NULL AS BIGINT) AS v,
+         CAST(NULL AS DOUBLE) AS delta WHERE 1 = 0)"""
+    )
+    for l in range(max_depth - 1, -1, -1):
+        parts.append(
+            f"""contrib{l} AS MATERIALIZED (
+  SELECT n.s, n.v,
+         SUM(n.sigma / sc.sigma * (1.0 + COALESCE(a.delta, 0.0))) AS delta
+  FROM (SELECT * FROM {vis} WHERE d = {l}) n
+  JOIN e ON n.v = e.src
+  JOIN (SELECT * FROM {vis} WHERE d = {l + 1}) sc
+    ON sc.s = n.s AND sc.v = e.dst
+  LEFT JOIN acc{l + 1} a ON a.s = sc.s AND a.v = sc.v
+  GROUP BY n.s, n.v)"""
+        )
+        parts.append(
+            f"""acc{l} AS MATERIALIZED (
+  SELECT * FROM acc{l + 1} UNION ALL SELECT * FROM contrib{l})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + body
+        + f"""
+SELECT vv.v AS id,
+       ROUND(COALESCE(b.b, 0.0), {round_to}) AS bc
+FROM (SELECT DISTINCT v FROM {vis}) vv
+LEFT JOIN (SELECT v, SUM(delta) AS b FROM acc0 WHERE v <> s GROUP BY v) b
+  ON vv.v = b.v"""
+    )
+
+
+def exact_substring_pairs_sql(
+    window: int = 8, df_cap: int = 50, min_shared: int = 1
+) -> str:
+    """Exact-substring dup pairs (operators/dedup.py::
+    exact_substring_pairs twin): length-``window`` token-window
+    md5-prefix hashes, df in [2, df_cap], pair equi-join on the hash."""
+    return rf"""WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents),
+wins AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= {window} THEN
+             list_transform(range(len(w) - {window} + 1),
+               i -> array_to_string(list_slice(w, i + 1, i + {window}), ' '))
+             ELSE [] END) AS s
+    FROM toks)),
+keep AS MATERIALIZED (
+  SELECT h FROM wins GROUP BY h
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {df_cap}),
+fw AS MATERIALIZED (
+  SELECT w.doc_id, w.h FROM wins w JOIN keep USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS shared_windows
+FROM fw a JOIN fw b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}"""

@@ -626,3 +626,58 @@ def test_butterfly_count_matches_bruteforce(spark, pairs):
     )
     row = butterfly_count(df).first()
     assert (row["wedges"], row["butterflies"]) == (want_w, want_b)
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_betweenness_matches_brandes_mirror(spark, pairs):
+    """Sampled-source depth-truncated betweenness equals a literal
+    per-source Brandes mirror (Brandes JMS'01, Alg. 1) on random
+    directed graphs."""
+    from collections import defaultdict
+
+    from graphjet_spark.plans.betweenness import betweenness_sampled
+
+    depth = 4
+    edges = sorted({(s, d) for s, d in pairs if s != d})
+    if not edges:
+        return
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    verts = {s for s, _ in edges} | {d for _, d in edges}
+    sources = [s for s in (1, 2, 3) if s in verts]
+    if not sources:
+        return
+    bc, reached = defaultdict(float), set()
+    for s in sources:
+        dist, sigma, levels = {s: 0}, {s: 1.0}, [[s]]
+        for lvl in range(1, depth + 1):
+            nxt = defaultdict(float)
+            for v in levels[-1]:
+                for w in adj[v]:
+                    if w not in dist:
+                        nxt[w] += sigma[v]
+            if not nxt:
+                break
+            for w, sg in nxt.items():
+                dist[w], sigma[w] = lvl, sg
+            levels.append(sorted(nxt))
+        reached |= dist.keys()
+        delta = defaultdict(float)
+        for lvl in range(len(levels) - 2, -1, -1):
+            for v in levels[lvl]:
+                for w in adj[v]:
+                    if dist.get(w) == lvl + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+        for v, dl in delta.items():
+            if v != s:
+                bc[v] += dl
+    want = {v: round(bc.get(v, 0.0), 6) for v in reached}
+    got = {
+        r["id"]: r["bc"]
+        for r in betweenness_sampled(
+            spark, _df(spark, pairs), sources, max_depth=depth
+        ).collect()
+    }
+    assert got == want

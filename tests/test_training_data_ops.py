@@ -836,3 +836,35 @@ def test_tfidf_cosine_pairs_mirror(spark):
     }
     assert got == pytest.approx(want)
     assert (3, 4) in got and got[(3, 4)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_exact_substring_pairs_matches_mirror(spark, docs):
+    """Window-hash exact-substring dup pairs equal a literal
+    sliding-window mirror of Lee et al.'s shared-span criterion."""
+    from collections import defaultdict
+
+    from graphjet_spark.operators.dedup import exact_substring_pairs
+
+    window = 8
+    wins = defaultdict(set)
+    for doc_id, text in DOCS:
+        toks = [t for t in text.split() if t]
+        for i in range(len(toks) - window + 1):
+            wins[" ".join(toks[i : i + window])].add(doc_id)
+    want = defaultdict(int)
+    for ids in wins.values():
+        ids = sorted(ids)
+        if not 2 <= len(ids) <= 50:
+            continue
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                want[(a, b)] += 1
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_windows"]
+        for r in exact_substring_pairs(
+            spark.createDataFrame(DOCS, "doc_id bigint, text string"),
+            window=window,
+        ).collect()
+    }
+    assert got == dict(want)
+    assert got[(0, 1)] == 7 and got[(0, 2)] == 5  # full dup vs prefix run
