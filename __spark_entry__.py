@@ -281,6 +281,30 @@ def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("pagerank", 9).alias("ppr"))
 
 
+TRUST_SEEDS = {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0, 5: 1.0}
+SPAM_ITERS = 6
+
+
+def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (Gyongyi et al. VLDB'06 mass estimation over
+    Gyongyi et al. VLDB'04 TrustRank): how much of each page's PageRank
+    is NOT reachable from the trusted seed set — the classic web-spam
+    triage signal on a Common-Crawl-style link graph.  Composes the
+    engine's global PageRank and trust-seeded personalized PageRank at
+    the same fixed superstep count."""
+    edges = testdata.graph_edges(spark, sf_dir)
+    pr = pagerank(spark, edges, fixed_iters=SPAM_ITERS)
+    tr = pagerank(
+        spark, edges, fixed_iters=SPAM_ITERS, teleport=TRUST_SEEDS
+    ).withColumnRenamed("pagerank", "trust")
+    return pr.join(tr, "id").select(
+        "id",
+        F.round(
+            (F.col("pagerank") - F.col("trust")) / F.col("pagerank"), 6
+        ).alias("spam_mass"),
+    )
+
+
 GPPR_SEEDS = (1, 2, 3, 4, 5)
 GPPR_ITERS = 6
 
@@ -1180,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_engagement": _q_nation_engagement,
         "pagerank_fixed10": _q_pagerank,
         "personalized_pagerank": _q_ppr,
+        "spam_mass": _q_spam_mass,
         "grouped_ppr_topk": _q_grouped_ppr,
         "pagerank_weighted": _q_pagerank_weighted,
         "connected_components": _q_components,
@@ -1353,6 +1378,7 @@ GROUP BY n.n_name
         "personalized_pagerank": oracles.personalized_pagerank_fixed_sql(
             PPR_ITERS, PPR_SEEDS
         ),
+        "spam_mass": oracles.spam_mass_sql(SPAM_ITERS, TRUST_SEEDS),
         "grouped_ppr_topk": oracles.grouped_ppr_sql(
             GPPR_ITERS, GPPR_SEEDS, k=20
         ),

@@ -2167,3 +2167,77 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fw a JOIN fw b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}"""
+
+
+def spam_mass_sql(
+    iters: int,
+    seeds: dict[int, float],
+    damping: float = 0.85,
+    round_to: int = 6,
+) -> str:
+    """Relative spam mass (Gyongyi et al., "Link Spam Detection Based
+    on Mass Estimation", VLDB'06): sm(v) = (pr(v) - trust(v)) / pr(v)
+    where pr is global PageRank and trust is TrustRank — PageRank
+    personalized to a trusted seed set (Gyongyi et al. VLDB'04).  Both
+    chains unrolled at the same fixed iteration count."""
+    d = damping
+    total = float(sum(seeds.values()))
+    vals = ", ".join(
+        f"(CAST({int(v)} AS BIGINT), CAST({w / total!r} AS DOUBLE))"
+        for v, w in sorted(seeds.items())
+    )
+    parts = [
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)",
+        f"seedp AS MATERIALIZED (SELECT * FROM (VALUES {vals}) s(id, p))",
+        """pvec0 AS MATERIALIZED (
+  SELECT v.id, COALESCE(seedp.p, 0.0) AS p
+  FROM v LEFT JOIN seedp ON v.id = seedp.id)""",
+        """pvec AS MATERIALIZED (
+  SELECT id, CASE WHEN (SELECT SUM(p) FROM pvec0) < 1.0 - 1e-12
+             THEN p / (SELECT SUM(p) FROM pvec0) ELSE p END AS p
+  FROM pvec0)""",
+        "t0 AS MATERIALIZED (SELECT id, p AS rank FROM pvec)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""rd{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{i}
+  LEFT JOIN od ON r{i}.id = od.src WHERE od.src IS NULL)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - {d})/(SELECT n FROM nn) + {d}*(SELECT dm FROM rd{i})/(SELECT n FROM nn)
+         + {d} * COALESCE(c.contrib, 0.0) AS rank
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / od.deg) AS contrib
+    FROM r{i} r JOIN e ON r.id = e.src JOIN od ON e.src = od.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id)"""
+        )
+        parts.append(
+            f"""td{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM t{i}
+  LEFT JOIN od ON t{i}.id = od.src WHERE od.src IS NULL)"""
+        )
+        parts.append(
+            f"""t{i + 1} AS MATERIALIZED (
+  SELECT pvec.id,
+         pvec.p * ((1.0 - {d}) + {d} * (SELECT dm FROM td{i}))
+         + {d} * COALESCE(c.contrib, 0.0) AS rank
+  FROM pvec LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / od.deg) AS contrib
+    FROM t{i} r JOIN e ON r.id = e.src JOIN od ON e.src = od.src
+    GROUP BY e.dst
+  ) c ON pvec.id = c.id)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + body
+        + f"""
+SELECT r.id,
+       ROUND((r.rank - t.rank) / r.rank, {round_to}) AS spam_mass
+FROM r{iters} r JOIN t{iters} t ON r.id = t.id"""
+    )

@@ -558,3 +558,34 @@ def test_degenerate_graphs_do_not_crash(spark):
     assert degree_assortativity(one).first()["assortativity"] is None
     got = {r["id"]: r["hub"] for r in hits(spark, one, fixed_iters=2).collect()}
     assert got[1] == 1.0 and got[2] == 0.0
+
+
+def test_spam_mass_separates_farm_from_trusted(spark):
+    """Spam-mass semantics (Gyongyi VLDB'06): a link farm unreachable
+    from the trusted seeds keeps ~all its PageRank as spam mass, while
+    the trusted cluster's mass is low or negative."""
+    # trusted cluster 1-2-3 (cycle), spam farm 10<->11<->12 boosting 13
+    pairs = [
+        (1, 2), (2, 3), (3, 1),
+        (10, 11), (11, 10), (11, 12), (12, 11), (10, 13), (11, 13), (12, 13),
+    ]
+    edges = edges_df(spark, pairs)
+    pr = pagerank(spark, edges, fixed_iters=8)
+    tr = pagerank(
+        spark, edges, fixed_iters=8, teleport={1: 1.0}
+    ).withColumnRenamed("pagerank", "trust")
+    import pyspark.sql.functions as F
+
+    sm = {
+        r["id"]: r["sm"]
+        for r in pr.join(tr, "id")
+        .select(
+            "id",
+            ((F.col("pagerank") - F.col("trust")) / F.col("pagerank")).alias("sm"),
+        )
+        .collect()
+    }
+    for farm in (10, 11, 12, 13):
+        assert sm[farm] > 0.9
+    for good in (1, 2, 3):
+        assert sm[good] < 0.0  # trust concentrates on the seed cluster
