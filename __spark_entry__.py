@@ -548,6 +548,68 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Wasserman–Faust closeness (the web-scale
+    estimator form, like harmonic)."""
+    from graphjet_spark.plans.bfs import closeness_centrality
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return closeness_centrality(
+        spark, edges, HARMONIC_SOURCES, fixed_iters=BFS_ITERS
+    )
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical link-prediction score family (common / Jaccard /
+    resource-allocation / preferential-attachment) over capped wedges."""
+    from graphjet_spark.operators.linkpred import link_prediction_scores
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return link_prediction_scores(
+        spark,
+        edges,
+        max_center_degree=AA_MAX_CENTER_DEGREE,
+        min_common=AA_MIN_COMMON,
+    )
+
+
+# Mid-layer (part) landmarks: the testdata graph is layered
+# customer -> order -> part -> supplier, so part-layer landmarks carry
+# both non-trivial d_from (to suppliers) and d_to (from customers).
+LANDMARKS = (2_000_007, 2_000_048, 2_000_072, 2_000_127)
+LM_ITERS = 6
+LM_PAIR_IDS = (1, 2, 3, 4, 3_000_001, 3_000_002, 3_000_003)
+
+
+def _q_landmark_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance-label index (2-hop labeling, sampled-landmark
+    form): per-vertex directed distances from/to each landmark."""
+    from graphjet_spark.plans.bfs import landmark_labels
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return landmark_labels(spark, edges, list(LANDMARKS), fixed_iters=LM_ITERS)
+
+
+def _q_landmark_dist_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-oracle query path: upper-bound hop distances for a
+    fixed pair set via two equi-joins against the landmark index —
+    no traversal at query time."""
+    from graphjet_spark.plans.bfs import (
+        landmark_distance_estimates,
+        landmark_labels,
+    )
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    labels = landmark_labels(
+        spark, edges, list(LANDMARKS), fixed_iters=LM_ITERS
+    )
+    pairs = spark.createDataFrame(
+        [(int(u), int(w)) for u in LM_PAIR_IDS for w in LM_PAIR_IDS if u != w],
+        "u bigint, w bigint",
+    )
+    return landmark_distance_estimates(labels, pairs)
+
+
 def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size histogram — the connectivity profile a web-graph
     operator reads before anything else (giant-component share)."""
@@ -1227,7 +1289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": _q_katz,
         "eigenvector_centrality": _q_eigenvector,
         "adamic_adar": _q_adamic_adar,
+        "link_prediction": _q_link_prediction,
         "harmonic_centrality": _q_harmonic,
+        "closeness_centrality": _q_closeness,
+        "landmark_labels": _q_landmark_labels,
+        "landmark_dist_est": _q_landmark_dist_est,
         "component_sizes": _q_component_sizes,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -1427,6 +1493,16 @@ ORDER BY trend DESC, id ASC LIMIT 20
         ),
         "harmonic_centrality": oracles.harmonic_fixed_sql(
             tuple(HARMONIC_SOURCES), BFS_ITERS
+        ),
+        "closeness_centrality": oracles.closeness_fixed_sql(
+            tuple(HARMONIC_SOURCES), BFS_ITERS
+        ),
+        "link_prediction": oracles.link_prediction_sql(
+            AA_MAX_CENTER_DEGREE, AA_MIN_COMMON
+        ),
+        "landmark_labels": oracles.landmark_labels_sql(LANDMARKS, LM_ITERS),
+        "landmark_dist_est": oracles.landmark_dist_est_sql(
+            LANDMARKS, LM_ITERS, LM_PAIR_IDS
         ),
         "component_sizes": oracles.component_sizes_sql(CC_ITERS),
         "triangle_count": oracles.triangle_count_sql(),

@@ -1470,6 +1470,85 @@ HAVING COUNT(*) >= {min_common}"""
     )
 
 
+def link_prediction_sql(
+    max_center_degree: int = 64, min_common: int = 2, round_to: int = 6
+) -> str:
+    """Link-prediction score family twin of
+    operators/linkpred.py::link_prediction_scores — same capped wedge
+    join, true endpoint degrees joined after pair aggregation."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + f""",
+degall AS MATERIALIZED (SELECT a AS c, COUNT(*) AS d FROM sym GROUP BY a),
+degc AS MATERIALIZED (
+  SELECT c, d FROM degall WHERE d >= 2 AND d <= {max_center_degree}),
+nb AS MATERIALIZED (
+  SELECT s.a AS c, s.b AS n,
+         CAST(1.0 AS DOUBLE) / CAST(degc.d AS DOUBLE) AS ra_w
+  FROM sym s JOIN degc ON s.a = degc.c),
+prs AS MATERIALIZED (
+  SELECT u.n AS id_a, v.n AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS common,
+         SUM(u.ra_w) AS ra_raw
+  FROM nb u JOIN nb v ON u.c = v.c AND u.n < v.n
+  GROUP BY u.n, v.n
+  HAVING COUNT(*) >= {min_common})
+SELECT p.id_a, p.id_b, p.common,
+       ROUND(CAST(p.common AS DOUBLE)
+             / CAST(da.d + db.d - p.common AS DOUBLE), {round_to})
+         AS jaccard,
+       ROUND(p.ra_raw, {round_to}) AS resource_alloc,
+       CAST(da.d * db.d AS BIGINT) AS pref_attach
+FROM prs p
+JOIN degall da ON da.c = p.id_a
+JOIN degall db ON db.c = p.id_b"""
+    )
+
+
+def closeness_fixed_sql(
+    sources: tuple[int, ...], iters: int, round_to: int = 9
+) -> str:
+    """Unrolled multi-source BFS + Wasserman–Faust closeness of each
+    source: (reached / sum dist) * (reached / (n - 1))."""
+    parts = []
+    finals = []
+    for k, s in enumerate(sources):
+        parts.append(
+            f"c{k}b0 AS MATERIALIZED (SELECT CAST({s} AS BIGINT) AS id, 0 AS dist)"
+        )
+        for i in range(iters):
+            p, c = f"c{k}b{i}", f"c{k}b{i + 1}"
+            parts.append(
+                f"""{c} AS MATERIALIZED (
+  SELECT id, CAST(MIN(dist) AS INT) AS dist FROM (
+    SELECT id, dist FROM {p}
+    UNION ALL
+    SELECT e.dst AS id, b.dist + 1 AS dist
+    FROM {p} b JOIN e ON b.id = e.src
+  ) GROUP BY id)"""
+            )
+        finals.append(
+            f"SELECT CAST({s} AS BIGINT) AS source, id, dist FROM c{k}b{iters}"
+        )
+    union = "\nUNION ALL\n".join(finals)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f""",
+alld AS MATERIALIZED ({union})
+SELECT source, CAST(COUNT(*) AS BIGINT) AS reached,
+       ROUND((CAST(COUNT(*) AS DOUBLE) / SUM(CAST(dist AS DOUBLE)))
+             * (CAST(COUNT(*) AS DOUBLE) / ((SELECT n FROM nn) - 1.0)),
+             {round_to}) AS closeness
+FROM alld WHERE dist > 0 GROUP BY source"""
+    )
+
+
 def katz_fixed_sql(alpha: float, iters: int, round_to: int = 9) -> str:
     """Unrolled Katz centrality: x = 1 + alpha * A^T x from x0 = 1.
     Output (id, katz) rounded."""
@@ -2240,4 +2319,89 @@ def spam_mass_sql(
 SELECT r.id,
        ROUND((r.rank - t.rank) / r.rank, {round_to}) AS spam_mass
 FROM r{iters} r JOIN t{iters} t ON r.id = t.id"""
+    )
+
+
+def _landmark_label_ctes(landmarks: tuple[int, ...], iters: int) -> str:
+    """CTE chain ending in ``lbl`` (landmark, id, d_from, d_to) — the
+    plans/bfs.py::landmark_labels twin (forward + reversed-edge
+    multi-source BFS, -1 = unreachable within the hop budget)."""
+    parts = ["er AS MATERIALIZED (SELECT dst AS src, src AS dst FROM e)"]
+    f_finals, b_finals = [], []
+    for k, s in enumerate(landmarks):
+        for tag, rel, finals in (("f", "e", f_finals), ("g", "er", b_finals)):
+            parts.append(
+                f"{tag}{k}b0 AS MATERIALIZED "
+                f"(SELECT CAST({s} AS BIGINT) AS id, 0 AS dist)"
+            )
+            for i in range(iters):
+                p, c = f"{tag}{k}b{i}", f"{tag}{k}b{i + 1}"
+                parts.append(
+                    f"""{c} AS MATERIALIZED (
+  SELECT id, CAST(MIN(dist) AS INT) AS dist FROM (
+    SELECT id, dist FROM {p}
+    UNION ALL
+    SELECT r.dst AS id, b.dist + 1 AS dist
+    FROM {p} b JOIN {rel} r ON b.id = r.src
+  ) GROUP BY id)"""
+                )
+            finals.append(
+                f"SELECT CAST({s} AS BIGINT) AS landmark, id, dist "
+                f"FROM {tag}{k}b{iters}"
+            )
+    parts.append(
+        "lfwd AS MATERIALIZED (" + "\nUNION ALL\n".join(f_finals) + ")"
+    )
+    parts.append(
+        "lbwd AS MATERIALIZED (" + "\nUNION ALL\n".join(b_finals) + ")"
+    )
+    parts.append(
+        """lbl AS MATERIALIZED (
+  SELECT COALESCE(f.landmark, g.landmark) AS landmark,
+         COALESCE(f.id, g.id) AS id,
+         CAST(COALESCE(f.dist, -1) AS INT) AS d_from,
+         CAST(COALESCE(g.dist, -1) AS INT) AS d_to
+  FROM lfwd f FULL OUTER JOIN lbwd g
+    ON f.landmark = g.landmark AND f.id = g.id)"""
+    )
+    return ",\n".join(parts)
+
+
+def landmark_labels_sql(landmarks: tuple[int, ...], iters: int) -> str:
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + _landmark_label_ctes(landmarks, iters)
+        + "\nSELECT landmark, id, d_from, d_to FROM lbl"
+    )
+
+
+def landmark_dist_est_sql(
+    landmarks: tuple[int, ...],
+    iters: int,
+    pair_ids: tuple[int, ...],
+) -> str:
+    """Distance-oracle query-path twin: est(u, w) = min over landmarks
+    of d_to(u) + d_from(w) for all ordered pairs u <> w drawn from
+    ``pair_ids``."""
+    vals = ", ".join(f"(CAST({int(i)} AS BIGINT))" for i in pair_ids)
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + _landmark_label_ctes(landmarks, iters)
+        + f""",
+qids AS MATERIALIZED (SELECT i FROM (VALUES {vals}) t(i)),
+qpairs AS MATERIALIZED (
+  SELECT a.i AS u, b.i AS w FROM qids a JOIN qids b ON a.i <> b.i)
+SELECT p.u, p.w,
+       CAST(MIN(ul.d_to + wl.d_from) AS INT) AS dist_est
+FROM qpairs p
+JOIN lbl ul ON ul.id = p.u AND ul.d_to >= 0
+JOIN lbl wl ON wl.id = p.w AND wl.d_from >= 0
+           AND wl.landmark = ul.landmark
+GROUP BY p.u, p.w"""
     )

@@ -121,3 +121,97 @@ def harmonic_centrality(
             F.sum(F.lit(1.0) / F.col("dist").cast("double")), round_to
         ).alias("harmonic"),
     )
+
+
+def closeness_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: list[int],
+    *,
+    fixed_iters: int = 8,
+    round_to: int = 9,
+) -> DataFrame:
+    """(source, reached, closeness) — Wasserman–Faust closeness of each
+    sampled source over its ``fixed_iters``-hop reachable set:
+    (reached / sum of dist) · (reached / (n - 1)), the standard
+    disconnected-graph correction (n = vertex count of the graph).
+    Same sampled-source estimator shape as :func:`harmonic_centrality`
+    — one multi-source superstep loop, never all-pairs."""
+    n = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    d = bfs_distances_multi(
+        spark, edges, sources, fixed_iters=fixed_iters
+    ).where(F.col("dist") > 0)
+    reached = F.count(F.lit(1)).cast("bigint")
+    return d.groupBy("source").agg(
+        reached.alias("reached"),
+        F.round(
+            (reached.cast("double") / F.sum(F.col("dist").cast("double")))
+            * (reached.cast("double") / F.lit(float(n - 1))),
+            round_to,
+        ).alias("closeness"),
+    )
+
+
+def landmark_labels(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: list[int],
+    *,
+    fixed_iters: int = 6,
+) -> DataFrame:
+    """Landmark distance-label index (the sampled-landmark form of
+    2-hop/pruned landmark labeling, Akiba et al. SIGMOD'13): for every
+    vertex, the directed hop distance FROM each landmark (``d_from``)
+    and TO each landmark (``d_to``, BFS over reversed edges), bounded
+    by the hop budget; -1 marks unreachable-within-budget.  The
+    linear-size index behind constant-time distance estimation at web
+    scale: est(u, w) = min over landmarks l of d_to(u,l) + d_from(l,w)
+    (an upper bound, exact when a shortest path crosses a landmark).
+
+    Both directions run as ONE multi-source superstep loop each
+    ((landmark, id)-keyed state, same hygiene as every engine BFS)."""
+    fwd = bfs_distances_multi(spark, edges, landmarks, fixed_iters=fixed_iters)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd = bfs_distances_multi(spark, rev, landmarks, fixed_iters=fixed_iters)
+    f = fwd.select(
+        F.col("source").alias("landmark"), "id", F.col("dist").alias("d_from")
+    )
+    b = bwd.select(
+        F.col("source").alias("landmark"), "id", F.col("dist").alias("d_to")
+    )
+    return (
+        f.join(b, ["landmark", "id"], "full_outer")
+        .select(
+            "landmark",
+            "id",
+            F.coalesce("d_from", F.lit(-1)).cast("int").alias("d_from"),
+            F.coalesce("d_to", F.lit(-1)).cast("int").alias("d_to"),
+        )
+    )
+
+
+def landmark_distance_estimates(
+    labels: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Distance-oracle query path over :func:`landmark_labels`: for each
+    (u, w) row in ``pairs``, est = min over landmarks of
+    d_to(u, l) + d_from(l, w); pairs with no common landmark are
+    dropped (unreachable within the index's budget).  Two equi-joins
+    against the linear-size label table — no traversal at query time."""
+    ul = labels.where(F.col("d_to") >= 0).select(
+        F.col("id").alias("u"), "landmark", F.col("d_to").alias("du")
+    )
+    wl = labels.where(F.col("d_from") >= 0).select(
+        F.col("id").alias("w"), "landmark", F.col("d_from").alias("dw")
+    )
+    return (
+        pairs.join(ul, "u")
+        .join(wl, ["landmark", "w"])
+        .groupBy("u", "w")
+        .agg(F.min(F.col("du") + F.col("dw")).cast("int").alias("dist_est"))
+    )

@@ -342,6 +342,64 @@ def test_multi_source_bfs_and_harmonic(spark):
         )
 
 
+def test_landmark_labels_and_estimates(spark):
+    """Landmark distance labels vs a literal BFS mirror, and the
+    distance-oracle estimate: exact when a shortest path crosses a
+    landmark, an upper bound otherwise, absent when no landmark links
+    the pair."""
+    from graphjet_spark.plans.bfs import (
+        landmark_distance_estimates,
+        landmark_labels,
+    )
+
+    # 1->2->3->4->5 chain, a 1->5 shortcut, and an island 8->9.
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5), (8, 9)]
+    df = edges_df(spark, pairs)
+    lms = [3, 5]
+
+    def bfs(adj, s):
+        dist, frontier = {s: 0}, [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    fwd_adj, rev_adj = {}, {}
+    for s, d in pairs:
+        fwd_adj.setdefault(s, []).append(d)
+        rev_adj.setdefault(d, []).append(s)
+    nodes = {v for e in pairs for v in e}
+    want = {}
+    for lm in lms:
+        f, b = bfs(fwd_adj, lm), bfs(rev_adj, lm)
+        for v in nodes:
+            if v in f or v in b:
+                want[(lm, v)] = (f.get(v, -1), b.get(v, -1))
+    got = {
+        (r["landmark"], r["id"]): (r["d_from"], r["d_to"])
+        for r in landmark_labels(spark, df, lms, fixed_iters=6).collect()
+    }
+    assert got == want
+
+    labels = landmark_labels(spark, df, lms, fixed_iters=6)
+    qp = spark.createDataFrame(
+        [(1, 4), (2, 5), (1, 9), (8, 9)], "u bigint, w bigint"
+    )
+    est = {
+        (r["u"], r["w"]): r["dist_est"]
+        for r in landmark_distance_estimates(labels, qp).collect()
+    }
+    # 1->4 through landmark 3 is exact (d(1,3)=2, d(3,4)=1); 2->5
+    # through 3 gives 1+2=3 but through 5 gives d(2,5)=3+0 — min is 3
+    # (true dist 3); island pairs never share a landmark.
+    assert est == {(1, 4): 3, (2, 5): 3}
+
+
 def test_adamic_adar_mirror(spark):
     """Degree-capped Adamic-Adar vs a literal Python mirror, including
     the cap excluding a hub center."""
@@ -385,6 +443,94 @@ def test_adamic_adar_mirror(spark):
     # the hub's pairs (20,21)... via center 9 must be absent: 9 exceeds cap
     assert all(not (20 <= a < 30 and 20 <= b < 30) or (a, b) == (20, 21)
                for a, b in got)
+
+
+def test_link_prediction_family_mirror(spark):
+    """Common/Jaccard/resource-allocation/preferential-attachment vs a
+    literal mirror; capped intersection term, true endpoint degrees."""
+    from graphjet_spark.operators.linkpred import link_prediction_scores
+
+    pairs = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+        + [(9, k) for k in range(20, 30)]
+        + [(20, 21)]
+    )
+    cap = 4
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    acc: dict[tuple[int, int], tuple[int, float]] = {}
+    for c, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2 or d > cap:
+            continue
+        for u in nbrs:
+            for v in nbrs:
+                if u < v:
+                    cm, ra = acc.get((u, v), (0, 0.0))
+                    acc[(u, v)] = (cm + 1, ra + 1.0 / d)
+    want = {}
+    for (u, v), (cm, ra) in acc.items():
+        if cm < 2:
+            continue
+        du, dv = len(adj[u]), len(adj[v])
+        want[(u, v)] = (cm, cm / (du + dv - cm), ra, du * dv)
+
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["common"], r["jaccard"], r["resource_alloc"], r["pref_attach"]
+        )
+        for r in link_prediction_scores(
+            spark, edges_df(spark, pairs), max_center_degree=cap, min_common=2
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-6)
+        assert got[k][3] == want[k][3]
+
+
+def test_closeness_mirror(spark):
+    """Sampled-source closeness vs a literal BFS mirror on a graph with
+    an unreachable island (the Wasserman–Faust correction case)."""
+    from graphjet_spark.plans.bfs import closeness_centrality
+
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (4, 6), (8, 9)]
+    adj: dict[int, list[int]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    nodes = {v for e in pairs for v in e}
+    n = len(nodes)
+
+    def bfs(s):
+        dist, frontier = {s: 0}, [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        del dist[s]
+        return dist
+
+    got = {
+        r["source"]: (r["reached"], r["closeness"])
+        for r in closeness_centrality(
+            spark, edges_df(spark, pairs), [1, 8], fixed_iters=8
+        ).collect()
+    }
+    for s in (1, 8):
+        d = bfs(s)
+        r = len(d)
+        expect = (r / sum(d.values())) * (r / (n - 1))
+        assert got[s][0] == r
+        assert got[s][1] == pytest.approx(expect, abs=1e-9)
 
 
 def test_katz_mirror(spark):
