@@ -1184,6 +1184,25 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
 
+CROSSDOC_N = 3
+
+
+def _q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct token n-grams shared with any other
+    document (Gopher/RefinedWeb-style inter-doc duplication profile)."""
+    from graphjet_spark.operators.dedup import crossdoc_dup_fraction
+
+    return crossdoc_dup_fraction(_docs(spark, sf_dir), n=CROSSDOC_N)
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-likelihood per doc under the corpus's own
+    distribution (the KenLM-filter stand-in)."""
+    from graphjet_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 DECON_N = 3
 DECON_MOD = 97
 
@@ -1339,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
+        "crossdoc_dup_fraction": _q_crossdoc_dup,
+        "unigram_logprob": _q_unigram_logprob,
         "repetition_stats": _q_repetition,
         "tfidf_top_terms": _q_tfidf,
         "collocations_pmi": _q_collocations,
@@ -1585,6 +1606,8 @@ GROUP BY s.seed ORDER BY s.seed
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
+        "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),
+        "unigram_logprob": oracles.unigram_logprob_sql(),
         "repetition_stats": oracles.repetition_stats_sql(),
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
         "collocations_pmi": oracles.collocations_pmi_sql(5),

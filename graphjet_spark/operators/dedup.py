@@ -859,3 +859,56 @@ def exact_substring_pairs(
         .agg(F.count(F.lit(1)).alias("shared_windows"))
         .where(F.col("shared_windows") >= min_shared)
     )
+
+
+def crossdoc_dup_fraction(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_grams, dup_grams, dup_fraction) — for each document,
+    the fraction of its DISTINCT token n-grams that also occur in at
+    least one other document (the inter-document duplication profile
+    behind Gopher/RefinedWeb-style corpus audits: a high fraction marks
+    boilerplate or templated scrapes that exact/near dedup missed at
+    the whole-document grain).
+
+    Plan shape is linear in gram volume at any corpus size: one
+    distinct over (doc_id, gram), one groupBy gram for document
+    frequency, one equi-join back, one groupBy doc_id — no doc x doc
+    pairing anywhere.  Docs with fewer than ``n`` tokens report zero
+    grams and 0.0 fraction (kept: absence of evidence is a value)."""
+    grams = token_sets(docs, text_col, n)
+    df = grams.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("dup_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("dup_grams").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    round_to,
+                )
+            )
+            .alias("dup_fraction"),
+        )
+    )

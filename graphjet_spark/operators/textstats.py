@@ -368,3 +368,42 @@ def collocations_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, *, text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — mean natural-log likelihood of
+    each document's tokens under the corpus's own unigram distribution
+    (p(tok) = corpus count / corpus total).  The cheap stand-in for the
+    KenLM-perplexity filter in CCNet-style pipelines: documents far
+    below the corpus mode (gibberish, wrong-language, encoding damage)
+    score sharply lower without any trained model.
+
+    Two linear passes over the token stream: one groupBy tok for the
+    corpus counts (map-side combined), one equi-join of the exploded
+    tokens back to those counts folded per doc.  Zero-token docs are
+    dropped (no likelihood is defined for them)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        F.col("cnt").cast("double")
+                        / F.col("tot").cast("double")
+                    )
+                ),
+                round_to,
+            ).alias("avg_logprob"),
+        )
+    )

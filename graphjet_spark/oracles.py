@@ -1687,6 +1687,63 @@ GROUP BY g.doc_id
 """
 
 
+def crossdoc_dup_fraction_sql(n: int = 3, round_to: int = 6) -> str:
+    """Twin of operators/dedup.py::crossdoc_dup_fraction — fraction of
+    each doc's distinct token n-grams occurring in >= 2 documents."""
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    gram_list = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n} + 2), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({gram_list}) AS tok FROM w)
+  WHERE tok <> ''),
+gdf AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS df FROM grams GROUP BY tok),
+per_doc AS MATERIALIZED (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_grams
+  FROM grams g JOIN gdf ON g.tok = gdf.tok
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.dup_grams, 0) AS dup_grams,
+       CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(p.dup_grams AS DOUBLE)
+                       / CAST(p.n_grams AS DOUBLE), {round_to}) END
+         AS dup_fraction
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def unigram_logprob_sql(round_to: int = 6) -> str:
+    """Twin of operators/textstats.py::unigram_logprob — mean ln
+    likelihood of each doc's tokens under the corpus unigram model."""
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+cnts AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM cnts)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN(CAST(c.cnt AS DOUBLE) / (SELECT tot FROM tot))),
+             {round_to}) AS avg_logprob
+FROM toks t JOIN cnts c ON t.tok = c.tok
+GROUP BY t.doc_id
+"""
+
+
 def one_mode_projection_sql(
     min_cooccurrence: int = 2, max_edges_per_node: int = 500
 ) -> str:

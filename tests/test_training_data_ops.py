@@ -868,3 +868,80 @@ def test_exact_substring_pairs_matches_mirror(spark, docs):
     }
     assert got == dict(want)
     assert got[(0, 1)] == 7 and got[(0, 2)] == 5  # full dup vs prefix run
+
+
+def test_crossdoc_dup_fraction_mirror(spark, docs):
+    """Inter-document duplicated-n-gram fraction vs a literal mirror
+    over the fixture corpus (exact dup pair, a near dup, an island,
+    and an empty doc)."""
+    from graphjet_spark.operators.dedup import crossdoc_dup_fraction
+
+    n = 3
+    grams: dict[int, set[str]] = {}
+    for doc_id, text in DOCS:
+        toks = text.split()
+        grams[doc_id] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    df: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    want = {}
+    for doc_id, gs in grams.items():
+        dup = sum(1 for g in gs if df[g] >= 2)
+        want[doc_id] = (
+            len(gs),
+            dup,
+            round(dup / len(gs), 6) if gs else 0.0,
+        )
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_fraction"])
+        for r in crossdoc_dup_fraction(spark.createDataFrame(
+            DOCS, "doc_id bigint, text string"
+        ), n=n).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == want[k][1], k
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-9)
+    # the exact-dup pair shares every gram; the island shares none
+    assert got[0][2] == 1.0 and got[1][2] == 1.0 and got[3][2] == 0.0
+
+
+def test_unigram_logprob_mirror(spark, docs):
+    """Corpus-unigram mean log-likelihood vs a literal mirror; empty
+    docs are absent, rarer-vocabulary docs score lower."""
+    import math
+
+    from graphjet_spark.operators.textstats import unigram_logprob
+
+    counts: dict[str, int] = {}
+    for _, text in DOCS:
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    want = {}
+    for doc_id, text in DOCS:
+        toks = text.split()
+        if not toks:
+            continue
+        want[doc_id] = (
+            len(toks),
+            sum(math.log(counts[t] / total) for t in toks) / len(toks),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(spark.createDataFrame(
+            DOCS, "doc_id bigint, text string"
+        )).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
+    # the German doc's vocabulary is rarer than the repeated English one
+    assert got[4][1] < got[0][1]
