@@ -470,6 +470,21 @@ def _q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKIPGRAM_WINDOW = 2
 
 
+N2V_WEIGHTS = (1, 2, 4)  # integer 1/p, 1, 1/q for p=2, q=0.5 (DFS-leaning)
+
+
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased (node2vec) hash walks — deterministic, so
+    value-oracled unlike seeded-RNG walkers."""
+    from graphjet_spark.plans.walks import node2vec_walk_corpus
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    wr, wn, wf = N2V_WEIGHTS
+    return node2vec_walk_corpus(
+        spark, edges, length=WALK_LEN, w_return=wr, w_neighbor=wn, w_far=wf
+    )
+
+
 def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.walks import hash_walk_corpus, skipgram_pairs
 
@@ -1304,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
         "walk_corpus": _q_walk_corpus,
+        "node2vec_walks": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "katz_centrality": _q_katz,
         "eigenvector_centrality": _q_eigenvector,
@@ -1504,6 +1520,7 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),
         "walk_corpus": oracles.hash_walk_corpus_sql(WALK_LEN),
+        "node2vec_walks": oracles.node2vec_walks_sql(WALK_LEN, *N2V_WEIGHTS),
         "skipgram_pairs": oracles.skipgram_pairs_sql(
             WALK_LEN, SKIPGRAM_WINDOW
         ),

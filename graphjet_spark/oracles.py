@@ -1859,6 +1859,65 @@ def hash_walk_corpus_sql(length: int = 4) -> str:
     )
 
 
+def node2vec_walks_sql(
+    length: int = 4, w_return: int = 1, w_neighbor: int = 2, w_far: int = 4
+) -> str:
+    """Twin of plans/walks.py::node2vec_walk_corpus — second-order
+    biased hash walks with exact integer cumulative-weight selection.
+    Output (walk_id, step, vertex)."""
+
+    def h(i: int) -> str:
+        return (
+            f"(('0x' || substr(md5(walk_id || ':' || '{i}'), 1, 15))::BIGINT)"
+        )
+
+    parts = [
+        """adjp AS MATERIALIZED (
+  SELECT src, dst AS x,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS pos
+  FROM e)""",
+        "dgp AS MATERIALIZED (SELECT src, MAX(pos) AS d FROM adjp GROUP BY src)",
+        f"""n2w1 AS MATERIALIZED (
+  SELECT s.src AS walk_id, s.src AS prev, a.x AS vertex
+  FROM dgp s JOIN adjp a ON a.src = s.src
+   AND a.pos = ((('0x' || substr(md5(s.src || ':' || '1'), 1, 15))::BIGINT
+                 % s.d) + 1))""",
+    ]
+    finals = [
+        "SELECT src AS walk_id, 0 AS step, src AS vertex FROM dgp",
+        "SELECT walk_id, 1 AS step, vertex FROM n2w1",
+    ]
+    for i in range(2, length + 1):
+        parts.append(
+            f"""n2c{i} AS MATERIALIZED (
+  SELECT f.walk_id, f.prev, f.vertex AS cur, a.pos, a.x,
+         CASE WHEN a.x = f.prev THEN {w_return}
+              WHEN en.src IS NOT NULL THEN {w_neighbor}
+              ELSE {w_far} END AS w
+  FROM n2w{i - 1} f JOIN adjp a ON a.src = f.vertex
+  LEFT JOIN e en ON en.src = f.prev AND en.dst = a.x)"""
+        )
+        parts.append(
+            f"""n2w{i} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, x AS vertex FROM (
+    SELECT walk_id, cur, x, w, pos,
+           SUM(w) OVER (PARTITION BY walk_id) AS tot,
+           SUM(w) OVER (PARTITION BY walk_id ORDER BY pos) AS cum
+    FROM n2c{i}) t
+  WHERE cum - w <= ({h(i)} % tot) AND ({h(i)} % tot) < cum)"""
+        )
+        finals.append(f"SELECT walk_id, {i} AS step, vertex FROM n2w{i}")
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
 def skipgram_pairs_sql(length: int = 4, window: int = 2) -> str:
     """Skip-gram pairs over the deterministic hash-walk corpus."""
     base = hash_walk_corpus_sql(length)

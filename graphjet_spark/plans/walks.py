@@ -110,3 +110,141 @@ def skipgram_pairs(
     return joined.groupBy("center", "context").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+def node2vec_walk_corpus(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    length: int = 4,
+    w_return: int = 1,
+    w_neighbor: int = 2,
+    w_far: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(walk_id, step, vertex) — second-order biased walks (node2vec,
+    Grover & Leskovec KDD'16) in the same deterministic-hash form as
+    :func:`hash_walk_corpus`: candidate j among cur's sorted neighbors
+    gets INTEGER weight ``w_return`` if it is the previous vertex,
+    ``w_neighbor`` if it is also an out-neighbor of the previous vertex
+    (distance 1), else ``w_far`` (distance 2) — the integer form of
+    node2vec's 1/p, 1, 1/q (e.g. p=2, q=0.5 -> 1, 2, 4).  The step picks
+    the candidate whose exact integer cumulative-weight interval
+    contains H(walk, i) mod total_weight, so the corpus is a pure
+    function of the graph and value-comparable across engines — no
+    float cumsum, no RNG state.
+
+    Step 1 has no previous vertex and uses the first-order uniform-hash
+    rule (same as hash_walk_corpus).  Walks stop at sinks.
+
+    Scale shape per step: one equi-join of the walk frontier against
+    the positioned adjacency (fan-out = out-degree), one equi-join
+    against the edge set for the distance-1 mark, and two window
+    functions partitioned per walk (tiny per-walk groups).  The
+    positioned adjacency and edge tables build once and persist across
+    all steps."""
+    from pyspark.sql import Window
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(partitions, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    adjpos = (
+        e.select(
+            "src",
+            F.col("dst").alias("x"),
+            F.row_number()
+            .over(Window.partitionBy("src").orderBy("dst"))
+            .alias("pos"),
+        )
+        .repartition(partitions, "src")
+        .persist()
+    )
+    deg = adjpos.groupBy("src").agg(F.max("pos").alias("d"))
+    e.count(), adjpos.count()
+
+    starts = adjpos.select("src").distinct()
+    # step 1: first-order uniform hash over the sorted adjacency
+    f1 = (
+        starts.join(deg, "src")
+        .select(
+            F.col("src").alias("walk_id"),
+            F.col("src").alias("prev"),
+            (F.pmod(_step_hash("src", 1), F.col("d")) + 1).alias("pick"),
+        )
+        .join(
+            adjpos,
+            (F.col("prev") == adjpos.src) & (F.col("pick") == adjpos.pos),
+        )
+        .select("walk_id", "prev", F.col("x").alias("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    out = [
+        starts.select(
+            F.col("src").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("vertex"),
+        ),
+        f1.select("walk_id", F.lit(1).alias("step"), "vertex"),
+    ]
+
+    frontier = f1  # (walk_id, prev, vertex)
+    prev_edge = e.select(
+        F.col("src").alias("p2"), F.col("dst").alias("x2")
+    )
+    ww = Window.partitionBy("walk_id")
+    wcum = Window.partitionBy("walk_id").orderBy("pos")
+    for i in range(2, length + 1):
+        cand = (
+            frontier.join(adjpos, frontier.vertex == adjpos.src)
+            .join(
+                prev_edge,
+                (F.col("prev") == F.col("p2")) & (F.col("x") == F.col("x2")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "prev",
+                F.col("vertex").alias("cur"),
+                "pos",
+                "x",
+                F.when(F.col("x") == F.col("prev"), F.lit(w_return))
+                .when(F.col("p2").isNotNull(), F.lit(w_neighbor))
+                .otherwise(F.lit(w_far))
+                .cast("bigint")
+                .alias("w"),
+            )
+        )
+        picked = (
+            cand.withColumn("tot", F.sum("w").over(ww))
+            .withColumn("cum", F.sum("w").over(wcum))
+            .where(
+                (F.col("cum") - F.col("w"))
+                <= F.pmod(_step_hash("walk_id", i), F.col("tot"))
+            )
+            .where(
+                F.pmod(_step_hash("walk_id", i), F.col("tot")) < F.col("cum")
+            )
+            .select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("x").alias("vertex"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            picked.select("walk_id", F.lit(i).alias("step"), "vertex")
+        )
+        frontier = picked
+
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    e.unpersist()
+    adjpos.unpersist()
+    return result

@@ -656,6 +656,70 @@ def test_hash_walk_corpus_properties(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_node2vec_walks_mirror(spark):
+    """Second-order biased hash walks vs a literal Python mirror of
+    the node2vec selection rule (exact integer cumulative weights,
+    md5-prefix hash), plus partitioning independence."""
+    import hashlib
+
+    from graphjet_spark.plans.walks import node2vec_walk_corpus
+
+    pairs = [(1, 2), (1, 3), (2, 1), (2, 3), (2, 4), (3, 4), (4, 1), (5, 6)]
+    length, wr, wn, wf = 5, 1, 2, 4
+
+    out: dict[int, list[int]] = {}
+    for s, d in pairs:
+        out.setdefault(s, []).append(d)
+    for v in out:
+        out[v].sort()
+
+    def h(walk_id: int, step: int) -> int:
+        return int(hashlib.md5(f"{walk_id}:{step}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for start in out:
+        walk = [start]
+        # step 1: first-order uniform hash
+        nbrs = out[start]
+        walk.append(nbrs[h(start, 1) % len(nbrs)])
+        for i in range(2, length + 1):
+            cur, prev = walk[-1], walk[-2]
+            if cur not in out:
+                break
+            cand = out[cur]
+            ws = [
+                wr if x == prev else (wn if x in out.get(prev, ()) else wf)
+                for x in cand
+            ]
+            r = h(start, i) % sum(ws)
+            cum = 0
+            for x, w in zip(cand, ws):
+                cum += w
+                if r < cum:
+                    walk.append(x)
+                    break
+        for step, v in enumerate(walk):
+            want[(start, step)] = v
+
+    df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    got = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in node2vec_walk_corpus(
+            spark, df, length=length, w_return=wr, w_neighbor=wn, w_far=wf
+        ).collect()
+    }
+    assert got == want
+
+    got2 = {
+        (r["walk_id"], r["step"]): r["vertex"]
+        for r in node2vec_walk_corpus(
+            spark, df.repartition(7), length=length,
+            w_return=wr, w_neighbor=wn, w_far=wf,
+        ).collect()
+    }
+    assert got2 == got
+
+
 def test_eigenvector_centrality_mirror(spark):
     """Eigenvector centrality vs a literal numpy power-iteration mirror
     over the symmetrized graph."""
