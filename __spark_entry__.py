@@ -1111,6 +1111,47 @@ def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _keep_list(spark, sf_dir)
 
 
+def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-provenance dedup leakage — which feeds are flooding the
+    corpus with near-duplicates (drop a feed, not a document)."""
+    kl = _keep_list(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", "source")
+        .join(kl, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("keep_id") == F.col("doc_id")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+PL_DMIN = 2
+
+
+def _q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law exponent (CSN'09 MLE) — the
+    one-number shape audit of a crawled webgraph."""
+    from graphjet_spark.plans.graphstats import powerlaw_alpha
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return powerlaw_alpha(edges, dmin=PL_DMIN)
+
+
 SAMPLE_FRACS = {"en": 0.5, "fr": 0.25}
 SAMPLE_DEFAULT = 0.1
 
@@ -1335,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": _q_local_clustering,
         "reciprocity": _q_reciprocity,
         "degree_assortativity": _q_assortativity,
+        "powerlaw_alpha": _q_powerlaw_alpha,
         "rich_club": _q_rich_club,
         "intersection_similarity_cosine": _q_similarity,
         "intersection_similarity_jaccard": _q_similarity_jaccard,
@@ -1364,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "exact_substring_dups": _q_exact_substring,
         "dedup_keep_list": _q_dedup_keep_list,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         "corpus_select": _q_corpus_select,
         "corpus_sample": _q_corpus_sample,
         "source_quality_rollup": _q_source_rollup,
@@ -1548,6 +1591,10 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "local_clustering": oracles.local_clustering_sql(),
         "reciprocity": oracles.reciprocity_sql(),
         "degree_assortativity": oracles.degree_assortativity_sql(),
+        "powerlaw_alpha": oracles.powerlaw_alpha_sql(PL_DMIN),
+        "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(
+            0.9, cc_iters=12
+        ),
         "rich_club": oracles.rich_club_sql(RICH_CLUB_KS),
         "intersection_similarity_cosine": oracles.similarity_cosine_sql(),
         "intersection_similarity_jaccard": oracles.similarity_jaccard_sql(),

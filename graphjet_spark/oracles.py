@@ -1081,6 +1081,46 @@ WHERE k.keep_id = k.doc_id AND q.quality >= {min_quality}
 """
 
 
+def dedup_rate_by_source_sql(
+    threshold: float = 0.9, cc_iters: int = 12, round_to: int = 6
+) -> str:
+    """Per-provenance dedup leakage: docs vs surviving keepers per
+    source (composes the keep-list oracle with the documents table)."""
+    return f"""
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k.keep_id = k.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       ROUND(1.0 - CAST(SUM(CASE WHEN k.keep_id = k.doc_id THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), {round_to})
+         AS dup_rate
+FROM documents d
+JOIN ({dedup_keep_list_sql(threshold, iters=cc_iters).strip()}) k
+  ON d.doc_id = k.doc_id
+GROUP BY d.source
+"""
+
+
+def powerlaw_alpha_sql(dmin: int = 2, round_to: int = 6) -> str:
+    """Twin of plans/graphstats.py::powerlaw_alpha — CSN'09 continuous
+    MLE over symmetrized degrees >= dmin."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + f""",
+dg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS d FROM sym GROUP BY a),
+tl AS MATERIALIZED (SELECT d FROM dg WHERE d >= {dmin})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+       CAST({dmin} AS INT) AS dmin,
+       ROUND(CASE WHEN COUNT(*) > 0 THEN
+         1.0 + CAST(COUNT(*) AS DOUBLE)
+               / SUM(LN(CAST(d AS DOUBLE) / {dmin - 0.5!r}))
+         ELSE NULL END, {round_to}) AS alpha
+FROM tl"""
+    )
+
+
 def degree_histogram_sql() -> str:
     """A9 power-law histogram over graph_edges out-degrees; bucket =
     integer bit-length - 1 (cross-engine-stable floor(log2))."""

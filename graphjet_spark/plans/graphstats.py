@@ -203,3 +203,38 @@ def rich_club(
             ).alias("phi"),
         )
     )
+
+
+def powerlaw_alpha(
+    edges: DataFrame, *, dmin: int = 2, round_to: int = 6
+) -> DataFrame:
+    """One row (n_tail, dmin, alpha) — maximum-likelihood power-law
+    exponent of the degree distribution over the symmetrized graph
+    (Clauset, Shalizi & Newman SIAM Rev. 2009, continuous approximation
+    for discrete data: alpha = 1 + n / Σ ln(d / (dmin − ½)) over
+    vertices with degree ≥ dmin).  THE one-number shape audit of a
+    crawled webgraph — a fitted alpha far from ~2.1 flags a broken or
+    spam-inflated crawl before any downstream algorithm runs.
+
+    One degree aggregation + one filtered scalar fold; NULL when no
+    vertex reaches dmin."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    tail = deg.where(F.col("d") >= dmin)
+    stats = tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum(
+            F.log(F.col("d").cast("double") / F.lit(dmin - 0.5))
+        ).alias("slog"),
+    )
+    alpha = F.when(
+        F.col("n_tail") > 0,
+        F.lit(1.0) + F.col("n_tail").cast("double") / F.col("slog"),
+    ).otherwise(F.lit(None).cast("double"))
+    return stats.select(
+        "n_tail",
+        F.lit(dmin).cast("int").alias("dmin"),
+        F.round(alpha, round_to).alias("alpha"),
+    )

@@ -233,6 +233,29 @@ def test_reciprocity_mirror(spark):
     assert row["reciprocity"] == pytest.approx(4 / 5, abs=1e-6)
 
 
+def test_powerlaw_alpha_mirror(spark):
+    """CSN'09 degree-exponent MLE vs a literal mirror (star + chain:
+    mixed degrees, dmin filter excludes the leaves)."""
+    import math
+
+    from graphjet_spark.plans.graphstats import powerlaw_alpha
+
+    pairs = [(1, k) for k in range(2, 8)] + [(2, 3), (3, 4), (8, 9)]
+    dmin = 2
+    deg: dict[int, int] = {}
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tail = [d for d in deg.values() if d >= dmin]
+    alpha = 1.0 + len(tail) / sum(math.log(d / (dmin - 0.5)) for d in tail)
+
+    row = powerlaw_alpha(edges_df(spark, pairs), dmin=dmin).first()
+    assert row["n_tail"] == len(tail)
+    assert row["dmin"] == dmin
+    assert row["alpha"] == pytest.approx(alpha, abs=1e-6)
+
+
 def test_degree_assortativity_mirror(spark):
     from graphjet_spark.plans.graphstats import degree_assortativity
 
