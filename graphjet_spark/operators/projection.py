@@ -120,3 +120,64 @@ def butterfly_count(
         .alias("butterflies")
     )
     return wedges.crossJoin(bfly)
+
+
+def edge_churn_monthly(
+    interactions: DataFrame, *, round_to: int = 6
+) -> DataFrame:
+    """(month_ord, n_edges, retained, added, dropped, churn_rate) — the
+    month-over-month distinct-edge delta profile of the interaction
+    stream: how many edges persist from the previous month, how many
+    are new, how many disappeared (the graph-evolution audit a crawl
+    operator reads to spot feed breaks and burst ingests; Leskovec
+    KDD'05 densification-style bookkeeping).
+
+    ``month_ord`` = year*12 + month of the interaction timestamp.
+    One distinct over (month, src, dst), one self-EQUI-join keyed
+    (src, dst, month-1) — the full edge is in the key, so there is no
+    fan-out — and one per-month fold over the tiny month table.
+    churn_rate = added / n_edges; dropped is NULL when the calendar
+    previous month has no observations (no baseline)."""
+    em = interactions.select(
+        (F.year("ts") * 12 + F.month("ts")).cast("int").alias("m"),
+        "src",
+        "dst",
+    ).distinct()
+    n = em.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    prev = em.select(
+        (F.col("m") + 1).alias("m"), F.col("src"), F.col("dst")
+    )
+    ret = (
+        em.join(prev, ["m", "src", "dst"])
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+    )
+    prev_n = n.select(
+        (F.col("m") + 1).alias("m"), F.col("n_edges").alias("prev_n")
+    )
+    return (
+        n.join(ret, "m", "left")
+        .join(prev_n, "m", "left")
+        .select(
+            F.col("m").alias("month_ord"),
+            "n_edges",
+            F.coalesce("retained", F.lit(0)).cast("bigint").alias("retained"),
+            "prev_n",
+        )
+        .select(
+            "month_ord",
+            "n_edges",
+            "retained",
+            (F.col("n_edges") - F.col("retained"))
+            .cast("bigint")
+            .alias("added"),
+            (F.col("prev_n") - F.col("retained"))
+            .cast("bigint")
+            .alias("dropped"),
+            F.round(
+                (F.col("n_edges") - F.col("retained")).cast("double")
+                / F.col("n_edges").cast("double"),
+                round_to,
+            ).alias("churn_rate"),
+        )
+    )

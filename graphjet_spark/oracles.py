@@ -1784,6 +1784,38 @@ GROUP BY t.doc_id
 """
 
 
+def edge_churn_monthly_sql(round_to: int = 6) -> str:
+    """Twin of operators/projection.py::edge_churn_monthly — distinct
+    month-over-month edge retention/addition/drop counts."""
+    return (
+        oracle_cte().rstrip()
+        + f""",
+em AS MATERIALIZED (
+  SELECT DISTINCT
+         CAST(EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts) AS INT)
+           AS m,
+         src, dst
+  FROM interactions),
+nm AS MATERIALIZED (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_edges FROM em GROUP BY m),
+ret AS MATERIALIZED (
+  SELECT a.m, CAST(COUNT(*) AS BIGINT) AS retained
+  FROM em a JOIN em b
+    ON a.src = b.src AND a.dst = b.dst AND b.m = a.m - 1
+  GROUP BY a.m)
+SELECT n.m AS month_ord,
+       n.n_edges,
+       CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained,
+       CAST(n.n_edges - COALESCE(r.retained, 0) AS BIGINT) AS added,
+       CAST(p.n_edges - COALESCE(r.retained, 0) AS BIGINT) AS dropped,
+       ROUND(CAST(n.n_edges - COALESCE(r.retained, 0) AS DOUBLE)
+             / CAST(n.n_edges AS DOUBLE), {round_to}) AS churn_rate
+FROM nm n
+LEFT JOIN ret r ON n.m = r.m
+LEFT JOIN nm p ON p.m = n.m - 1"""
+    )
+
+
 def one_mode_projection_sql(
     min_cooccurrence: int = 2, max_edges_per_node: int = 500
 ) -> str:
@@ -2214,6 +2246,34 @@ gfin AS MATERIALIZED (
   FROM g{iters})
 SELECT seed, id, ppr FROM gfin WHERE rn <= {k}"""
     )
+
+
+def effective_diameter_sql(
+    iters: int, r: int = 8, q: float = 0.9, phi: float = 0.77351,
+    round_to: int = 6,
+) -> str:
+    """Twin of plans/anf.py::effective_diameter — q-effective diameter
+    interpolated off the ANF neighborhood curve."""
+    return f"""
+WITH h AS MATERIALIZED (
+{anf_histogram_sql(iters, r).strip()}
+),
+nf AS MATERIALIZED (
+  SELECT t,
+         SUM(cnt * POW(2.0, CAST(sketch_sum AS DOUBLE) / {float(r)!r})
+             / {phi!r}) AS nf_est
+  FROM h GROUP BY t),
+mx AS MATERIALIZED (SELECT MAX(nf_est) AS m FROM nf),
+s AS MATERIALIZED (
+  SELECT t, nf_est, LAG(nf_est) OVER (ORDER BY t) AS pnf FROM nf)
+SELECT CAST(t AS INT) AS t90,
+       ROUND(CASE WHEN pnf IS NULL THEN 0.0
+                  ELSE CAST(t - 1 AS DOUBLE)
+                       + ({q!r} * (SELECT m FROM mx) - pnf)
+                         / (nf_est - pnf) END, {round_to}) AS eff_diameter
+FROM s WHERE nf_est >= {q!r} * (SELECT m FROM mx)
+ORDER BY t LIMIT 1
+"""
 
 
 def anf_histogram_sql(iters: int, r: int = 8) -> str:

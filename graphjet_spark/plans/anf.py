@@ -193,3 +193,36 @@ def neighborhood_function(hist: DataFrame, *, r: int = 8) -> DataFrame:
             ).alias("nf_est")
         )
     )
+
+
+def effective_diameter(
+    hist: DataFrame, *, r: int = 8, q: float = 0.9, round_to: int = 6
+) -> DataFrame:
+    """One row (t90, eff_diameter) — the q-effective diameter read off
+    the ANF neighborhood curve (Palmer et al. KDD'02): the smallest hop
+    t with N(t) >= q * N(t_max), linearly interpolated between t-1 and
+    t (the standard hop-plot statistic; 0.0 when the first hop already
+    qualifies).  Folds only the tiny (t, nf_est) curve — every window
+    here runs over <= iters+1 rows."""
+    from pyspark.sql import Window
+
+    nf = neighborhood_function(hist, r=r)
+    mx = nf.agg(F.max("nf_est").alias("m"))
+    s = (
+        nf.crossJoin(F.broadcast(mx))
+        .withColumn("pnf", F.lag("nf_est").over(Window.orderBy("t")))
+        .where(F.col("nf_est") >= F.lit(q) * F.col("m"))
+        .orderBy("t")
+        .limit(1)
+    )
+    return s.select(
+        F.col("t").cast("int").alias("t90"),
+        F.round(
+            F.when(F.col("pnf").isNull(), F.lit(0.0)).otherwise(
+                (F.col("t") - 1).cast("double")
+                + (F.lit(q) * F.col("m") - F.col("pnf"))
+                / (F.col("nf_est") - F.col("pnf"))
+            ),
+            round_to,
+        ).alias("eff_diameter"),
+    )

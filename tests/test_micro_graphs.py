@@ -233,6 +233,96 @@ def test_reciprocity_mirror(spark):
     assert row["reciprocity"] == pytest.approx(4 / 5, abs=1e-6)
 
 
+def test_edge_churn_monthly_mirror(spark):
+    """Month-over-month edge churn vs hand-computed deltas, including
+    a calendar gap month (dropped must be NULL, not lag-to-last)."""
+    from graphjet_spark.operators.projection import edge_churn_monthly
+
+    rows = [
+        # Jan: edges (1,2), (1,3)
+        (1, 2, "2024-01-05"), (1, 3, "2024-01-20"), (1, 2, "2024-01-25"),
+        # Feb: (1,2) retained, (2,3) added
+        (1, 2, "2024-02-10"), (2, 3, "2024-02-11"),
+        # April (March empty): (2,3) present but prev month has nothing
+        (2, 3, "2024-04-01"), (4, 5, "2024-04-02"),
+    ]
+    df = spark.createDataFrame(
+        [(s, d, ts) for s, d, ts in rows], "src bigint, dst bigint, ts string"
+    ).selectExpr("src", "dst", "CAST(ts AS timestamp) AS ts")
+
+    got = {
+        r["month_ord"]: (
+            r["n_edges"], r["retained"], r["added"], r["dropped"],
+            r["churn_rate"],
+        )
+        for r in edge_churn_monthly(df).collect()
+    }
+    jan, feb, apr = 2024 * 12 + 1, 2024 * 12 + 2, 2024 * 12 + 4
+    assert got[jan] == (2, 0, 2, None, 1.0)
+    assert got[feb] == (2, 1, 1, 1, 0.5)   # (1,3) dropped, (2,3) added
+    assert got[apr] == (2, 0, 2, None, 1.0)  # gap month: no baseline
+
+
+def test_effective_diameter_mirror(spark):
+    """ANF sketches + q-effective diameter vs a literal Python mirror
+    (md5 FM masks, bit_or propagation, interpolated hop-plot readout)
+    on a directed chain with a shortcut."""
+    import hashlib
+
+    from graphjet_spark.plans.anf import (
+        ANF_PHI,
+        anf_sketch_histogram,
+        effective_diameter,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4), (7, 1)]
+    iters, r, q = 5, 8, 0.9
+
+    def mask(vid: int, j: int) -> int:
+        h = int(hashlib.md5(f"{vid}:{j}".encode()).hexdigest()[:15], 16)
+        tz = 60 if h == 0 else min(60, (h & -h).bit_length() - 1)
+        return 1 << tz
+
+    nodes = sorted({v for e in pairs for v in e})
+    out: dict[int, list[int]] = {}
+    for s, d in pairs:
+        out.setdefault(s, []).append(d)
+    st = {v: [mask(v, j) for j in range(r)] for v in nodes}
+
+    def lowest_zero(m: int) -> int:
+        return (m ^ (m + 1)).bit_count() - 1
+
+    nf = []
+    for _ in range(iters + 1):
+        nf.append(
+            sum(
+                2.0 ** (sum(lowest_zero(m) for m in st[v]) / r) / ANF_PHI
+                for v in nodes
+            )
+        )
+        nxt = {}
+        for v in nodes:
+            ms = list(st[v])
+            for u in out.get(v, []):
+                for j in range(r):
+                    ms[j] |= st[u][j]
+            nxt[v] = ms
+        st = nxt
+    target = q * max(nf)
+    t90 = next(t for t, x in enumerate(nf) if x >= target)
+    if t90 == 0:
+        want = 0.0
+    else:
+        want = (t90 - 1) + (target - nf[t90 - 1]) / (nf[t90] - nf[t90 - 1])
+
+    hist = anf_sketch_histogram(
+        spark, edges_df(spark, pairs), iters=iters, r=r
+    )
+    row = effective_diameter(hist, r=r, q=q).first()
+    assert row["t90"] == t90
+    assert row["eff_diameter"] == pytest.approx(want, abs=1e-6)
+
+
 def test_powerlaw_alpha_mirror(spark):
     """CSN'09 degree-exponent MLE vs a literal mirror (star + chain:
     mixed degrees, dmin filter excludes the leaves)."""
