@@ -653,6 +653,18 @@ def _q_landmark_dist_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landmark_distance_estimates(labels, pairs)
 
 
+MIS_ITERS = 8
+
+
+def _q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set (deterministic-hash priorities) —
+    the classic BSP building block for coloring/scheduling/coarsening."""
+    from graphjet_spark.plans.mis import luby_mis
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return luby_mis(spark, edges, fixed_iters=MIS_ITERS)
+
+
 def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size histogram — the connectivity profile a web-graph
     operator reads before anything else (giant-component share)."""
@@ -1401,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_labels": _q_landmark_labels,
         "landmark_dist_est": _q_landmark_dist_est,
         "component_sizes": _q_component_sizes,
+        "luby_mis": _q_luby_mis,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "local_clustering": _q_local_clustering,
@@ -1618,6 +1631,7 @@ ORDER BY trend DESC, id ASC LIMIT 20
             LANDMARKS, LM_ITERS, LM_PAIR_IDS
         ),
         "component_sizes": oracles.component_sizes_sql(CC_ITERS),
+        "luby_mis": oracles.luby_mis_sql(MIS_ITERS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "local_clustering": oracles.local_clustering_sql(),

@@ -1510,6 +1510,61 @@ HAVING COUNT(*) >= {min_common}"""
     )
 
 
+def luby_mis_sql(iters: int) -> str:
+    """Twin of plans/mis.py::luby_mis — unrolled Luby rounds with
+    md5-prefix priorities; ties resolve to nobody-wins (both stay
+    undecided), identical on both engines."""
+
+    def h(rel: str, t: int) -> str:
+        return (
+            f"(('0x'||substr(md5('mis:'||{rel}id||':'||'{t}'),1,15))::BIGINT)"
+        )
+
+    parts = [
+        "mv AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym)",
+        "u0 AS MATERIALIZED (SELECT id FROM mv)",
+    ]
+    win_finals = []
+    for t in range(1, iters + 1):
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT id, {h('', t)} AS h FROM u{t - 1})"
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT p.id FROM p{t} p LEFT JOIN (
+    SELECT s.a AS id, MAX(q.h) AS mh
+    FROM sym s JOIN p{t} q ON s.b = q.id GROUP BY s.a
+  ) m ON p.id = m.id
+  WHERE m.mh IS NULL OR p.h > m.mh)"""
+        )
+        parts.append(
+            f"""u{t} AS MATERIALIZED (
+  SELECT u.id FROM u{t - 1} u
+  WHERE NOT EXISTS (SELECT 1 FROM w{t} x WHERE x.id = u.id)
+    AND NOT EXISTS (
+      SELECT 1 FROM sym s JOIN w{t} x ON s.a = x.id WHERE s.b = u.id))"""
+        )
+        win_finals.append(f"SELECT id FROM w{t}")
+    parts.append(
+        "mall AS MATERIALIZED (" + "\nUNION ALL\n".join(win_finals) + ")"
+    )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id,
+       CAST(CASE WHEN m.id IS NOT NULL THEN 1
+                 WHEN u.id IS NOT NULL THEN -1
+                 ELSE 0 END AS INT) AS state
+FROM mv v
+LEFT JOIN mall m ON v.id = m.id
+LEFT JOIN u{iters} u ON v.id = u.id"""
+    )
+
+
 def link_prediction_sql(
     max_center_degree: int = 64, min_common: int = 2, round_to: int = 6
 ) -> str:

@@ -1,0 +1,94 @@
+"""Maximal independent set via Luby's algorithm (deterministic-hash
+form).
+
+Luby (SIAM J. Comput. 1986): each round, every undecided vertex draws
+a priority; a vertex joins the MIS iff its priority strictly exceeds
+every undecided neighbor's, then it and its neighbors leave the
+undecided set.  Converges in O(log n) rounds w.h.p. — the classic
+Pregel/BSP algorithm behind distributed coloring, scheduling, and
+coarsening.
+
+Here the priority is the cross-engine md5-prefix hash of
+("mis:" vertex ":" round) — same family as the hash-walk corpus — so
+the MIS is a pure function of the graph and the round budget, and the
+gate VALUE-compares it against an unrolled DuckDB twin.  Hash ties
+(probability ~n²/2⁶⁰) are handled by neither side winning: both
+vertices stay undecided and resolve next round under a fresh hash —
+deterministic without any tie-break ordering.
+
+Scale shape per round: one equi-join of the undecided set against the
+symmetrized edges (partitioned+sorted once), one map-side-combined MAX
+per vertex, two anti-joins to shrink the frontier.  State is
+frontier-sized, not |V|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphjet_spark.plans.components import symmetrize
+
+
+def _priority(id_col: str, rnd: int):
+    s = F.concat(F.lit("mis:"), F.col(id_col).cast("string"), F.lit(f":{rnd}"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def luby_mis(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    fixed_iters: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, state) over the symmetrized simple graph: 1 = in the MIS,
+    0 = excluded (a neighbor is in the MIS), -1 = still undecided when
+    the round budget ran out (the oracle-parity fixed-depth mode)."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    sym = (
+        symmetrize(edges)
+        .repartition(partitions, "b")
+        .sortWithinPartitions("b")
+        .persist()
+    )
+    vertices = sym.select(F.col("a").alias("id")).distinct()
+
+    und = vertices.localCheckpoint(eager=True)
+    mis_parts: list[DataFrame] = []
+
+    for t in range(1, fixed_iters + 1):
+        pr = und.select("id", _priority("id", t).alias("h"))
+        nbr_max = (
+            sym.join(pr, sym.b == pr.id)
+            .groupBy("a")
+            .agg(F.max("h").alias("mh"))
+        )
+        winners = (
+            pr.join(nbr_max, pr.id == nbr_max.a, "left")
+            .where(F.col("mh").isNull() | (F.col("h") > F.col("mh")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        mis_parts.append(winners)
+        removed = winners.unionByName(
+            sym.join(winners, sym.a == winners.id).select(
+                F.col("b").alias("id")
+            )
+        ).distinct()
+        und = und.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+
+    mis = mis_parts[0]
+    for p in mis_parts[1:]:
+        mis = mis.unionByName(p)
+    out = (
+        vertices.join(mis.withColumn("s1", F.lit(1)), "id", "left")
+        .join(und.withColumn("s2", F.lit(-1)), "id", "left")
+        .select(
+            "id",
+            F.coalesce("s1", "s2", F.lit(0)).cast("int").alias("state"),
+        )
+    )
+    sym.unpersist()
+    return out

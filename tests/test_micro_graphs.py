@@ -233,6 +233,60 @@ def test_reciprocity_mirror(spark):
     assert row["reciprocity"] == pytest.approx(4 / 5, abs=1e-6)
 
 
+def test_luby_mis_mirror(spark):
+    """Luby MIS vs a literal Python mirror (same md5 priorities,
+    nobody-wins ties), plus the MIS properties themselves:
+    independence and maximality over the decided set."""
+    import hashlib
+
+    from graphjet_spark.plans.mis import luby_mis
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (3, 6), (7, 8), (9, 9)]
+    iters = 8
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+
+    def h(v: int, t: int) -> int:
+        return int(
+            hashlib.md5(f"mis:{v}:{t}".encode()).hexdigest()[:15], 16
+        )
+
+    und, mis = set(nodes), set()
+    for t in range(1, iters + 1):
+        winners = {
+            v
+            for v in und
+            if all(h(v, t) > h(u, t) for u in adj[v] if u in und)
+        }
+        mis |= winners
+        und -= winners | {u for w in winners for u in adj[w]}
+    want = {
+        v: (1 if v in mis else (-1 if v in und else 0)) for v in nodes
+    }
+
+    got = {
+        r["id"]: r["state"]
+        for r in luby_mis(
+            spark, edges_df(spark, pairs), fixed_iters=iters
+        ).collect()
+    }
+    assert got == want
+    # independence: no two MIS members adjacent
+    chosen = {v for v, s in got.items() if s == 1}
+    assert not any(u in chosen for v in chosen for u in adj[v])
+    # maximality over decided vertices: every excluded vertex has an
+    # MIS neighbor
+    for v, s in got.items():
+        if s == 0:
+            assert adj[v] & chosen
+
+
 def test_edge_churn_monthly_mirror(spark):
     """Month-over-month edge churn vs hand-computed deltas, including
     a calendar gap month (dropped must be NULL, not lag-to-last)."""

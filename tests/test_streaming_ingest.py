@@ -232,3 +232,57 @@ def test_streaming_components_match_batch_cc(spark, tmp_path):
     }
     assert got == _want(batch1 + batch2)
     assert got[4] == 1 and got[12] == 10
+
+
+def test_dedup_events_within_watermark_across_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: redelivered event_ids are
+    suppressed inside the watermark horizon, and the seen-set state
+    survives a query restart on the same checkpoint (an id delivered
+    in batch 1 and redelivered after the restart still dedups)."""
+    ev_dir = str(tmp_path / "ev_in")
+    ck = str(tmp_path / "dd_ck")
+    out_dir = str(tmp_path / "dd_out")
+
+    def _feed(rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint"
+        ).selectExpr(
+            "event_id", "CAST(ts AS timestamp) AS ts", "user_id"
+        ).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    def _run():
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint"
+        ).parquet(ev_dir)
+        q = (
+            ingest.dedup_events_within_watermark(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r["event_id"] for r in spark.read.parquet(out_dir).collect()
+        )
+
+    _feed(
+        [
+            (1, "2024-01-01 10:00:00", 7),
+            (2, "2024-01-01 10:05:00", 8),
+            (1, "2024-01-01 10:06:00", 7),  # in-batch redelivery
+        ]
+    )
+    assert _run() == [1, 2]
+
+    # restart on the same checkpoint: 1 redelivered again (within the
+    # watermark horizon of the state store) stays suppressed; 3 is new
+    _feed(
+        [
+            (1, "2024-01-01 10:20:00", 7),
+            (3, "2024-01-01 10:21:00", 9),
+        ]
+    )
+    assert _run() == [1, 2, 3]
