@@ -1291,6 +1291,34 @@ def _q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossdoc_dup_fraction(_docs(spark, sf_dir), n=CROSSDOC_N)
 
 
+ZIPF_CMIN = 3
+
+
+def _q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent MLE of the corpus token-frequency distribution
+    (vocabulary-health audit)."""
+    from graphjet_spark.operators.textstats import zipf_alpha
+
+    return zipf_alpha(_docs(spark, sf_dir), cmin=ZIPF_CMIN)
+
+
+def _q_degree_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact symmetrized-degree quantiles — the skew profile that sizes
+    salting/broadcast decisions before running anything else."""
+    from graphjet_spark.plans.components import symmetrize
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    deg = symmetrize(edges).groupBy("a").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    return deg.agg(
+        F.round(F.percentile("d", F.lit(0.5)), 6).alias("q5"),
+        F.round(F.percentile("d", F.lit(0.9)), 6).alias("q9"),
+        F.round(F.percentile("d", F.lit(0.99)), 6).alias("q99"),
+        F.max("d").cast("bigint").alias("max_deg"),
+    )
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean unigram log-likelihood per doc under the corpus's own
     distribution (the KenLM-filter stand-in)."""
@@ -1462,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "crossdoc_dup_fraction": _q_crossdoc_dup,
         "unigram_logprob": _q_unigram_logprob,
+        "zipf_alpha": _q_zipf_alpha,
+        "degree_quantiles": _q_degree_quantiles,
         "repetition_stats": _q_repetition,
         "tfidf_top_terms": _q_tfidf,
         "collocations_pmi": _q_collocations,
@@ -1718,6 +1748,8 @@ GROUP BY s.seed ORDER BY s.seed
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),
         "unigram_logprob": oracles.unigram_logprob_sql(),
+        "zipf_alpha": oracles.zipf_alpha_sql(ZIPF_CMIN),
+        "degree_quantiles": oracles.degree_quantiles_sql(),
         "repetition_stats": oracles.repetition_stats_sql(),
         "tfidf_top_terms": oracles.tfidf_top_terms_sql(5),
         "collocations_pmi": oracles.collocations_pmi_sql(5),

@@ -407,3 +407,39 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def zipf_alpha(
+    docs: DataFrame, *, cmin: int = 3, text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """One row (n_types, n_tail, alpha) — maximum-likelihood Zipf/
+    power-law exponent of the corpus token-frequency distribution
+    (same CSN'09 continuous MLE as the degree-side powerlaw_alpha,
+    applied to token counts >= cmin).  The vocabulary-health audit: a
+    natural-language corpus sits near alpha ~ 2 (Zipf); templated or
+    machine-generated text drifts sharply.  One token count pass + one
+    filtered scalar fold."""
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((F.col("c") >= cmin).cast("bigint")).alias("n_tail"),
+        F.sum(
+            F.when(
+                F.col("c") >= cmin,
+                F.log(F.col("c").cast("double") / F.lit(cmin - 0.5)),
+            ).otherwise(F.lit(0.0))
+        ).alias("slog"),
+    )
+    alpha = F.when(
+        F.col("n_tail") > 0,
+        F.lit(1.0) + F.col("n_tail").cast("double") / F.col("slog"),
+    ).otherwise(F.lit(None).cast("double"))
+    return stats.select(
+        "n_types",
+        F.col("n_tail").cast("bigint").alias("n_tail"),
+        F.round(alpha, round_to).alias("alpha"),
+    )

@@ -1818,6 +1818,50 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def zipf_alpha_sql(cmin: int = 3, round_to: int = 6) -> str:
+    """Twin of operators/textstats.py::zipf_alpha — CSN'09 MLE over
+    token frequencies >= cmin."""
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+cnts AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c >= {cmin} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail,
+       ROUND(CASE WHEN SUM(CASE WHEN c >= {cmin} THEN 1 ELSE 0 END) > 0
+         THEN 1.0 + CAST(SUM(CASE WHEN c >= {cmin} THEN 1 ELSE 0 END)
+                         AS DOUBLE)
+              / SUM(CASE WHEN c >= {cmin}
+                         THEN LN(CAST(c AS DOUBLE) / {cmin - 0.5!r})
+                         ELSE 0.0 END)
+         ELSE NULL END, {round_to}) AS alpha
+FROM cnts
+"""
+
+
+def degree_quantiles_sql(round_to: int = 6) -> str:
+    """Twin of the degree_quantiles gate — exact quantile_cont over
+    symmetrized degrees ((n-1)q interpolation matches Spark
+    percentile)."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + f""",
+dq AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY a)
+SELECT ROUND(quantile_cont(d, 0.5), {round_to}) AS q5,
+       ROUND(quantile_cont(d, 0.9), {round_to}) AS q9,
+       ROUND(quantile_cont(d, 0.99), {round_to}) AS q99,
+       CAST(MAX(d) AS BIGINT) AS max_deg
+FROM dq"""
+    )
+
+
 def unigram_logprob_sql(round_to: int = 6) -> str:
     """Twin of operators/textstats.py::unigram_logprob — mean ln
     likelihood of each doc's tokens under the corpus unigram model."""
