@@ -665,6 +665,21 @@ def _q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(spark, edges, fixed_iters=MIS_ITERS)
 
 
+COLORING_COLORS = 3
+COLORING_MIS_ITERS = 6
+
+
+def _q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coloring by iterated Luby MIS (Jones–Plassmann family);
+    -1 = uncolored within the color budget."""
+    from graphjet_spark.plans.mis import greedy_coloring
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return greedy_coloring(
+        spark, edges, colors=COLORING_COLORS, mis_iters=COLORING_MIS_ITERS
+    )
+
+
 def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size histogram — the connectivity profile a web-graph
     operator reads before anything else (giant-component share)."""
@@ -1442,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dist_est": _q_landmark_dist_est,
         "component_sizes": _q_component_sizes,
         "luby_mis": _q_luby_mis,
+        "greedy_coloring": _q_greedy_coloring,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "local_clustering": _q_local_clustering,
@@ -1662,6 +1678,9 @@ ORDER BY trend DESC, id ASC LIMIT 20
         ),
         "component_sizes": oracles.component_sizes_sql(CC_ITERS),
         "luby_mis": oracles.luby_mis_sql(MIS_ITERS),
+        "greedy_coloring": oracles.greedy_coloring_sql(
+            COLORING_COLORS, COLORING_MIS_ITERS
+        ),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "local_clustering": oracles.local_clustering_sql(),

@@ -1565,6 +1565,76 @@ LEFT JOIN u{iters} u ON v.id = u.id"""
     )
 
 
+def greedy_coloring_sql(colors: int, mis_iters: int) -> str:
+    """Twin of plans/mis.py::greedy_coloring — iterated unrolled Luby
+    MIS, one color per residual-graph MIS, -1 = uncolored."""
+
+    def h(tag: str, c: int, t: int) -> str:
+        return (
+            f"(('0x'||substr(md5('clr:'||{tag}id||':'||'{c}:{t}'),1,15))"
+            "::BIGINT)"
+        )
+
+    parts = [
+        "cv AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym)",
+        "rem0 AS MATERIALIZED (SELECT id FROM cv)",
+    ]
+    color_finals = []
+    for c in range(colors):
+        parts.append(
+            f"c{c}u0 AS MATERIALIZED (SELECT id FROM rem{c})"
+        )
+        wins = []
+        for t in range(1, mis_iters + 1):
+            parts.append(
+                f"c{c}p{t} AS MATERIALIZED "
+                f"(SELECT id, {h('', c, t)} AS h FROM c{c}u{t - 1})"
+            )
+            parts.append(
+                f"""c{c}w{t} AS MATERIALIZED (
+  SELECT p.id FROM c{c}p{t} p LEFT JOIN (
+    SELECT s.a AS id, MAX(q.h) AS mh
+    FROM sym s JOIN c{c}p{t} q ON s.b = q.id GROUP BY s.a
+  ) m ON p.id = m.id
+  WHERE m.mh IS NULL OR p.h > m.mh)"""
+            )
+            parts.append(
+                f"""c{c}u{t} AS MATERIALIZED (
+  SELECT u.id FROM c{c}u{t - 1} u
+  WHERE NOT EXISTS (SELECT 1 FROM c{c}w{t} x WHERE x.id = u.id)
+    AND NOT EXISTS (
+      SELECT 1 FROM sym s JOIN c{c}w{t} x ON s.a = x.id
+      WHERE s.b = u.id))"""
+            )
+            wins.append(f"SELECT id FROM c{c}w{t}")
+        parts.append(
+            f"cw{c} AS MATERIALIZED (" + "\nUNION ALL\n".join(wins) + ")"
+        )
+        parts.append(
+            f"""rem{c + 1} AS MATERIALIZED (
+  SELECT r.id FROM rem{c} r
+  WHERE NOT EXISTS (SELECT 1 FROM cw{c} w WHERE w.id = r.id))"""
+        )
+        color_finals.append(
+            f"SELECT id, CAST({c} AS INT) AS color FROM cw{c}"
+        )
+    parts.append(
+        "call AS MATERIALIZED ("
+        + "\nUNION ALL\n".join(color_finals)
+        + ")"
+    )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + """
+SELECT v.id, CAST(COALESCE(k.color, -1) AS INT) AS color
+FROM cv v LEFT JOIN call k ON v.id = k.id"""
+    )
+
+
 def link_prediction_sql(
     max_center_degree: int = 64, min_common: int = 2, round_to: int = 6
 ) -> str:

@@ -92,3 +92,90 @@ def luby_mis(
     )
     sym.unpersist()
     return out
+
+
+def greedy_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    colors: int = 3,
+    mis_iters: int = 6,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, color) — distributed greedy graph coloring by iterated
+    Luby MIS (Jones & Plassmann '93 family): color c is a maximal
+    independent set of the residual graph (vertices not yet colored),
+    found with ``mis_iters`` Luby rounds under per-(color, round) hash
+    priorities; -1 marks vertices still uncolored when the color
+    budget runs out.  Adjacent vertices never share a color >= 0 by
+    MIS independence.
+
+    The induced-subgraph restriction is implicit: priorities exist
+    only for undecided vertices of the current color, so edges to
+    already-colored vertices drop out of the neighbor-max join on
+    their own.  Same per-round shape as :func:`luby_mis`."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    sym = (
+        symmetrize(edges)
+        .repartition(partitions, "b")
+        .sortWithinPartitions("b")
+        .persist()
+    )
+    vertices = sym.select(F.col("a").alias("id")).distinct()
+
+    remaining = vertices.localCheckpoint(eager=True)
+    colored_parts: list[DataFrame] = []
+
+    for c in range(colors):
+        und = remaining
+        win_parts: list[DataFrame] = []
+        for t in range(1, mis_iters + 1):
+            s = F.concat(
+                F.lit(f"clr:"),
+                F.col("id").cast("string"),
+                F.lit(f":{c}:{t}"),
+            )
+            pr = und.select(
+                "id",
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("h"),
+            )
+            nbr_max = (
+                sym.join(pr, sym.b == pr.id)
+                .groupBy("a")
+                .agg(F.max("h").alias("mh"))
+            )
+            winners = (
+                pr.join(nbr_max, pr.id == nbr_max.a, "left")
+                .where(F.col("mh").isNull() | (F.col("h") > F.col("mh")))
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+            win_parts.append(winners)
+            removed = winners.unionByName(
+                sym.join(winners, sym.a == winners.id).select(
+                    F.col("b").alias("id")
+                )
+            ).distinct()
+            und = und.join(removed, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+        wc = win_parts[0]
+        for p in win_parts[1:]:
+            wc = wc.unionByName(p)
+        wc = wc.localCheckpoint(eager=True)
+        colored_parts.append(wc.withColumn("color", F.lit(c)))
+        remaining = remaining.join(wc, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+
+    colored = colored_parts[0]
+    for p in colored_parts[1:]:
+        colored = colored.unionByName(p)
+    out = vertices.join(colored, "id", "left").select(
+        "id", F.coalesce("color", F.lit(-1)).cast("int").alias("color")
+    )
+    sym.unpersist()
+    return out

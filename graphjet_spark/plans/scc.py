@@ -125,26 +125,48 @@ def strongly_connected_components(
     for _round in range(start_round, max_rounds):
         if remaining.limit(1).count() == 0:
             break
-        # src-partitioned + sorted once (CSR layout): the coloring
-        # fixpoint's per-iteration SMJ never re-sorts the edge side
         er = (
             e.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .repartition(partitions, "src")
-            .sortWithinPartitions("src")
             .localCheckpoint(eager=True)
         )
 
-        # --- 1. trim: zero in- or out-degree => singleton SCC --------
-        srcs = er.select(F.col("src").alias("id")).distinct()
-        dsts = er.select(F.col("dst").alias("id")).distinct()
-        both = srcs.join(dsts, "id", "left_semi")
-        trimmed = remaining.join(both, "id", "left_anti")
-        if trimmed.limit(1).count() > 0:
+        # --- 1. trim TO FIXPOINT: zero in-/out-degree => singleton ---
+        # DAG-dominated web graphs shed most mass here; peeling all
+        # layers inside one outer round avoids rebuilding + re-sorting
+        # the edge table once per layer (the sort is deferred to the
+        # coloring phase below, which is the only SMJ consumer)
+        while True:
+            srcs = er.select(F.col("src").alias("id")).distinct()
+            dsts = er.select(F.col("dst").alias("id")).distinct()
+            both = srcs.join(dsts, "id", "left_semi").localCheckpoint(
+                eager=True
+            )
+            trimmed = remaining.join(both, "id", "left_anti")
+            if trimmed.limit(1).count() == 0:
+                break
             done.append(trimmed.select("id", F.col("id").alias("scc")))
-            remaining = both.localCheckpoint(eager=True)
+            remaining = both
+            er = (
+                er.join(
+                    both.withColumnRenamed("id", "src"), "src", "left_semi"
+                )
+                .join(
+                    both.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+        if remaining.limit(1).count() == 0:
             _commit(_round + 1)
-            continue
+            break
+
+        # src-partitioned + sorted once (CSR layout): the coloring
+        # fixpoint's per-iteration SMJ never re-sorts the edge side
+        er = (
+            er.repartition(partitions, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=True)
+        )
 
         # --- 2. forward-min coloring to fixpoint ---------------------
         # prev color rides along as a column so change detection is a

@@ -261,3 +261,32 @@ def dedup_events_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user session rollup over the live event stream via
+    ``session_window`` — the streaming twin of the batch gap-based
+    sessionization in operators/sessions.py (same gap semantics;
+    sessions close when the watermark passes their end, so state is
+    open-sessions-sized, never history-sized).
+
+    Returns (user_id, session_start, session_end, n_events)."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), w.alias("s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            user_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -287,6 +287,57 @@ def test_luby_mis_mirror(spark):
             assert adj[v] & chosen
 
 
+def test_greedy_coloring_mirror(spark):
+    """Iterated-MIS coloring vs a literal mirror, plus the coloring
+    property itself: no edge joins two vertices of the same color >= 0."""
+    import hashlib
+
+    from graphjet_spark.plans.mis import greedy_coloring
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (7, 8)]
+    colors, iters = 3, 6
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+
+    def h(v: int, c: int, t: int) -> int:
+        return int(
+            hashlib.md5(f"clr:{v}:{c}:{t}".encode()).hexdigest()[:15], 16
+        )
+
+    remaining = set(nodes)
+    want = {v: -1 for v in nodes}
+    for c in range(colors):
+        und, wins = set(remaining), set()
+        for t in range(1, iters + 1):
+            w = {
+                v
+                for v in und
+                if all(h(v, c, t) > h(u, c, t) for u in adj[v] if u in und)
+            }
+            wins |= w
+            und -= w | {u for x in w for u in adj[x]}
+        for v in wins:
+            want[v] = c
+        remaining -= wins
+
+    got = {
+        r["id"]: r["color"]
+        for r in greedy_coloring(
+            spark, edges_df(spark, pairs), colors=colors, mis_iters=iters
+        ).collect()
+    }
+    assert got == want
+    for a, b in pairs:
+        if a != b and got[a] >= 0:
+            assert got[a] != got[b]
+
+
 def test_edge_churn_monthly_mirror(spark):
     """Month-over-month edge churn vs hand-computed deltas, including
     a calendar gap month (dropped must be NULL, not lag-to-last)."""

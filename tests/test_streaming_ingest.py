@@ -286,3 +286,52 @@ def test_dedup_events_within_watermark_across_restart(spark, tmp_path):
         ]
     )
     assert _run() == [1, 2, 3]
+
+
+def test_streaming_session_stats_matches_gap_semantics(spark, tmp_path):
+    """session_window streaming rollup: events within the gap merge
+    into one session, a later event opens a new one, and sessions only
+    finalize (append mode) once the watermark passes their end."""
+    import datetime as dt
+
+    ev_dir = str(tmp_path / "sess_in")
+    ck = str(tmp_path / "sess_ck")
+    out_dir = str(tmp_path / "sess_out")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def _feed(rows):
+        data = [(t0 + dt.timedelta(minutes=m), u) for m, u in rows]
+        spark.createDataFrame(data, "ts timestamp, user_id bigint").coalesce(
+            1
+        ).write.mode("append").parquet(ev_dir)
+
+    def _run():
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id bigint"
+        ).parquet(ev_dir)
+        q = (
+            ingest.streaming_session_stats(
+                stream, gap="10 minutes", watermark="2 hours"
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["user_id"], r["session_start"].minute + 60 * (r["session_start"].hour - 10), r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # user 7: 10:00 + 10:05 merge (gap 10m); user 8: one event; the
+    # 20:00 event (user 99, +600m) pushes the watermark far past both
+    _feed([(0, 7), (5, 7), (30, 8), (600, 99)])
+    assert _run() == [(7, 0, 2), (8, 30, 1)]
+
+    # user 7 returns at +660m (new session), flush at +810m finalizes
+    # it and user 99's own +600m session; the +810m session stays open
+    _feed([(660, 7), (810, 99)])
+    assert _run() == [(7, 0, 2), (7, 660, 1), (8, 30, 1), (99, 600, 1)]
