@@ -1291,6 +1291,17 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
 
+PACK_SEQ_LEN = 2048
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk training-sequence packing (two-phase
+    distributed prefix sum over a deterministic hash-shuffled order)."""
+    from graphjet_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN)
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
@@ -1503,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
+        "pack_sequences": _q_pack_sequences,
         "quality_score": _q_quality,
         "crossdoc_dup_fraction": _q_crossdoc_dup,
         "unigram_logprob": _q_unigram_logprob,
@@ -1764,6 +1776,7 @@ GROUP BY s.seed ORDER BY s.seed
         "ann_topk_cosine": oracles.ann_topk_sql(),
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
+        "pack_sequences": oracles.pack_sequences_sql(PACK_SEQ_LEN),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),
         "unigram_logprob": oracles.unigram_logprob_sql(),

@@ -81,3 +81,103 @@ def source_quality_rollup(
         "pass_rate",
         (F.col("mean_quality") >= min_mean_quality).alias("keep"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, seq_first, seq_last, n_seqs) —
+    GPT-style training-sequence packing: documents are concatenated in
+    a deterministic shuffled order (by content-independent md5 hash of
+    the doc id, then doc id) and the token stream is cut every
+    ``seq_len`` tokens; each doc reports the global offset of its first
+    token and the range of training sequences it lands in.
+
+    The global running offset is a **two-phase distributed prefix
+    sum** — the only shape that survives 100 TB: range-partition by the
+    shuffle key, cumsum *within* each partition (per-partition window,
+    never a global single-partition window), then add per-partition
+    base offsets computed from the P-row partition-totals table scanned
+    once on the driver.  Output is a pure function of the corpus
+    (partition-count independent): the eager checkpoint pins partition
+    ids so the totals job and the window job see identical boundaries.
+
+    Zero-token documents are dropped (nothing to pack).  All outputs
+    are exact BIGINTs — integer DIV, no float division, so the oracle
+    matches bit-for-bit at any corpus size.
+    """
+    spark = docs.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tok = (
+        F.when(F.trim(F.col(text_col)) == "", 0).otherwise(ws).cast("bigint")
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            content_hash60(
+                F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+            ).alias("k"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .repartitionByRange(partitions, "k", "doc_id")
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # REQUIRED for correctness, not a perf hint: repartitionByRange
+        # samples its boundaries, so without pinning rows the totals
+        # job and the window job below could see different pids.
+        .localCheckpoint(eager=True)
+    )
+
+    totals = {
+        r["pid"]: r["t"]
+        for r in base.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += int(totals[pid])
+    off_df = spark.createDataFrame(offs, "pid int, part_off bigint")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col(
+        "part_off"
+    )
+    last_tok = F.col("start_offset") + F.col("n_tokens") - 1
+    return (
+        base.join(F.broadcast(off_df), "pid")
+        .withColumn("start_offset", start.cast("bigint"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset DIV {seq_len}").alias("seq_first"),
+            last_tok.alias("_lt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            "seq_first",
+            F.expr(f"_lt DIV {seq_len}").alias("seq_last"),
+        )
+        .withColumn(
+            "n_seqs",
+            (F.col("seq_last") - F.col("seq_first") + 1).cast("bigint"),
+        )
+    )

@@ -2790,3 +2790,31 @@ JOIN lbl wl ON wl.id = p.w AND wl.d_from >= 0
            AND wl.landmark = ul.landmark
 GROUP BY p.u, p.w"""
     )
+
+
+def pack_sequences_sql(seq_len: int = 2048) -> str:
+    """Twin of operators/corpus.py::pack_sequences — deterministic
+    hash-shuffled concat-and-chunk packing; the window cumsum here IS
+    the two-phase prefix sum's defining global order."""
+    return rf"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      AS n_tokens,
+    ('0x'||substr(md5('pack:'||doc_id), 1, 15))::BIGINT AS k
+  FROM documents),
+p AS MATERIALIZED (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY k, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
+  FROM d WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, start_offset,
+  CAST(start_offset // {seq_len} AS BIGINT) AS seq_first,
+  CAST((start_offset + n_tokens - 1) // {seq_len} AS BIGINT) AS seq_last,
+  CAST((start_offset + n_tokens - 1) // {seq_len}
+       - start_offset // {seq_len} + 1 AS BIGINT) AS n_seqs
+FROM p
+"""

@@ -945,3 +945,53 @@ def test_unigram_logprob_mirror(spark, docs):
         assert got[k][1] == pytest.approx(want[k][1], abs=1e-6)
     # the German doc's vocabulary is rarer than the repeated English one
     assert got[4][1] < got[0][1]
+
+
+def test_pack_sequences_mirror(spark):
+    """Concat-and-chunk packing vs a literal Python mirror (hash
+    order, cumulative offsets, chunk boundaries), plus partition-count
+    independence of the two-phase prefix sum."""
+    import hashlib
+
+    from graphjet_spark.operators.corpus import pack_sequences
+
+    rows = [
+        (0, "a b c d e"),          # 5 tokens
+        (1, "x " * 7),             # 7 tokens (trailing space trimmed)
+        (2, ""),                   # dropped: zero tokens
+        (3, "one"),                # 1 token
+        (4, "p q r s t u v w x y z a b c"),  # 14 tokens
+        (5, "m n"),                # 2 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    seq_len = 8
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:15], 16)
+
+    toks = {i: len(t.split()) for i, t in rows if t.strip()}
+    order = sorted(toks, key=lambda i: (h(i), i))
+    want, off = {}, 0
+    for i in order:
+        n = toks[i]
+        want[i] = (n, off, off // seq_len, (off + n - 1) // seq_len)
+        off += n
+
+    for parts in (1, 3, 16):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["start_offset"],
+                r["seq_first"],
+                r["seq_last"],
+            )
+            for r in pack_sequences(
+                docs, seq_len=seq_len, partitions=parts
+            ).collect()
+        }
+        assert got == want, f"partitions={parts}"
+
+    out = pack_sequences(docs, seq_len=seq_len, partitions=4)
+    nseq = {r["doc_id"]: r["n_seqs"] for r in out.collect()}
+    for i, (n, off, sf, sl) in want.items():
+        assert nseq[i] == sl - sf + 1
