@@ -680,6 +680,19 @@ def _q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DENSEST_ROUNDS = 12
+
+
+def _q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph greedy peeling (Charikar / Bahmani et al.
+    VLDB'12) — the hub-core / link-farm density audit; all peel and
+    argmax decisions are exact BIGINT cross-multiplications."""
+    from graphjet_spark.plans.densest import densest_subgraph
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return densest_subgraph(spark, edges, rounds=DENSEST_ROUNDS)
+
+
 def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size histogram — the connectivity profile a web-graph
     operator reads before anything else (giant-component share)."""
@@ -1469,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "luby_mis": _q_luby_mis,
         "greedy_coloring": _q_greedy_coloring,
+        "densest_subgraph": _q_densest_subgraph,
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "local_clustering": _q_local_clustering,
@@ -1693,6 +1707,7 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "greedy_coloring": oracles.greedy_coloring_sql(
             COLORING_COLORS, COLORING_MIS_ITERS
         ),
+        "densest_subgraph": oracles.densest_subgraph_sql(DENSEST_ROUNDS),
         "triangle_count": oracles.triangle_count_sql(),
         "triangles_per_vertex": oracles.triangles_per_vertex_sql(),
         "local_clustering": oracles.local_clustering_sql(),

@@ -2818,3 +2818,58 @@ SELECT doc_id, n_tokens, start_offset,
        - start_offset // {seq_len} + 1 AS BIGINT) AS n_seqs
 FROM p
 """
+
+
+def densest_subgraph_sql(rounds: int = 12, num: int = 5, den: int = 2) -> str:
+    """Twin of plans/densest.py::densest_subgraph — unrolled greedy
+    peel rounds; peel condition and best-round argmax are exact BIGINT
+    cross-multiplications, so no float enters the decision."""
+    parts = ["cur0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym)"]
+    stat_rows = []
+    all_rows = []
+    for r in range(rounds):
+        parts.append(
+            f"""se{r} AS MATERIALIZED (
+  SELECT s.a, s.b FROM sym s
+  JOIN cur{r} x ON s.a = x.id JOIN cur{r} y ON s.b = y.id)"""
+        )
+        parts.append(
+            f"""st{r} AS MATERIALIZED (
+  SELECT {r} AS r,
+         (SELECT COUNT(*) FROM se{r}) // 2 AS e,
+         (SELECT COUNT(DISTINCT a) FROM se{r}) AS v)"""
+        )
+        parts.append(
+            f"""cur{r + 1} AS MATERIALIZED (
+  SELECT a AS id FROM se{r} GROUP BY a
+  HAVING COUNT(*) * {den} * (SELECT v FROM st{r})
+         > {num} * (SELECT e FROM st{r}))"""
+        )
+        stat_rows.append(f"SELECT r, e, v FROM st{r}")
+        all_rows.append(f"SELECT DISTINCT a AS id, {r} AS r FROM se{r}")
+    parts.append(
+        "stats AS MATERIALIZED (SELECT * FROM ("
+        + "\nUNION ALL\n".join(stat_rows)
+        + ") WHERE v > 0)"
+    )
+    parts.append(
+        """best AS MATERIALIZED (
+  SELECT r FROM stats s WHERE NOT EXISTS (
+    SELECT 1 FROM stats t
+    WHERE t.e * s.v > s.e * t.v
+       OR (t.e * s.v = s.e * t.v AND t.r < s.r)))"""
+    )
+    parts.append(
+        "allv AS MATERIALIZED (" + "\nUNION ALL\n".join(all_rows) + ")"
+    )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + """
+SELECT a.id, CAST(b.r AS INT) AS peel_round,
+       ROUND(CAST(s.e AS DOUBLE) / s.v, 6) AS density
+FROM allv a JOIN best b ON a.r = b.r JOIN stats s ON s.r = b.r"""
+    )

@@ -1017,3 +1017,46 @@ def test_spam_mass_separates_farm_from_trusted(spark):
         assert sm[farm] > 0.9
     for good in (1, 2, 3):
         assert sm[good] < 0.0  # trust concentrates on the seed cluster
+
+
+def test_densest_subgraph_mirror(spark):
+    """Greedy peeling vs a literal Python mirror on a graph with a
+    planted dense core (K5) plus a long tail: the peel must keep the
+    clique and shed the tail, and the reported round/density must
+    match the mirror's exact-rational argmax."""
+    from fractions import Fraction
+
+    from graphjet_spark.plans.densest import densest_subgraph
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tail = [(4, 10), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
+    pairs = k5 + tail
+    rounds, num, den = 12, 5, 2
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cur = set(adj)
+    best = None  # (Fraction, round, frozenset)
+    for r in range(rounds):
+        e = sum(1 for a, b in pairs if a in cur and b in cur)
+        deg = {v: sum(1 for u in adj[v] if u in cur) for v in cur}
+        v = sum(1 for x in cur if deg[x] > 0)
+        live = {x for x in cur if deg[x] > 0}
+        if v == 0:
+            break
+        d = Fraction(e, v)
+        if best is None or d > best[0]:
+            best = (d, r, frozenset(live))
+        cur = {x for x in live if deg[x] * den * v > num * e}
+
+    got = densest_subgraph(
+        spark, edges_df(spark, pairs), rounds=rounds, num=num, den=den
+    ).collect()
+    assert {r["id"] for r in got} == set(best[2])
+    assert all(r["peel_round"] == best[1] for r in got)
+    dens = round(float(best[0]), 6)
+    assert all(abs(r["density"] - dens) < 1e-9 for r in got)
+    # the K5 core must survive peeling
+    assert set(range(5)) <= {r["id"] for r in got}
