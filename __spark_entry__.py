@@ -1296,6 +1296,19 @@ def _q_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cluster_stats(_embs(spark, sf_dir))
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means assignments with deterministic hash init — the
+    embedding-clustering step of a curation pipeline, value-oracled
+    (a pure function of the table, unlike seeded-RNG k-means)."""
+    from graphjet_spark.operators.ann import kmeans_assign
+
+    return kmeans_assign(_embs(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
 
@@ -1526,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_keep_list": _q_embedding_keep_list,
         "embedding_near_dups": _q_embedding_dups,
         "ann_topk_cosine": _q_ann_topk,
+        "kmeans_assign": _q_kmeans,
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
         "pack_sequences": _q_pack_sequences,
@@ -1789,6 +1803,7 @@ GROUP BY s.seed ORDER BY s.seed
         "embedding_keep_list": oracles.embedding_keep_list_sql(0.3, iters=16),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.3),
         "ann_topk_cosine": oracles.ann_topk_sql(),
+        "kmeans_assign": oracles.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
         "pack_sequences": oracles.pack_sequences_sql(PACK_SEQ_LEN),

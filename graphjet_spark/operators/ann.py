@@ -398,3 +398,92 @@ def embedding_cluster_stats(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.round(F.avg("cos"), round_to).alias("cohesion"),
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) — Lloyd k-means assignments after ``iters``
+    update steps from a **deterministic hash init**: the k seed
+    centroids are the vectors with the smallest cross-engine md5-prefix
+    hash of their id (rank order = cluster id), so the whole algorithm
+    is a pure function of the table and VALUE-oracles against DuckDB —
+    unlike seeded-RNG k-means implementations.
+
+    Cross-engine float discipline: centroids are ROUNDed to 12 after
+    every averaging step and squared distances to 9 before the argmin
+    (ties break to the smaller cluster id), so engine-side summation
+    order (~1e-15 relative) can never flip a decision boundary.
+
+    Plan shape: the (vec, dim) exploded table joins the k*dim centroid
+    table on dim — a broadcast join; distance and update steps are
+    map-side-combined aggregates, everything whole-stage codegen (the
+    numpy mapInPandas path in :func:`ivf_topk` is the same math when
+    Python-side batching wins at very high dims)."""
+    from pyspark.sql import Window
+
+    dims = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_as_double(vec_col)).alias("i", "x"),
+    ).localCheckpoint(eager=True)
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed
+    # per-partition top-k + driver merge of k*P rows) — never a global
+    # single-partition window sort
+    seed_rows = (
+        embeddings.select(F.col(id_col).alias("vec_id"), h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    seeds = embeddings.sparkSession.createDataFrame(
+        [(int(r["vec_id"]), c) for c, r in enumerate(seed_rows)],
+        "vec_id bigint, cluster int",
+    )
+    cent = (
+        dims.join(F.broadcast(seeds), "vec_id")
+        .select("cluster", "i", F.col("x").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    assign = None
+    aw = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    for _t in range(iters):
+        d2 = (
+            dims.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.round(
+                    F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                    9,
+                ).alias("d2")
+            )
+        )
+        assign = (
+            d2.withColumn("rn", F.row_number().over(aw))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+            .localCheckpoint(eager=True)
+        )
+        cent = (
+            assign.join(dims, "vec_id")
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("x"), 12).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    return assign.select("vec_id", F.col("cluster").cast("int").alias("cluster"))

@@ -2873,3 +2873,52 @@ SELECT a.id, CAST(b.r AS INT) AS peel_round,
        ROUND(CAST(s.e AS DOUBLE) / s.v, 6) AS density
 FROM allv a JOIN best b ON a.r = b.r JOIN stats s ON s.r = b.r"""
     )
+
+
+def kmeans_assign_sql(k: int = 8, iters: int = 2) -> str:
+    """Twin of operators/ann.py::kmeans_assign — deterministic
+    hash-init Lloyd iterations unrolled; centroids ROUNDed to 12 after
+    every update and squared distances to 9 before each argmin, same
+    as the engine, so summation order can't flip an assignment."""
+    parts = [
+        """dims AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)""",
+        f"""seeds AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY ('0x'||substr(md5('km:'||vec_id), 1, 15))::BIGINT,
+                    vec_id) - 1 AS INT) AS cluster
+  FROM embeddings
+  QUALIFY cluster < {k})""",
+        """c0 AS MATERIALIZED (
+  SELECT s.cluster, d.i, d.x AS c
+  FROM seeds s JOIN dims d USING (vec_id))""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT d.vec_id, c.cluster,
+         ROUND(SUM((d.x - c.c) * (d.x - c.c)), 9) AS d2
+  FROM dims d JOIN c{t - 1} c ON d.i = c.i
+  GROUP BY d.vec_id, c.cluster)"""
+        )
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM d{t}
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY d2, cluster) = 1)"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT a.cluster, d.i, ROUND(AVG(d.x), 12) AS c
+  FROM a{t} a JOIN dims d USING (vec_id)
+  GROUP BY a.cluster, d.i)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters}"""
+    )

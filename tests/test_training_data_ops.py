@@ -995,3 +995,49 @@ def test_pack_sequences_mirror(spark):
     nseq = {r["doc_id"]: r["n_seqs"] for r in out.collect()}
     for i, (n, off, sf, sl) in want.items():
         assert nseq[i] == sl - sf + 1
+
+
+def test_kmeans_assign_mirror(spark):
+    """Deterministic-hash-init Lloyd vs a literal numpy mirror (same
+    init rank, same per-step rounding, same argmin tie-break), plus the
+    clustering property on well-separated blobs: members of the same
+    planted blob land in the same cluster."""
+    import hashlib
+
+    from graphjet_spark.operators.ann import kmeans_assign
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[5.0, 0, 0, 0], [0, 5.0, 0, 0], [0, 0, 5.0, 0]])
+    vecs = []
+    for b in range(3):
+        for j in range(6):
+            vecs.append(centers[b] + rng.normal(0, 0.05, 4))
+    vecs = np.array(vecs, dtype=np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    k, iters = 3, 2
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"km:{i}".encode()).hexdigest()[:15], 16)
+
+    x = vecs.astype(np.float64)
+    order = sorted(range(len(rows)), key=lambda i: (h(i), i))
+    cent = x[order[:k]].copy()
+    for _t in range(iters):
+        d2 = np.round(
+            ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 9
+        )
+        assign = d2.argmin(axis=1)  # ties -> smaller index, same rule
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = np.round(x[m].mean(axis=0), 12)
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, k=k, iters=iters).collect()
+    }
+    assert got == {i: int(assign[i]) for i in range(len(rows))}
+    for b in range(3):
+        blob = {got[b * 6 + j] for j in range(6)}
+        assert len(blob) == 1, f"blob {b} split across clusters {blob}"
