@@ -1320,6 +1320,14 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SEQ_LEN = 2048
 
 
+def _q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-provenance unigram KL divergence vs the whole corpus — the
+    feed-drift audit (templated/wrong-language sources light up)."""
+    from graphjet_spark.operators.textstats import source_token_kl
+
+    return source_token_kl(_docs(spark, sf_dir))
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk training-sequence packing (two-phase
     distributed prefix sum over a deterministic hash-shuffled order)."""
@@ -1542,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans,
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
+        "source_token_kl": _q_source_token_kl,
         "pack_sequences": _q_pack_sequences,
         "quality_score": _q_quality,
         "crossdoc_dup_fraction": _q_crossdoc_dup,
@@ -1806,6 +1815,7 @@ GROUP BY s.seed ORDER BY s.seed
         "kmeans_assign": oracles.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
+        "source_token_kl": oracles.source_token_kl_sql(),
         "pack_sequences": oracles.pack_sequences_sql(PACK_SEQ_LEN),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),

@@ -912,3 +912,75 @@ def crossdoc_dup_fraction(
             .alias("dup_fraction"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_a, doc_b, containment) — asymmetric near-dup pairs by
+    n-gram set containment C(a in b) = |A n B| / |A| >= threshold, the
+    quote/subset detector Jaccard structurally misses: a short doc
+    fully embedded in a long one has tiny Jaccard (union is the long
+    doc) but containment 1.0.  Standard corpus-dedup companion to the
+    symmetric ngram_jaccard_pairs (RefinedWeb/Dolma-style sub-document
+    leak audits).
+
+    Candidate generation is prefix-filtered on the CONTAINED side only
+    (the side the threshold bounds): order each doc's grams by
+    ascending global document frequency (rarest first, ties by gram),
+    keep the first sz - ceil(t*sz) + 1.  If C(a in b) >= t then
+    |A n B| >= ceil(t*|A|), so b must share one of a's prefix grams —
+    recall is exactly 1.0 (the ceil carries a 1e-6 slack so prefixes
+    only ever err longer).  Hot (boilerplate-grade) grams land in
+    suffixes and never fan out, which is the whole scale control: the
+    candidate join is prefix x inverted-index, never doc x doc.
+    Exact intersections are then counted on candidates only.
+    """
+    toks = token_sets(docs, text_col, n).localCheckpoint(eager=True)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    plen = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-6))
+        + F.lit(1)
+    )
+    prefix = (
+        toks.join(dfreq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= plen)
+        .select(F.col("doc_id").alias("doc_a"), "tok")
+    )
+    cands = (
+        prefix.join(
+            toks.select(F.col("doc_id").alias("doc_b"), "tok"), "tok"
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    contain = F.round(
+        F.col("i").cast("double") / F.col("sz").cast("double"), round_to
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), "sz"), "doc_a")
+        .select("doc_a", "doc_b", contain.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

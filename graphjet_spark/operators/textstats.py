@@ -443,3 +443,113 @@ def zipf_alpha(
         F.col("n_tail").cast("bigint").alias("n_tail"),
         F.round(alpha, round_to).alias("alpha"),
     )
+
+
+def source_token_kl(
+    docs: DataFrame, *, text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """(source, n_tokens, n_distinct, kl_divergence) — KL(P_source ||
+    P_corpus) of each provenance's unigram distribution against the
+    whole corpus: the distribution-drift audit that catches a feed
+    going templated/machine-generated/wrong-language before any
+    per-document filter does (0 = indistinguishable from the corpus).
+
+    All counts are exact BIGINTs from two map-side-combined groupBys;
+    the float enters only in the per-row p*ln(p/q) term (identical
+    IEEE expression on both engines) and the final per-source fold,
+    rounded to ``round_to``.  Every token in a source also occurs in
+    the corpus (superset), so no zero-denominator terms exist."""
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cst"))
+    st = st.localCheckpoint(eager=True)
+    ns = st.groupBy("source").agg(F.sum("cst").alias("ns"))
+    ct = st.groupBy("tok").agg(F.sum("cst").alias("ct"))
+    tot = ns.agg(F.sum("ns").alias("tot"))
+    term = (
+        F.col("cst").cast("double") / F.col("ns").cast("double")
+    ) * F.log(
+        (F.col("cst").cast("double") * F.col("tot").cast("double"))
+        / (F.col("ns").cast("double") * F.col("ct").cast("double"))
+    )
+    return (
+        st.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.first("ns").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(F.sum(term), round_to).alias("kl_divergence"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    *,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_terms, bm25) — Okapi BM25 top-k retrieval for a fixed
+    bag of query terms, the classic full-text relevance score
+    (Robertson & Zaragoza, FnTIR'09; the Lucene +1-inside-the-log IDF
+    variant, which is always positive).
+
+    Scale shape: term frequencies are aggregated only for tokens in
+    the (tiny, broadcast) query set — the isin filter runs before the
+    shuffle, so the groupBy state is bounded by |Q| x n_docs, not by
+    corpus token volume.  Document lengths and the corpus stats
+    (n_docs, total length) are one map-side-combined pass each; df and
+    the corpus stats join back as broadcasts.  All counts are exact
+    BIGINTs; floats enter only in the final per-(doc,term) expression,
+    summed per doc and rounded.  Top-k orders by the ROUNDED score
+    (then doc_id) so the cut boundary is cross-engine stable.
+    """
+    terms = sorted(set(query_terms))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (nd - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("tot").cast("double") / nd
+    tfd = F.col("tf").cast("double")
+    term_score = idf * (
+        (tfd * F.lit(k1 + 1.0))
+        / (
+            tfd
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.sum(term_score), round_to).alias("bm25"),
+    )
+    return out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

@@ -2922,3 +2922,121 @@ def kmeans_assign_sql(k: int = 8, iters: int = 2) -> str:
         + f"""
 SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters}"""
     )
+
+
+def source_token_kl_sql(round_to: int = 6) -> str:
+    """Twin of textstats.source_token_kl — identical per-row IEEE
+    p*ln(p/q) term over exact BIGINT counts, ROUNDed fold."""
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+st AS MATERIALIZED (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst
+  FROM toks WHERE tok <> '' GROUP BY source, tok),
+ns AS MATERIALIZED (
+  SELECT source, CAST(SUM(cst) AS BIGINT) AS ns FROM st GROUP BY source),
+ct AS MATERIALIZED (
+  SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY tok),
+tot AS MATERIALIZED (SELECT CAST(SUM(ns) AS BIGINT) AS tot FROM ns)
+SELECT s.source,
+       CAST(MIN(n.ns) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(SUM(
+         (CAST(s.cst AS DOUBLE) / CAST(n.ns AS DOUBLE))
+         * LN((CAST(s.cst AS DOUBLE) * CAST(t.tot AS DOUBLE))
+              / (CAST(n.ns AS DOUBLE) * CAST(c.ct AS DOUBLE)))
+       ), {round_to}) AS kl_divergence
+FROM st s JOIN ct c ON s.tok = c.tok
+JOIN ns n ON s.source = n.source
+CROSS JOIN tot t
+GROUP BY s.source
+"""
+
+
+def containment_pairs_sql(
+    n: int = 3, threshold: float = 0.6, round_to: int = 6
+) -> str:
+    """Twin of operators/dedup.py::containment_pairs — naive all-pairs
+    exact n-gram containment (the engine's prefix filter has recall 1.0
+    by the SSJoin prefix theorem, so the candidate-free oracle matches)."""
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    gram_list = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n} + 2), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({gram_list}) AS tok FROM w)
+  WHERE tok <> ''),
+sizes AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE), {round_to})
+         AS containment
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE), {round_to})
+      >= {threshold}
+"""
+
+
+def bm25_topk_sql(
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    round_to: int = 6,
+) -> str:
+    """Twin of operators/textstats.py::bm25_topk — identical IEEE
+    expression shape (explicit parens mirror Spark's association) over
+    exact BIGINT counts; top-k ordered by the ROUNDED score then
+    doc_id so the cut is cross-engine stable."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    k1p1 = f"CAST({k1 + 1.0!r} AS DOUBLE)"
+    k1d = f"CAST({k1!r} AS DOUBLE)"
+    omb = f"CAST({1.0 - b!r} AS DOUBLE)"
+    bd = f"CAST({b!r} AS DOUBLE)"
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+dl AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({inlist}) GROUP BY doc_id, tok),
+dfreq AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM(
+         LN(CAST(1 AS DOUBLE)
+            + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)
+               + CAST(0.5 AS DOUBLE))
+              / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * ((CAST(t.tf AS DOUBLE) * {k1p1})
+            / (CAST(t.tf AS DOUBLE)
+               + {k1d} * ({omb} + {bd} * CAST(d.dl AS DOUBLE)
+                 / (CAST(s.tot AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+       ), {round_to}) AS bm25
+FROM tf t
+JOIN dfreq f ON t.tok = f.tok
+JOIN dl d ON t.doc_id = d.doc_id
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id ASC
+LIMIT {k}
+"""
