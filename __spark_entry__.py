@@ -1328,6 +1328,29 @@ def _q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_kl(_docs(spark, sf_dir))
 
 
+BM25_TERMS = ("hash", "merge", "window")
+CONTAIN_N = 2
+CONTAIN_T = 0.5
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 full-text retrieval for a fixed term bag —
+    the relevance-scoring primitive of a search/rerank pipeline."""
+    from graphjet_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS)
+
+
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment near-dups (quote/subset leaks
+    Jaccard misses), prefix-filtered candidate generation."""
+    from graphjet_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), n=CONTAIN_N, threshold=CONTAIN_T
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk training-sequence packing (two-phase
     distributed prefix sum over a deterministic hash-shuffled order)."""
@@ -1551,6 +1574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
         "source_token_kl": _q_source_token_kl,
+        "bm25_topk": _q_bm25_topk,
+        "containment_pairs": _q_containment_pairs,
         "pack_sequences": _q_pack_sequences,
         "quality_score": _q_quality,
         "crossdoc_dup_fraction": _q_crossdoc_dup,
@@ -1816,6 +1841,10 @@ GROUP BY s.seed ORDER BY s.seed
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
         "source_token_kl": oracles.source_token_kl_sql(),
+        "bm25_topk": oracles.bm25_topk_sql(BM25_TERMS),
+        "containment_pairs": oracles.containment_pairs_sql(
+            CONTAIN_N, CONTAIN_T
+        ),
         "pack_sequences": oracles.pack_sequences_sql(PACK_SEQ_LEN),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),

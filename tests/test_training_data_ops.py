@@ -1041,3 +1041,90 @@ def test_kmeans_assign_mirror(spark):
     for b in range(3):
         blob = {got[b * 6 + j] for j in range(6)}
         assert len(blob) == 1, f"blob {b} split across clusters {blob}"
+
+
+def test_containment_pairs_mirror(spark, docs):
+    """Asymmetric n-gram containment vs a literal brute-force mirror,
+    plus the asymmetry case the op exists for: a short quote fully
+    embedded in a long doc (containment 1.0 one way, low the other,
+    tiny Jaccard both ways)."""
+    from graphjet_spark.operators.dedup import containment_pairs
+
+    corpus = DOCS + [
+        (6, "jumps over the lazy dog"),  # quote embedded in docs 0-2
+    ]
+    n, t = 2, 0.4
+    grams: dict[int, set[str]] = {}
+    for doc_id, text in corpus:
+        toks = text.split()
+        grams[doc_id] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    want = {}
+    for a, ga in grams.items():
+        if not ga:
+            continue
+        for b, gb in grams.items():
+            if a == b:
+                continue
+            c = round(len(ga & gb) / len(ga), 6)
+            if c >= t:
+                want[(a, b)] = c
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            spark.createDataFrame(corpus, "doc_id bigint, text string"),
+            n=n,
+            threshold=t,
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    # quote fully contained in its sources; reverse direction below t
+    assert got[(6, 0)] == 1.0 and got[(6, 2)] == 1.0
+    assert (0, 6) not in got
+
+
+def test_bm25_topk_mirror(spark, docs):
+    """Okapi BM25 (+1-in-log IDF) vs a literal mirror over the fixture
+    corpus; ranking and scores must match to 1e-9."""
+    import math
+
+    from graphjet_spark.operators.textstats import bm25_topk
+
+    terms = ("quick", "spark", "fuchs")
+    k1, b = 1.2, 0.75
+    toklists = {d: [t for t in txt.split() if t] for d, txt in DOCS}
+    dls = {d: len(ts) for d, ts in toklists.items() if ts}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    tf = {
+        (d, t): toklists[d].count(t)
+        for d in dls
+        for t in terms
+        if toklists[d].count(t) > 0
+    }
+    dfreq = {t: sum(1 for (d, tt) in tf if tt == t) for t in terms}
+    want = {}
+    for d in dls:
+        hits = [(t, f) for (dd, t), f in tf.items() if dd == d]
+        if not hits:
+            continue
+        s = 0.0
+        for t, f in hits:
+            idf = math.log(
+                1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            )
+            s += idf * (f * (k1 + 1.0)) / (
+                f + k1 * ((1.0 - b) + b * dls[d] / avgdl)
+            )
+        want[d] = (len(hits), round(s, 6))
+    got = {
+        r["doc_id"]: (r["n_terms"], r["bm25"])
+        for r in bm25_topk(docs, terms, k1=k1, b=b, k=10).collect()
+    }
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-9)
