@@ -876,6 +876,41 @@ def _q_social_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMRANK_SEEDS = 8
+SIMRANK_C = 0.8
+SIMRANK_ITERS = 3
+
+
+def _q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank structural similarity (Jeh & Widom KDD'02) between the
+    top in-degree part nodes — the recursive generalization of
+    GraphJet's one-level co-citation intersection similarity, computed
+    need-driven from the seed pairs (never all-pairs)."""
+    from graphjet_spark.plans.simrank import simrank_pairs
+    from graphjet_spark.sources.testdata import PART_OFS, SUPP_OFS
+
+    e = testdata.graph_edges(spark, sf_dir).select("src", "dst").distinct()
+    seeds = [
+        r[0]
+        for r in (
+            e.filter(
+                (F.col("dst") >= PART_OFS) & (F.col("dst") < SUPP_OFS)
+            )
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("dst"))
+            .limit(SIMRANK_SEEDS)
+            .collect()
+        )
+    ]
+    return simrank_pairs(
+        testdata.graph_edges(spark, sf_dir),
+        seeds,
+        c=SIMRANK_C,
+        iters=SIMRANK_ITERS,
+    )
+
+
 def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     top3 = _top_parts(spark, sf_dir, 3)
     # bipartite dst->src view: recommend customers for the top part
@@ -1546,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_numbered": _q_adjacency_numbered,
         "top_parts_recent": _q_top_parts_recent,
         "social_proof": _q_social_proof,
+        "simrank_pairs": _q_simrank,
         "salsa_subgraph_det": _q_salsa,
         "salsa_montecarlo": _q_salsa_mc,
         "metadata_recs_ptype": _q_metadata_recs,
@@ -1780,6 +1816,9 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "adjacency_numbered": oracles.adjacency_numbered_sql(),
         "top_parts_recent": oracles.top_parts_recent_sql(),
         "social_proof": oracles.social_proof_sql(),
+        "simrank_pairs": oracles.simrank_pairs_sql(
+            SIMRANK_SEEDS, SIMRANK_C, SIMRANK_ITERS
+        ),
         "salsa_subgraph_det": oracles.salsa_subgraph_sql(),
         "metadata_recs_ptype": oracles.metadata_recs_sql(),
         "events_top_users": """

@@ -3040,3 +3040,80 @@ GROUP BY t.doc_id
 ORDER BY bm25 DESC, t.doc_id ASC
 LIMIT {k}
 """
+
+
+def simrank_pairs_sql(
+    nseeds: int = 8,
+    c: float = 0.8,
+    iters: int = 3,
+    round_to: int = 6,
+    lo: int = 2_000_000,
+    hi: int = 3_000_000,
+) -> str:
+    """Twin of plans/simrank.py::simrank_pairs — need-driven pair sets
+    unrolled top-down (n0..n{iters-1}), values folded bottom-up
+    (s{iters-1}..s0) with exact diagonal counts; identical IEEE
+    (c * tsum) / (na * nb) shape.  Seeds = top-``nseeds`` part-range
+    nodes by distinct-edge in-degree (ties -> smaller id)."""
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM graph_edges)",
+        "ind AS MATERIALIZED ("
+        "SELECT dst, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY dst)",
+        f"""sds AS MATERIALIZED (
+  SELECT dst AS id FROM e WHERE dst >= {lo} AND dst < {hi}
+  GROUP BY dst ORDER BY COUNT(*) DESC, dst ASC LIMIT {nseeds})""",
+        "n0 AS MATERIALIZED ("
+        "SELECT a.id AS a, b.id AS b FROM sds a JOIN sds b ON a.id < b.id)",
+    ]
+    for t in range(1, iters):
+        parts.append(
+            f"""n{t} AS MATERIALIZED (
+  SELECT DISTINCT LEAST(ea.src, eb.src) AS a, GREATEST(ea.src, eb.src) AS b
+  FROM n{t - 1} p JOIN e ea ON ea.dst = p.a JOIN e eb ON eb.dst = p.b
+  WHERE ea.src <> eb.src)"""
+        )
+    prev = None
+    for lvl in range(iters - 1, -1, -1):
+        x = f"x{lvl}"
+        parts.append(
+            f"""{x} AS MATERIALIZED (
+  SELECT p.a, p.b, ea.src AS ia, eb.src AS ib
+  FROM n{lvl} p JOIN e ea ON ea.dst = p.a JOIN e eb ON eb.dst = p.b)"""
+        )
+        if prev is None:
+            parts.append(
+                f"""t{lvl} AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS tsum
+  FROM {x} WHERE ia = ib GROUP BY a, b)"""
+            )
+        else:
+            parts.append(
+                f"""t{lvl} AS MATERIALIZED (
+  SELECT COALESCE(d.a, o.a) AS a, COALESCE(d.b, o.b) AS b,
+         COALESCE(d.dsum, CAST(0 AS DOUBLE))
+           + COALESCE(o.osum, CAST(0 AS DOUBLE)) AS tsum
+  FROM (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS dsum
+        FROM {x} WHERE ia = ib GROUP BY a, b) d
+  FULL OUTER JOIN (
+        SELECT xx.a, xx.b, SUM(s.s) AS osum
+        FROM (SELECT a, b, LEAST(ia, ib) AS la, GREATEST(ia, ib) AS lb
+              FROM {x} WHERE ia <> ib) xx
+        JOIN {prev} s ON xx.la = s.a AND xx.lb = s.b
+        GROUP BY xx.a, xx.b) o
+  ON d.a = o.a AND d.b = o.b)"""
+            )
+        parts.append(
+            f"""s{lvl} AS MATERIALIZED (
+  SELECT t.a, t.b,
+         (CAST({c!r} AS DOUBLE) * t.tsum) / CAST(na.n * nb.n AS DOUBLE) AS s
+  FROM t{lvl} t JOIN ind na ON t.a = na.dst JOIN ind nb ON t.b = nb.dst)"""
+        )
+        prev = f"s{lvl}"
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT a AS node_a, b AS node_b, ROUND(s, {round_to}) AS simrank FROM s0
+"""
+    )

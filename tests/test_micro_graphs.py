@@ -1060,3 +1060,60 @@ def test_densest_subgraph_mirror(spark):
     assert all(abs(r["density"] - dens) < 1e-9 for r in got)
     # the K5 core must survive peeling
     assert set(range(5)) <= {r["id"] for r in got}
+
+
+def numpy_simrank(pairs, c=0.8, iters=3):
+    """Literal dense SimRank (Jeh & Widom KDD'02 eq. 1): full matrix,
+    identity base, in-neighbor averaging — the brute-force oracle the
+    need-driven plan must match on every computed pair."""
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    innb = [[] for _ in range(n)]
+    for s, d in set(pairs):
+        innb[idx[d]].append(idx[s])
+    s_mat = np.eye(n)
+    for _ in range(iters):
+        new = np.eye(n)
+        for a in range(n):
+            for b in range(n):
+                if a == b or not innb[a] or not innb[b]:
+                    continue
+                tot = sum(s_mat[i, j] for i in innb[a] for j in innb[b])
+                new[a, b] = c * tot / (len(innb[a]) * len(innb[b]))
+        s_mat = new
+    return {
+        (u, v): s_mat[idx[u], idx[v]] for u in nodes for v in nodes if u < v
+    }
+
+
+def test_simrank_micro_mirror(spark):
+    """Need-driven SimRank vs the dense literal mirror on a multi-level
+    fixture (shared parents, shared grandparents, an isolated sink)."""
+    from graphjet_spark.plans.simrank import simrank_pairs
+
+    pairs = [
+        (1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 12), (3, 13),
+        (10, 20), (11, 20), (11, 21), (12, 21), (12, 22), (13, 22),
+        (20, 30), (21, 30), (21, 31), (22, 31),
+    ]
+    want = numpy_simrank(pairs, c=0.8, iters=3)
+    seeds = [30, 31, 20, 21, 22]
+    got = {
+        (r["node_a"], r["node_b"]): r["simrank"]
+        for r in simrank_pairs(
+            edges_df(spark, pairs), seeds, c=0.8, iters=3
+        ).collect()
+    }
+    expected = {
+        (a, b): round(want[(a, b)], 6)
+        for a in seeds
+        for b in seeds
+        if a < b and want[(a, b)] > 0.0
+    }
+    assert got.keys() == expected.keys()
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+    # deeper ancestry raises similarity: 30,31 share parent 21 AND
+    # their other parents (20,22) are themselves similar via level 2
+    assert got[(30, 31)] > 0.0
