@@ -22,6 +22,7 @@ import pandas as pd
 # this shape; a real crawl corpus would swap these regexes for an HTML
 # parser behind the same two functions.
 _HREF_RE = r'href="([^"]*)"'
+_ANCHOR_RE = r'<a href="([^"]*)">([^<]*)</a>'
 _TEXT_RE = r"(?s)<p>(.*?)</p>"
 
 # Minimal HTML entity codec — must round-trip with sources.pages._escape.
@@ -77,6 +78,39 @@ def extract_links(html: pd.Series, base_urls: pd.Series) -> pd.DataFrame:
     )
     return pd.DataFrame(
         {"page_idx": idx, "dst_url": canonicalize_url(resolved).to_numpy()}
+    )
+
+
+def extract_anchors(html: pd.Series, base_urls: pd.Series) -> pd.DataFrame:
+    """Explode each page into (link target, anchor text) pairs.
+
+    Returns ``(page_idx, dst_url, anchor)`` — the href resolution and
+    canonicalization are byte-identical to :func:`extract_links`, with
+    the anchor's inner text carried alongside.  Anchor text is the
+    classic off-page relevance signal (what OTHER pages call a url);
+    duplicate hrefs are preserved, mirroring the link multiset."""
+    text = decode_html(html).reset_index(drop=True)
+    base = base_urls.reset_index(drop=True)
+    found = text.str.findall(_ANCHOR_RE)
+    exploded = found.explode().dropna()
+    if exploded.empty:
+        return pd.DataFrame(
+            {
+                "page_idx": pd.Series(dtype="int64"),
+                "dst_url": pd.Series(dtype="object"),
+                "anchor": pd.Series(dtype="object"),
+            }
+        )
+    idx = exploded.index.to_numpy()
+    hrefs = exploded.str[0].reset_index(drop=True)
+    anchors = exploded.str[1].reset_index(drop=True)
+    resolved = resolve_url(hrefs, base.iloc[idx].reset_index(drop=True))
+    return pd.DataFrame(
+        {
+            "page_idx": idx,
+            "dst_url": canonicalize_url(resolved).to_numpy(),
+            "anchor": anchors.to_numpy(),
+        }
     )
 
 

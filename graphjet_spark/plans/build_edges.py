@@ -74,6 +74,81 @@ def extract_link_rows(pages: DataFrame) -> DataFrame:
     )
 
 
+_ANCHOR_SCHEMA = StructType(
+    [
+        StructField("src_url", StringType()),
+        StructField("dst_url", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+
+def _anchor_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        pairs = webtext.extract_anchors(pdf["html"], pdf["url"])
+        if pairs.empty:
+            continue
+        idx = pairs["page_idx"].to_numpy()
+        yield pd.DataFrame(
+            {
+                "src_url": webtext.canonicalize_url(
+                    pdf["url"].iloc[idx].reset_index(drop=True)
+                ),
+                "dst_url": pairs["dst_url"].to_numpy(),
+                "anchor": pairs["anchor"].to_numpy(),
+            }
+        )
+
+
+def extract_anchor_rows(pages: DataFrame) -> DataFrame:
+    """pages -> one (src_url, dst_url, anchor) row per href occurrence.
+
+    The anchor-text channel of the link extractor: same href resolution
+    and canonicalization as :func:`extract_link_rows`, carrying the
+    link's inner text.  Narrow Arrow stage, duplicates preserved."""
+    return pages.select("url", "html").mapInPandas(
+        _anchor_batches, schema=_ANCHOR_SCHEMA
+    )
+
+
+def anchor_text_summary(anchor_rows: DataFrame) -> DataFrame:
+    """Per-target anchor-text profile: what OTHER pages call each url.
+
+    ``(dst_url, n_anchor_refs, n_referrers, n_anchor_terms, top_anchor,
+    top_anchor_n)`` — total inbound anchor occurrences, distinct
+    referring pages, distinct anchor strings, and the modal anchor
+    (ties broken by the lexicographically GREATEST anchor, the natural
+    order of ``max(struct(n, anchor))``).
+
+    Scale shape: the modal anchor is a two-phase aggregation — first
+    groupBy (dst_url, anchor) with map-side combine (absorbs the
+    mega-hub's inbound skew), then a groupBy over the far smaller
+    per-(dst, distinct-anchor) table.  No window over a hub-sized
+    partition anywhere."""
+    counts = anchor_rows.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    modal = counts.groupBy("dst_url").agg(
+        F.sum("n").cast("bigint").alias("n_anchor_refs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_anchor_terms"),
+        F.max(F.struct(F.col("n"), F.col("anchor"))).alias("_m"),
+    )
+    referrers = (
+        anchor_rows.select("dst_url", "src_url")
+        .distinct()  # pre-shuffle partial distinct absorbs hub skew
+        .groupBy("dst_url")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_referrers"))
+    )
+    return modal.join(referrers, "dst_url").select(
+        "dst_url",
+        "n_anchor_refs",
+        "n_referrers",
+        "n_anchor_terms",
+        F.col("_m.anchor").alias("top_anchor"),
+        F.col("_m.n").alias("top_anchor_n"),
+    )
+
+
 _TEXT_SCHEMA = StructType(
     [StructField("url", StringType()), StructField("text", StringType())]
 )

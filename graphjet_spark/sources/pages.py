@@ -83,8 +83,9 @@ def synthesize_pages(
     """Return ``(pages, true_links)``.
 
     ``pages``      — url, warc_ts (datetime64[us]), html (bytes), text, lang
-    ``true_links`` — src_url, dst_url, one row per href occurrence
-                     (duplicates preserved), in within-page href order.
+    ``true_links`` — src_url, dst_url, anchor; one row per href
+                     occurrence (duplicates preserved), in within-page
+                     href order.
     """
     n = spec.n_pages
     rng = np.random.default_rng(spec.seed)
@@ -125,8 +126,17 @@ def synthesize_pages(
         order = np.argsort(src_idx, kind="stable")
         src_idx, cand = src_idx[order], cand[order]
 
+    # anchor text: one vocab word per link, a closed-form function of
+    # the (src, dst) pair — rng-free so the anchor ground truth is
+    # exactly reconstructible by tests (and duplicated hrefs carry the
+    # same anchor, like real boilerplate nav links)
+    anchor_words = _VOCAB[(src_idx * 31 + cand) % len(_VOCAB)]
     true_links = pd.DataFrame(
-        {"src_url": url_arr[src_idx], "dst_url": url_arr[cand]}
+        {
+            "src_url": url_arr[src_idx],
+            "dst_url": url_arr[cand],
+            "anchor": anchor_words,
+        }
     )
 
     # --- text payload: 8-40 vocab words, entity-unsafe chars sprinkled -
@@ -140,9 +150,11 @@ def synthesize_pages(
     text = text.where(~spicy, text + ' & <"tags">')
 
     # --- assemble html ------------------------------------------------
-    link_df = pd.DataFrame({"i": src_idx, "dst": url_arr[cand]})
+    link_df = pd.DataFrame(
+        {"i": src_idx, "dst": url_arr[cand], "a": anchor_words}
+    )
     anchors = (
-        ('<li><a href="' + link_df["dst"] + '">x</a></li>')
+        ('<li><a href="' + link_df["dst"] + '">' + link_df["a"] + "</a></li>")
         .groupby(link_df["i"])
         .agg("".join)
     )

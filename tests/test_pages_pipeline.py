@@ -68,8 +68,60 @@ def test_edge_build_exact_vs_ground_truth(corpus):
         .sort_values(["src_url", "dst_url"])
         .reset_index(drop=True)
     )
-    want = true_links.sort_values(["src_url", "dst_url"]).reset_index(drop=True)
+    want = (
+        true_links[["src_url", "dst_url"]]
+        .sort_values(["src_url", "dst_url"])
+        .reset_index(drop=True)
+    )
     assert got.equals(want)  # per-occurrence multiset equality, dups included
+
+
+def test_anchor_rows_exact_vs_ground_truth(corpus):
+    from graphjet_spark.plans.build_edges import extract_anchor_rows
+
+    _, true_links, pages = corpus
+    cols = ["src_url", "dst_url", "anchor"]
+    got = (
+        extract_anchor_rows(pages)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = true_links[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(want)  # multiset equality incl. the anchor text
+
+
+def test_anchor_summary_matches_pandas_mirror(corpus):
+    from graphjet_spark.plans.build_edges import (
+        anchor_text_summary,
+        extract_anchor_rows,
+    )
+
+    _, true_links, pages = corpus
+    got = {
+        r["dst_url"]: (
+            r["n_anchor_refs"],
+            r["n_referrers"],
+            r["n_anchor_terms"],
+            r["top_anchor"],
+            r["top_anchor_n"],
+        )
+        for r in anchor_text_summary(extract_anchor_rows(pages)).collect()
+    }
+    want = {}
+    for dst, g in true_links.groupby("dst_url"):
+        vc = g["anchor"].value_counts()
+        top_n = int(vc.max())
+        # engine tiebreak: count desc, then anchor lexicographically desc
+        top_a = max(vc[vc == top_n].index)
+        want[dst] = (
+            len(g),
+            g["src_url"].nunique(),
+            g["anchor"].nunique(),
+            top_a,
+            top_n,
+        )
+    assert got == want
 
 
 def test_vertex_ids_no_collisions_and_schema(corpus):

@@ -28,7 +28,9 @@ def test_stream_ingest_matches_batch_extraction(spark, tmp_path):
 
     got = ingest.read_edges(spark, out_dir)
     rows = got.select("src_url", "dst_url").collect()
-    want = sorted(map(tuple, true_links.itertuples(index=False)))
+    want = sorted(
+        map(tuple, true_links[["src_url", "dst_url"]].itertuples(index=False))
+    )
     assert sorted((r["src_url"], r["dst_url"]) for r in rows) == want
 
     # segments: warc_ts advances 1s per page -> 200s span -> >=3 buckets
