@@ -665,6 +665,21 @@ def _q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(spark, edges, fixed_iters=MIS_ITERS)
 
 
+WL_ROUNDS = 3
+
+
+def _q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler–Leman color refinement (hashed-WL): per-vertex
+    3-hop structural-role colors + role-class sizes — the graph
+    fingerprinting / role-discovery primitive (and the GNN
+    expressiveness ceiling), in the commutative sum-hash form whose
+    gather is one map-side-combinable aggregation."""
+    from graphjet_spark.plans.wl import wl_colors
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return wl_colors(spark, edges, rounds=WL_ROUNDS)
+
+
 COLORING_COLORS = 3
 COLORING_MIS_ITERS = 6
 
@@ -1560,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dist_est": _q_landmark_dist_est,
         "component_sizes": _q_component_sizes,
         "luby_mis": _q_luby_mis,
+        "wl_refinement": _q_wl_refinement,
         "greedy_coloring": _q_greedy_coloring,
         "densest_subgraph": _q_densest_subgraph,
         "triangle_count": _q_triangles,
@@ -1788,6 +1804,7 @@ ORDER BY trend DESC, id ASC LIMIT 20
         ),
         "component_sizes": oracles.component_sizes_sql(CC_ITERS),
         "luby_mis": oracles.luby_mis_sql(MIS_ITERS),
+        "wl_refinement": oracles.wl_refinement_sql(WL_ROUNDS),
         "greedy_coloring": oracles.greedy_coloring_sql(
             COLORING_COLORS, COLORING_MIS_ITERS
         ),

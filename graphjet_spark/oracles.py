@@ -3117,3 +3117,49 @@ def simrank_pairs_sql(
 SELECT a AS node_a, b AS node_b, ROUND(s, {round_to}) AS simrank FROM s0
 """
     )
+
+
+def wl_refinement_sql(rounds: int) -> str:
+    """Twin of plans/wl.py::wl_colors — unrolled hashed-WL rounds.
+    Commutative multiset hashing (SUM of md5-prefix hashes mod 2^31 +
+    neighbor count), identical string/md5 arithmetic on both engines;
+    DuckDB's HUGEINT SUM prints the same digits the Spark BIGINT SUM
+    does, so the concatenated hash inputs are byte-identical."""
+
+    def h(s: str) -> str:
+        return f"(('0x'||substr(md5({s}),1,15))::BIGINT)"
+
+    parts = [
+        """l0 AS MATERIALIZED (
+  SELECT v.id, CAST(COALESCE(d.d, 0) AS BIGINT) AS c
+  FROM v LEFT JOIN (SELECT a, COUNT(*) AS d FROM sym GROUP BY a) d
+  ON v.id = d.a)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT id AS nid, {h("'wl:'||c")} % 2147483647 AS hc FROM l{t - 1})"""
+        )
+        parts.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT s.a AS id, SUM(q.hc) AS sm, COUNT(*) AS n
+  FROM sym s JOIN h{t} q ON s.b = q.nid GROUP BY s.a)"""
+        )
+        parts.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT l.id,
+         {h("'wl:'||l.c||':'||COALESCE(g.sm, 0)||':'||COALESCE(g.n, 0)")} AS c
+  FROM l{t - 1} l LEFT JOIN g{t} g ON l.id = g.id)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT l.id, l.c AS wl_color, cs.class_size
+FROM l{rounds} l
+JOIN (SELECT c, CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM l{rounds} GROUP BY c) cs ON l.c = cs.c"""
+    )

@@ -1117,3 +1117,78 @@ def test_simrank_micro_mirror(spark):
     # deeper ancestry raises similarity: 30,31 share parent 21 AND
     # their other parents (20,22) are themselves similar via level 2
     assert got[(30, 31)] > 0.0
+
+
+def py_wl_colors(pairs, rounds):
+    """Literal mirror of plans/wl.py::wl_colors — same md5-prefix
+    arithmetic, same commutative sum-hash fold."""
+    import hashlib
+    from collections import defaultdict
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj, nodes = defaultdict(set), set()
+    for s, d in pairs:
+        nodes.update((s, d))
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    c = {v: len(adj[v]) for v in nodes}
+    mod = 2_147_483_647
+    for _ in range(rounds):
+        hc = {v: md5i(f"wl:{c[v]}") % mod for v in nodes}
+        c = {
+            v: md5i(
+                f"wl:{c[v]}:{sum(hc[u] for u in adj[v])}:{len(adj[v])}"
+            )
+            for v in nodes
+        }
+    return c
+
+
+def test_wl_colors_literal_mirror(spark):
+    from graphjet_spark.plans.wl import wl_colors
+
+    # cliques + bridge + islands + a self-loop-only vertex (no sym
+    # neighbors: exercises the COALESCE(0,0) fold path)
+    pairs = LP_CLIQUES + CC_ISLANDS
+    got = {
+        r["id"]: (r["wl_color"], r["class_size"])
+        for r in wl_colors(spark, edges_df(spark, pairs), rounds=3).collect()
+    }
+    want_c = py_wl_colors(pairs, 3)
+    from collections import Counter
+
+    sizes = Counter(want_c.values())
+    want = {v: (c, sizes[c]) for v, c in want_c.items()}
+    assert got == want
+
+
+def test_wl_colors_structural_roles(spark):
+    from graphjet_spark.plans.wl import wl_colors
+
+    # path 1-2-3-4-5: mirror-symmetric vertices share a color, the
+    # three distance-to-end classes separate after 2 rounds
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    col = {
+        r["id"]: r["wl_color"]
+        for r in wl_colors(spark, edges_df(spark, path), rounds=2).collect()
+    }
+    assert col[1] == col[5] and col[2] == col[4]
+    assert len({col[1], col[2], col[3]}) == 3
+
+    # K4 is vertex-transitive: one color class of size 4
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    rows = wl_colors(spark, edges_df(spark, k4), rounds=3).collect()
+    assert len({r["wl_color"] for r in rows}) == 1
+    assert all(r["class_size"] == 4 for r in rows)
+
+    # star: hub vs leaves = exactly two classes
+    star = [(0, i) for i in range(1, 7)]
+    col = {
+        r["id"]: r["wl_color"]
+        for r in wl_colors(spark, edges_df(spark, star), rounds=3).collect()
+    }
+    assert len({col[i] for i in range(1, 7)}) == 1
+    assert col[0] != col[1]
