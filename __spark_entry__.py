@@ -345,6 +345,26 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(spark, edges.unionByName(back))
 
 
+BOWTIE_ITERS = 12
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (WWW 2000) — CORE/IN/OUT/TUBE/
+    TENDRIL/DISC macro-map of the directed graph, over the same
+    back-edge-enriched graph as the SCC gate (the base testdata graph
+    is a layered DAG); pivot-anchored so it is fully value-oracled,
+    unlike mutual-reachability SCC."""
+    from graphjet_spark.plans.bowtie import bowtie_decomposition
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    back = edges.filter(
+        F.pmod(F.col("src") + F.col("dst"), F.lit(5)) == 0
+    ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return bowtie_decomposition(
+        spark, edges.unionByName(back), fixed_iters=BOWTIE_ITERS
+    )
+
+
 TREND_START, TREND_MID, TREND_END = (
     "1997-01-01 00:00:00",
     "1997-07-01 00:00:00",
@@ -1552,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_histogram": _q_anf_histogram,
         "effective_diameter": _q_effective_diameter,
         "scc_labels": _q_scc,
+        "bowtie_classes": _q_bowtie,
         "trending_nodes": _q_trending_nodes,
         "butterfly_count": _q_butterfly_count,
         "betweenness_sampled": _q_betweenness,
@@ -1755,6 +1776,7 @@ GROUP BY n.n_name
             CC_ITERS
         ),
         "anf_histogram": oracles.anf_histogram_sql(ANF_ITERS),
+        "bowtie_classes": oracles.bowtie_sql(BOWTIE_ITERS),
         "effective_diameter": oracles.effective_diameter_sql(ANF_ITERS),
         "trending_nodes": cte
         + f"""

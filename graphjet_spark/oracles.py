@@ -3163,3 +3163,87 @@ FROM l{rounds} l
 JOIN (SELECT c, CAST(COUNT(*) AS BIGINT) AS class_size
       FROM l{rounds} GROUP BY c) cs ON l.c = cs.c"""
     )
+
+
+def bowtie_sql(rounds: int) -> str:
+    """Twin of plans/bowtie.py::bowtie_decomposition — unrolled
+    frontier-BFS sweeps.  Whole-set expansion per round is equivalent
+    to the engine's frontier-only expansion (older vertices' neighbors
+    were already folded in; the blocked set is constant), so the sets
+    are identical at any round budget, saturated or not."""
+    parts = [
+        """eb AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM graph_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM graph_edges
+    WHERE (src + dst) % 5 = 0))""",
+        """dg AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT src AS id FROM eb UNION ALL SELECT dst FROM eb) GROUP BY id)""",
+        "pv AS MATERIALIZED "
+        "(SELECT id FROM dg ORDER BY deg DESC, id ASC LIMIT 1)",
+        "f0 AS MATERIALIZED (SELECT id FROM pv)",
+        "b0 AS MATERIALIZED (SELECT id FROM pv)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""f{t} AS MATERIALIZED (
+  SELECT id FROM f{t - 1}
+  UNION SELECT e.dst FROM eb e JOIN f{t - 1} r ON e.src = r.id)"""
+        )
+        parts.append(
+            f"""b{t} AS MATERIALIZED (
+  SELECT id FROM b{t - 1}
+  UNION SELECT e.src FROM eb e JOIN b{t - 1} r ON e.dst = r.id)"""
+        )
+    parts.append(
+        f"core AS MATERIALIZED (SELECT id FROM f{rounds} "
+        f"INTERSECT SELECT id FROM b{rounds})"
+    )
+    parts.append(
+        f"ins AS MATERIALIZED (SELECT id FROM b{rounds} "
+        "EXCEPT SELECT id FROM core)"
+    )
+    parts.append(
+        f"outs AS MATERIALIZED (SELECT id FROM f{rounds} "
+        "EXCEPT SELECT id FROM core)"
+    )
+    parts.append("ti0 AS MATERIALIZED (SELECT id FROM ins)")
+    parts.append("bo0 AS MATERIALIZED (SELECT id FROM outs)")
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""ti{t} AS MATERIALIZED (
+  SELECT id FROM ti{t - 1}
+  UNION
+  SELECT e.dst FROM eb e JOIN ti{t - 1} r ON e.src = r.id
+  WHERE e.dst NOT IN (SELECT id FROM core))"""
+        )
+        parts.append(
+            f"""bo{t} AS MATERIALIZED (
+  SELECT id FROM bo{t - 1}
+  UNION
+  SELECT e.src FROM eb e JOIN bo{t - 1} r ON e.dst = r.id
+  WHERE e.src NOT IN (SELECT id FROM core))"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id,
+       CASE WHEN c.id IS NOT NULL THEN 'CORE'
+            WHEN i.id IS NOT NULL THEN 'IN'
+            WHEN o.id IS NOT NULL THEN 'OUT'
+            WHEN fi.id IS NOT NULL AND bo.id IS NOT NULL THEN 'TUBE'
+            WHEN fi.id IS NOT NULL OR bo.id IS NOT NULL THEN 'TENDRIL'
+            ELSE 'DISC' END AS bowtie_class
+FROM v
+LEFT JOIN core c ON v.id = c.id
+LEFT JOIN ins i ON v.id = i.id
+LEFT JOIN outs o ON v.id = o.id
+LEFT JOIN ti{rounds} fi ON v.id = fi.id
+LEFT JOIN bo{rounds} bo ON v.id = bo.id"""
+    )

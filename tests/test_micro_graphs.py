@@ -1192,3 +1192,119 @@ def test_wl_colors_structural_roles(spark):
     }
     assert len({col[i] for i in range(1, 7)}) == 1
     assert col[0] != col[1]
+
+
+def py_bowtie(pairs, rounds=20):
+    """Literal mirror of plans/bowtie.py::bowtie_decomposition."""
+    from collections import defaultdict
+
+    fwd, bwd, nodes = defaultdict(set), defaultdict(set), set()
+    for s, d in set(pairs):
+        nodes.update((s, d))
+        fwd[s].add(d)
+        bwd[d].add(s)
+    deg = defaultdict(int)
+    for s, d in set(pairs):
+        deg[s] += 1
+        deg[d] += 1
+    pivot = max(nodes, key=lambda v: (deg[v], -v))
+
+    def reach(seeds, adj, blocked=frozenset()):
+        r, frontier = set(seeds), set(seeds)
+        for _ in range(rounds):
+            new = {w for v in frontier for w in adj[v]} - r - blocked
+            if not new:
+                break
+            r |= new
+            frontier = new
+        return r
+
+    fw, bw = reach({pivot}, fwd), reach({pivot}, bwd)
+    core = fw & bw
+    ins, outs = bw - core, fw - core
+    fi = reach(ins, fwd, blocked=core)
+    bo = reach(outs, bwd, blocked=core)
+    out = {}
+    for v in nodes:
+        if v in core:
+            out[v] = "CORE"
+        elif v in ins:
+            out[v] = "IN"
+        elif v in outs:
+            out[v] = "OUT"
+        elif v in fi and v in bo:
+            out[v] = "TUBE"
+        elif v in fi or v in bo:
+            out[v] = "TENDRIL"
+        else:
+            out[v] = "DISC"
+    return out
+
+
+# hand-built Broder bow-tie: 3-cycle core (1,2,3) with extra degree on
+# 1 so the max-degree pivot lands in the core; IN chain 9->10->1; OUT
+# chain 3->20->21; tube 10->30->20 bypassing the core; in-tendril
+# 10->40; out-tendril 50->20; disconnected pair 100->101
+BOWTIE_FIXTURE = [
+    (1, 2), (2, 3), (3, 1), (9, 1), (21, 1),
+    (9, 10), (10, 1),
+    (3, 20), (20, 21),
+    (10, 30), (30, 20),
+    (10, 40),
+    (50, 20),
+    (100, 101),
+]
+
+
+def test_bowtie_mirror_and_classes(spark):
+    from graphjet_spark.plans.bowtie import bowtie_decomposition
+
+    want = py_bowtie(BOWTIE_FIXTURE)
+    got = {
+        r["id"]: r["bowtie_class"]
+        for r in bowtie_decomposition(
+            spark, edges_df(spark, BOWTIE_FIXTURE), fixed_iters=12
+        ).collect()
+    }
+    assert got == want
+    # the fixture exercises every class; 21->1 pulls 20,21 into the
+    # core's backward reach, so OUT collapses into CORE/IN — assert
+    # what the mirror says rather than guessed labels
+    assert set(want.values()) >= {"CORE", "IN", "TENDRIL", "DISC"}
+
+    # minimal 6-class-capable fixture with a genuine TUBE: core cycle
+    # (1,2,3) with pivot-degree boost from IN edges only; 10->30->20
+    # bypasses the core from IN to OUT
+    tube_fx = [
+        (1, 2), (2, 3), (3, 1), (10, 1), (11, 1), (12, 1),
+        (3, 20), (10, 30), (30, 20),
+    ]
+    want2 = py_bowtie(tube_fx)
+    assert want2[30] == "TUBE" and want2[20] == "OUT" and want2[1] == "CORE"
+    got2 = {
+        r["id"]: r["bowtie_class"]
+        for r in bowtie_decomposition(
+            spark, edges_df(spark, tube_fx), fixed_iters=12
+        ).collect()
+    }
+    assert got2 == want2
+
+
+def test_bowtie_mirror_on_random_graph(spark):
+    import random
+
+    from graphjet_spark.plans.bowtie import bowtie_decomposition
+
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+    ]
+    pairs = [(s, d) for s, d in pairs if s != d]
+    want = py_bowtie(pairs)
+    got = {
+        r["id"]: r["bowtie_class"]
+        for r in bowtie_decomposition(
+            spark, edges_df(spark, pairs), fixed_iters=12
+        ).collect()
+    }
+    assert got == want
