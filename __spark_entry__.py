@@ -290,6 +290,24 @@ def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("pagerank", 9).alias("ppr"))
 
 
+SWEEP_SEEDS = {1: 1.0}
+SWEEP_ITERS = 6
+SWEEP_K = 50
+
+
+def _q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local community around a seed: Andersen–Chung–Lang conductance
+    sweep over the ppr/deg order — the whole-graph-free "community
+    around this page" primitive; the community is the argmin-
+    conductance prefix of the returned profile."""
+    from graphjet_spark.plans.sweepcut import ppr_sweep_cut
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return ppr_sweep_cut(
+        spark, edges, SWEEP_SEEDS, fixed_iters=SWEEP_ITERS, k=SWEEP_K
+    )
+
+
 TRUST_SEEDS = {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0, 5: 1.0}
 SPAM_ITERS = 6
 
@@ -1565,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": _q_ppr,
         "spam_mass": _q_spam_mass,
         "grouped_ppr_topk": _q_grouped_ppr,
+        "ppr_sweep_community": _q_ppr_sweep,
         "pagerank_weighted": _q_pagerank_weighted,
         "connected_components": _q_components,
         "connected_components_star": _q_components_star,
@@ -1764,6 +1783,9 @@ GROUP BY n.n_name
         "spam_mass": oracles.spam_mass_sql(SPAM_ITERS, TRUST_SEEDS),
         "grouped_ppr_topk": oracles.grouped_ppr_sql(
             GPPR_ITERS, GPPR_SEEDS, k=20
+        ),
+        "ppr_sweep_community": oracles.ppr_sweep_sql(
+            SWEEP_ITERS, SWEEP_SEEDS, SWEEP_K
         ),
         "pagerank_weighted": oracles.pagerank_weighted_fixed_sql(WPR_ITERS),
         "connected_components": oracles.connected_components_fixed_sql(CC_ITERS),

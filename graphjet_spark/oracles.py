@@ -109,15 +109,11 @@ def pagerank_weighted_fixed_sql(
     )
 
 
-def personalized_pagerank_fixed_sql(
-    iters: int,
-    seeds: dict[int, float],
-    damping: float = 0.85,
-    round_to: int = 9,
-) -> str:
-    """Unrolled personalized PageRank: restart + dangling mass follow
-    the normalized seed distribution; init = that distribution.
-    Output (id, ppr) rounded."""
+def _ppr_parts(
+    iters: int, seeds: dict[int, float], damping: float
+) -> list[str]:
+    """Shared unrolled personalized-PageRank CTE chain (final vector in
+    ``p{iters}`` with column ``rank``)."""
     d = damping
     total = float(sum(seeds.values()))
     vals = ", ".join(
@@ -155,7 +151,19 @@ def personalized_pagerank_fixed_sql(
     GROUP BY e.dst
   ) c ON pvec.id = c.id)"""
         )
-    body = ",\n".join(parts)
+    return parts
+
+
+def personalized_pagerank_fixed_sql(
+    iters: int,
+    seeds: dict[int, float],
+    damping: float = 0.85,
+    round_to: int = 9,
+) -> str:
+    """Unrolled personalized PageRank: restart + dangling mass follow
+    the normalized seed distribution; init = that distribution.
+    Output (id, ppr) rounded."""
+    body = ",\n".join(_ppr_parts(iters, seeds, damping))
     return (
         oracle_cte().rstrip()
         + ",\n"
@@ -163,6 +171,66 @@ def personalized_pagerank_fixed_sql(
         + ",\n"
         + body
         + f"\nSELECT id, ROUND(rank, {round_to}) AS ppr FROM p{iters}"
+    )
+
+
+def ppr_sweep_sql(
+    iters: int,
+    seeds: dict[int, float],
+    k: int,
+    damping: float = 0.85,
+    round_to: int = 9,
+) -> str:
+    """Twin of plans/sweepcut.py::ppr_sweep_cut — the unrolled PPR
+    chain, then the conductance sweep over the top-k (score DESC, id)
+    prefix order.  cut/vol are exact BIGINTs; conductance is the one
+    DOUBLE division, rounded like the engine."""
+    parts = _ppr_parts(iters, seeds, damping)
+    parts.append(
+        "sdg AS MATERIALIZED "
+        "(SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a)"
+    )
+    parts.append(
+        f"""sc AS MATERIALIZED (
+  SELECT p.id, ROUND(p.rank / d.deg, {round_to}) AS score, d.deg
+  FROM p{iters} p JOIN sdg d ON p.id = d.id WHERE p.rank > 0)"""
+    )
+    parts.append(
+        f"""tk AS MATERIALIZED (
+  SELECT id, score, deg,
+         ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rk
+  FROM sc ORDER BY score DESC, id ASC LIMIT {k})"""
+    )
+    parts.append(
+        "tv AS MATERIALIZED (SELECT COUNT(*) AS tvol FROM sym)"
+    )
+    parts.append(
+        """ie AS MATERIALIZED (
+  SELECT GREATEST(ra.rk, rb.rk) AS mr, COUNT(*) AS n_int
+  FROM sym s JOIN tk ra ON s.a = ra.id JOIN tk rb ON s.b = rb.id
+  WHERE s.a < s.b GROUP BY 1)"""
+    )
+    parts.append(
+        """prof AS MATERIALIZED (
+  SELECT t.rk, t.id, t.score,
+         SUM(t.deg) OVER (ORDER BY t.rk) AS vol,
+         SUM(COALESCE(i.n_int, 0)) OVER (ORDER BY t.rk) AS internal
+  FROM tk t LEFT JOIN ie i ON t.rk = i.mr)"""
+    )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT rk AS rank, id, score,
+       CASE WHEN LEAST(vol, (SELECT tvol FROM tv) - vol) > 0
+            THEN ROUND(CAST(vol - 2 * internal AS DOUBLE)
+                       / LEAST(vol, (SELECT tvol FROM tv) - vol),
+                       {round_to})
+            END AS conductance
+FROM prof"""
     )
 
 

@@ -1308,3 +1308,87 @@ def test_bowtie_mirror_on_random_graph(spark):
         ).collect()
     }
     assert got == want
+
+
+def py_ppr_sweep(pairs, seeds, iters, k, d=0.85):
+    """Literal mirror of plans/sweepcut.py::ppr_sweep_cut."""
+    from collections import defaultdict
+
+    epairs = sorted(set(pairs))
+    nodes = sorted({x for p in epairs for x in p})
+    out_nbrs = defaultdict(list)
+    for s, t in epairs:
+        out_nbrs[s].append(t)
+    tot = sum(seeds.values())
+    p = {v: seeds.get(v, 0.0) / tot for v in nodes}
+    sur = sum(p.values())
+    if sur < 1 - 1e-12:
+        p = {v: x / sur for v, x in p.items()}
+    r = dict(p)
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if not out_nbrs[v])
+        contrib = defaultdict(float)
+        for v in nodes:
+            if out_nbrs[v]:
+                share = r[v] / len(out_nbrs[v])
+                for w in out_nbrs[v]:
+                    contrib[w] += share
+        r = {v: p[v] * ((1 - d) + d * dm) + d * contrib[v] for v in nodes}
+
+    adj = defaultdict(set)
+    for s, t in epairs:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    deg = {v: len(adj[v]) for v in nodes if adj[v]}
+    scored = sorted(
+        (
+            (round(r[v] / deg[v], 9), v)
+            for v in deg
+            if r[v] > 0
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    tvol = sum(deg.values())
+    prof, pref, vol, internal = [], set(), 0, 0
+    for rk, (score, v) in enumerate(scored, 1):
+        internal += sum(1 for u in adj[v] if u in pref)
+        pref.add(v)
+        vol += deg[v]
+        small = min(vol, tvol - vol)
+        cond = round((vol - 2 * internal) / small, 9) if small > 0 else None
+        prof.append((rk, v, score, cond))
+    return prof
+
+
+def test_ppr_sweep_cut_mirror_finds_clique(spark):
+    from graphjet_spark.plans.sweepcut import ppr_sweep_cut
+
+    # two 5-cliques bridged at 5-11; seeding inside clique A must sweep
+    # to minimum conductance exactly at the clique-A prefix
+    # both orientations: PPR diffusion follows directed edges, so the
+    # "community" reading needs the symmetric edge list
+    cliq_a = [(a, b) for a in range(1, 6) for b in range(1, 6) if a != b]
+    cliq_b = [(a, b) for a in range(11, 16) for b in range(11, 16) if a != b]
+    pairs = cliq_a + cliq_b + [(5, 11), (11, 5)]
+    seeds = {1: 1.0}
+    want = py_ppr_sweep(pairs, seeds, iters=6, k=10)
+    got = [
+        (r["rank"], r["id"], r["score"], r["conductance"])
+        for r in ppr_sweep_cut(
+            spark, edges_df(spark, pairs), seeds, fixed_iters=6, k=10
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [(a, b) for a, b, _, _ in got] == [
+        (a, b) for a, b, _, _ in want
+    ]
+    for (_, _, gs, gc), (_, _, ws, wc) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+        assert (gc is None) == (wc is None)
+        if gc is not None:
+            assert abs(gc - wc) < 1e-9
+    best = min((c, k_) for k_, _, _, c in got if c is not None)
+    best_prefix = {row[1] for row in got[: best[1]]}
+    assert best_prefix == {1, 2, 3, 4, 5}
