@@ -1122,6 +1122,60 @@ def _q_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_WIDTH, CMS_DEPTH, CMS_TOPK = 64, 4, 20
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy audit: the true top-k heavy hitters
+    decorated with their sketch estimates (est >= true always; the gap
+    is the collision overestimate at width 64 < distinct keys).  The
+    mergeable-sketch primitive behind per-key rates / join-size
+    estimates at web scale."""
+    from graphjet_spark.operators.sketches import cms_counters, cms_estimate
+
+    events = testdata.load_tables(spark, sf_dir)["events"]
+    true_top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+    )
+    ctr = cms_counters(events, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH)
+    est = cms_estimate(
+        ctr,
+        true_top.select("user_id"),
+        "user_id",
+        width=CMS_WIDTH,
+        depth=CMS_DEPTH,
+    )
+    return true_top.join(
+        est.withColumnRenamed("key", "user_id"), "user_id"
+    ).select("user_id", "true_cnt", "est_cnt")
+
+
+HLL_M = 64
+
+
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy audit: per event type, the true distinct
+    user count next to the HLL-64 estimate — the mergeable
+    distinct-count sketch behind web-scale audience/reach numbers."""
+    from graphjet_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    events = testdata.load_tables(spark, sf_dir)["events"]
+    true_d = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    reg = hll_registers(events, "user_id", ("event_type",), m=HLL_M)
+    est = hll_estimate(reg, ("event_type",), m=HLL_M)
+    return true_d.join(est, "event_type").select(
+        "event_type", "true_distinct", "hll_est"
+    )
+
+
 def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2-analogue over the events stream table: top users by total
     engagement value (ties -> larger id, recency semantics)."""
@@ -1642,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_montecarlo": _q_salsa_mc,
         "metadata_recs_ptype": _q_metadata_recs,
         "events_top_users": _q_events_top_users,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hll_distinct_users": _q_hll_distinct_users,
         "session_stats": _q_session_stats,
         "event_burstiness": _q_burstiness,
         "event_transitions": _q_event_transitions,
@@ -1887,6 +1943,62 @@ SELECT user_id, ROUND(SUM(value), 6) AS total_value,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id DESC LIMIT 20
+""",
+        "cms_heavy_hitters": f"""
+WITH cnt AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY user_id),
+tk AS MATERIALIZED (
+  SELECT user_id, true_cnt FROM cnt
+  ORDER BY true_cnt DESC, user_id ASC LIMIT {CMS_TOPK}),
+rws AS MATERIALIZED (
+  SELECT * FROM (VALUES {", ".join(f"({i})" for i in range(CMS_DEPTH))})
+  r(rw)),
+ctr AS MATERIALIZED (
+  SELECT r.rw,
+         (('0x'||substr(md5('cms:'||r.rw||':'||e.user_id),1,15))::BIGINT)
+           % {CMS_WIDTH} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN rws r GROUP BY 1, 2)
+SELECT t.user_id, t.true_cnt, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+FROM tk t CROSS JOIN rws r
+LEFT JOIN ctr c ON c.rw = r.rw
+ AND c.bucket =
+  (('0x'||substr(md5('cms:'||r.rw||':'||t.user_id),1,15))::BIGINT)
+    % {CMS_WIDTH}
+GROUP BY t.user_id, t.true_cnt
+""",
+        "hll_distinct_users": f"""
+WITH hs AS MATERIALIZED (
+  SELECT event_type,
+         (('0x'||substr(md5('hll:'||user_id),1,15))::BIGINT) AS h
+  FROM events),
+reg AS MATERIALIZED (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         MAX(CASE WHEN (h // {HLL_M}) = 0 THEN 55
+                  ELSE 55 - LENGTH(BIN(h // {HLL_M})) END) AS mx
+  FROM hs GROUP BY 1, 2),
+ag AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS present,
+         SUM((1::BIGINT << (55 - mx))) AS s_present
+  FROM reg GROUP BY 1),
+tru AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+  FROM events GROUP BY 1)
+SELECT t.event_type, t.true_distinct,
+  ROUND(CASE WHEN {0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**55)!r}
+                 / CAST(a.s_present
+                        + ({HLL_M} - a.present) * (1::BIGINT << 55)
+                        AS DOUBLE) < {2.5 * HLL_M!r}
+              AND ({HLL_M} - a.present) > 0
+        THEN {float(HLL_M)!r}
+             * ln({float(HLL_M)!r} / CAST({HLL_M} - a.present AS DOUBLE))
+        ELSE {0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**55)!r}
+             / CAST(a.s_present
+                    + ({HLL_M} - a.present) * (1::BIGINT << 55)
+                    AS DOUBLE) END, 4) AS hll_est
+FROM tru t JOIN ag a USING (event_type)
 """,
         "session_stats": oracles.session_stats_sql(),
         "event_burstiness": oracles.event_burstiness_sql(),

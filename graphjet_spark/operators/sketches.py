@@ -1,0 +1,182 @@
+"""Mergeable frequency sketches: count-min over an event/key stream.
+
+Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): a
+depth x width counter grid; key k increments counter
+(row, h_row(k) mod width) for each row, and its frequency estimate is
+the MIN over rows of its counters — always >= the true count, with
+overestimate bounded by (N/width) per row.  THE workhorse of web-scale
+approximate analytics (heavy hitters, per-key rate limits, join-size
+estimation) because the counter grid is tiny, build is one pass, and
+grids are MERGEABLE: counters built per segment/partition/day sum
+cell-wise into the grid of the union (tested).  GraphJet's own degree
+estimation serves point frequencies from per-segment structures the
+same way (reference graphjet-core/src/main/java/com/twitter/graphjet/
+bipartite/segment/LeftIndexedBipartiteGraphSegment.java:43-58).
+
+The row hashes are the cross-engine md5-prefix BIGINT, so the sketch
+is a pure function of the data — the gate VALUE-compares estimates
+against a DuckDB twin computing the identical grid.
+
+Scale shape: build = one narrow explode to ``depth`` rows per input
+row, then ONE map-side-combined groupBy whose reduced state is at most
+depth x width cells (constant, broadcastable).  Estimation joins the
+query keys (broadcast) against the grid.  No shuffle grows with input
+size beyond the single count aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h(col) -> F.Column:
+    """Cross-engine md5-prefix hash -> BIGINT (same family as
+    plans/wl.py, plans/mis.py)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _bucket(key_str: F.Column, row: F.Column, width: int) -> F.Column:
+    return _h(
+        F.concat(
+            F.lit("cms:"), row.cast("string"), F.lit(":"), key_str
+        )
+    ) % F.lit(width)
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, *, width: int = 64, depth: int = 4
+) -> DataFrame:
+    """``(row, bucket, cnt)`` count-min grid over ``df[key_col]``.
+    Cell-wise additive: grids of disjoint slices sum to the grid of
+    their union."""
+    row = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    keyed = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k", row
+    )
+    return (
+        keyed.select(
+            "row", _bucket(F.col("k"), F.col("row"), width).alias("bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """``(key, est_cnt)`` — MIN over rows of the key's counters (0 for
+    a never-seen bucket).  ``keys`` is expected to be small (the query
+    set); the probe fans each key to ``depth`` grid lookups."""
+    row = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.col(key_col).cast("string").alias("k"),
+    ).select("key", "k", row)
+    probes = probes.select(
+        "key", "row", _bucket(F.col("k"), F.col("row"), width).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_cnt")
+        )
+    )
+
+
+# ---------------------------------------------------------------- HLL
+
+# h = md5-prefix BIGINT < 2^60; bucket consumes log2(m) bits via
+# h % m, the quotient q = h DIV m fits (60 - log2(m)) bits, so
+# rho = window + 1 - bitlen(q) lies in [1, window + 1]
+def _hll_window(m: int) -> int:
+    if m & (m - 1) or m < 2:
+        raise ValueError(f"m must be a power of two >= 2, got {m}")
+    return 60 - (m.bit_length() - 1)
+
+
+def _alpha(m: int) -> float:
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    *,
+    m: int = 64,
+) -> DataFrame:
+    """HyperLogLog register table ``(group..., bucket, mx)`` (Flajolet
+    et al. AofA'07): mx = max over keys of the leading-zero rank of the
+    key hash's 54-bit quotient.  Registers merge by cell-wise MAX —
+    grids of slices max into the grid of the union.  All integer bit
+    arithmetic (LENGTH(BIN(q)) bit-length, no floating log2), identical
+    on both engines."""
+    h = _h(
+        F.concat(F.lit("hll:"), F.col(key_col).cast("string"))
+    )
+    base = df.select(*group_cols, h.alias("h"))
+    w1 = _hll_window(m) + 1
+    q = F.expr(f"h DIV {m}")
+    rho = (
+        F.when(q == 0, F.lit(w1))
+        .otherwise(F.lit(w1) - F.length(F.bin(q)))
+        .cast("int")
+    )
+    return (
+        base.select(
+            *group_cols,
+            (F.col("h") % F.lit(m)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    *,
+    m: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """``(group..., hll_est)`` — the HLL cardinality estimate with the
+    standard small-range (linear-counting) correction.  The harmonic
+    denominator is folded in EXACT BIGINT arithmetic
+    (sum of 1 << (w1 - mx), absent registers contribute 1 << w1), so
+    the only floats are one division and one optional ln — cross-engine
+    stable at round 4."""
+    w1 = _hll_window(m) + 1
+    num = _alpha(m) * m * m * float(2**w1)  # one shared double literal
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {w1} - mx)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    s_total = F.col("s_present") + (F.lit(m) - F.col("present")) * F.lit(
+        1 << w1
+    ).cast("bigint")
+    raw = F.lit(num) / s_total.cast("double")
+    empty = F.lit(m) - F.col("present")
+    est = F.when(
+        (raw < F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, round_to).alias("hll_est")
+    )
