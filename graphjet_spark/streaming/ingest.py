@@ -290,3 +290,69 @@ def streaming_session_stats(
             "n_events",
         )
     )
+
+
+def read_sketch_grid(
+    spark: SparkSession, grid_dir: str, *, before: int | None = None
+):
+    """Latest committed ``(row, bucket, cnt)`` count-min grid snapshot
+    written by :func:`streaming_cms`, or ``None`` before the first
+    batch.  ``before`` restricts to versions strictly older — the
+    exactly-once replay rule (see below)."""
+    if not os.path.isdir(grid_dir):
+        return None
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(grid_dir)
+        if d.startswith("v=")
+        and os.path.exists(os.path.join(grid_dir, d, "_SUCCESS"))
+    )
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(grid_dir, f"v={versions[-1]}"))
+
+
+def streaming_cms(
+    spark: SparkSession,
+    stream: DataFrame,
+    grid_dir: str,
+    *,
+    checkpoint_dir: str,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+):
+    """Live count-min grid over a micro-batch stream: each batch's
+    grid merges CELL-WISE (sum) into the accumulated grid — the
+    mergeability contract of the sketch doing the streaming work.
+
+    Exactly-once on top of at-least-once foreachBatch: CMS addition is
+    NOT idempotent (unlike the CC fold, which tolerates re-merging the
+    same edges), so a batch folds into the newest snapshot STRICTLY
+    OLDER than its own batch id and overwrites its own
+    ``grid_dir/v=<batch_id>`` — a replayed batch re-reads the same base
+    and produces the same snapshot.  Readers take the latest
+    ``_SUCCESS``-committed version (:func:`read_sketch_grid`)."""
+    from graphjet_spark.operators.sketches import cms_counters
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        grid = cms_counters(batch, key_col, width=width, depth=depth)
+        base = read_sketch_grid(spark, grid_dir, before=batch_id)
+        if base is not None:
+            grid = (
+                grid.unionByName(base)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        grid.write.mode("overwrite").parquet(
+            os.path.join(grid_dir, f"v={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

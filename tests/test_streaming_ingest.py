@@ -337,3 +337,49 @@ def test_streaming_session_stats_matches_gap_semantics(spark, tmp_path):
     # it and user 99's own +600m session; the +810m session stays open
     _feed([(660, 7), (810, 99)])
     assert _run() == [(7, 0, 2), (7, 660, 1), (8, 30, 1), (99, 600, 1)]
+
+
+def test_streaming_cms_folds_match_batch_grid(spark, tmp_path):
+    """Live count-min grid folded per micro-batch must equal the batch
+    grid over all keys ingested so far — after each feed AND across a
+    query restart on the same checkpoint (exactly-once despite the
+    non-idempotent cell-wise sum)."""
+    from graphjet_spark.operators.sketches import cms_counters
+
+    ev_dir = str(tmp_path / "cms_in")
+    ck = str(tmp_path / "cms_ck")
+    grid_dir = str(tmp_path / "cms_grid")
+    seen: list[int] = []
+
+    def _feed(keys):
+        seen.extend(keys)
+        spark.createDataFrame(
+            [(int(k),) for k in keys], "user_id bigint"
+        ).coalesce(1).write.mode("append").parquet(ev_dir)
+
+    def _run():
+        stream = spark.readStream.schema("user_id bigint").parquet(ev_dir)
+        q = ingest.streaming_cms(
+            spark, stream, grid_dir, checkpoint_dir=ck,
+            key_col="user_id", width=8, depth=2,
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in ingest.read_sketch_grid(spark, grid_dir).collect()
+        }
+        want_df = spark.createDataFrame(
+            [(int(k),) for k in seen], "user_id bigint"
+        )
+        want = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_counters(
+                want_df, "user_id", width=8, depth=2
+            ).collect()
+        }
+        assert got == want
+
+    _feed([1, 2, 3, 1, 1])
+    _run()
+    _feed([2, 2, 9, 10])  # restart on the same checkpoint
+    _run()
