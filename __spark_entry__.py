@@ -1455,6 +1455,18 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
 
 
+MNN_SPLIT = 5
+
+
+def _q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus mutual nearest neighbors (labels < 5 vs >= 5) —
+    the bitext/aligned-pair mining shape (CCMatrix-style): a pair
+    survives iff each side is the other's top-1 cosine neighbor."""
+    from graphjet_spark.operators.ann import mutual_nn_pairs
+
+    return mutual_nn_pairs(_embs(spark, sf_dir), split_label=MNN_SPLIT)
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
@@ -1471,8 +1483,13 @@ def _q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BM25_TERMS = ("hash", "merge", "window")
-CONTAIN_N = 2
-CONTAIN_T = 0.5
+# n=3 trigrams: the synthetic corpus draws from a ~40-word vocabulary,
+# so bigram df is corpus-wide (931 types, median df 285 at sf0.1) and
+# NO prefix filter can prune bigram candidates (16.5M pairs, measured);
+# trigram df restores selectivity (24x fewer candidates) and catches
+# the same planted containment dups (56/50 pairs vs 60/51 at n=2)
+CONTAIN_N = 3
+CONTAIN_T = 0.6
 
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_keep_list": _q_embedding_keep_list,
         "embedding_near_dups": _q_embedding_dups,
         "ann_topk_cosine": _q_ann_topk,
+        "mutual_nn_pairs": _q_mutual_nn,
         "kmeans_assign": _q_kmeans,
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
@@ -2049,6 +2067,7 @@ GROUP BY s.seed ORDER BY s.seed
         "embedding_keep_list": oracles.embedding_keep_list_sql(0.3, iters=16),
         "embedding_near_dups": oracles.embedding_near_dups_sql(0.3),
         "ann_topk_cosine": oracles.ann_topk_sql(),
+        "mutual_nn_pairs": oracles.mutual_nn_sql(MNN_SPLIT),
         "kmeans_assign": oracles.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),

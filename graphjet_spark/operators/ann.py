@@ -487,3 +487,81 @@ def kmeans_assign(
         )
 
     return assign.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+def mutual_nn_pairs(
+    embeddings: DataFrame,
+    *,
+    split_label: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Mutual nearest neighbors ACROSS two corpora — the bitext /
+    aligned-pair mining shape (Artetxe & Schwenk ACL'19 margin mining,
+    CCMatrix): corpus A = rows with ``label < split_label``, corpus B =
+    the rest; a pair (a, b) survives iff b is a's top-1 cosine neighbor
+    in B AND a is b's top-1 in A.  Mutuality is the classic precision
+    filter for cross-corpus alignment (translation pairs, near-dup
+    bridging, query-doc matching).
+
+    Output ``(id_a, id_b, cosine)``, cosine rounded to 6 with id
+    tie-breaks — the repo's cross-engine top-1 boundary rules.
+
+    Scale shape: this exact form is one broadcast cross join (fine up
+    to ~10^4 on the broadcast side) + two bounded per-key top-1
+    windows; beyond that the candidate generation swaps to the LSH /
+    IVF bucket joins in this module (same rescore), like the near-dup
+    gate's LSH path."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                vec_col, lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        norm.alias("nrm"),
+        F.col(label_col).alias("lbl"),
+    )
+    a = v.where(F.col("lbl") < split_label).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.where(F.col("lbl") >= split_label).select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = a.crossJoin(broadcast(b)).select(
+        "id_a",
+        "id_b",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("id_a").orderBy(
+        F.desc("cosine"), F.asc("id_b")
+    )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.desc("cosine"), F.asc("id_a")
+    )
+    best_b = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("id_a", "id_b", "cosine")
+    )
+    best_a = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("id_a", "id_b")
+    )
+    return best_b.join(best_a, ["id_a", "id_b"], "semi")

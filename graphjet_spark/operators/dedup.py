@@ -953,12 +953,17 @@ def containment_pairs(
         - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-6))
         + F.lit(1)
     )
+    # eager checkpoints, same rationale as ngram_jaccard_pairs above:
+    # leaving prefix/cands lazy folds the df-order window and the
+    # inverted-index join into one giant downstream plan (measured
+    # 125s -> 22s at sf0.1 from checkpointing these two)
     prefix = (
         toks.join(dfreq, "tok")
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= plen)
         .select(F.col("doc_id").alias("doc_a"), "tok")
+        .localCheckpoint(eager=True)
     )
     cands = (
         prefix.join(
@@ -967,6 +972,7 @@ def containment_pairs(
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")

@@ -3315,3 +3315,31 @@ LEFT JOIN outs o ON v.id = o.id
 LEFT JOIN ti{rounds} fi ON v.id = fi.id
 LEFT JOIN bo{rounds} bo ON v.id = bo.id"""
     )
+
+
+def mutual_nn_sql(split_label: int = 5) -> str:
+    """Twin of operators/ann.py::mutual_nn_pairs — cross-corpus top-1
+    each way on the ROUND(cosine, 6) + id tie-break total order, then
+    the mutuality join."""
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+ca AS MATERIALIZED (SELECT vec_id, e FROM v WHERE label < {split_label}),
+cb AS MATERIALIZED (SELECT vec_id, e FROM v WHERE label >= {split_label}),
+s AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+  FROM ca a CROSS JOIN cb b),
+ba AS MATERIALIZED (
+  SELECT id_a, id_b, cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rn FROM s)
+  WHERE rn = 1),
+bb AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY id_b ORDER BY cosine DESC, id_a ASC) AS rn FROM s)
+  WHERE rn = 1)
+SELECT ba.id_a, ba.id_b, ba.cosine
+FROM ba JOIN bb ON ba.id_a = bb.id_a AND ba.id_b = bb.id_b
+"""

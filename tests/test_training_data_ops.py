@@ -1128,3 +1128,50 @@ def test_bm25_topk_mirror(spark, docs):
     for d in want:
         assert got[d][0] == want[d][0]
         assert got[d][1] == pytest.approx(want[d][1], abs=1e-9)
+
+
+def test_mutual_nn_pairs_mirror_and_planted(spark):
+    """mutual_nn_pairs vs a numpy mirror (same round-6 + id-tiebreak
+    top-1 rules), plus planted near-identical cross-corpus twins that
+    MUST pair up mutually."""
+    from graphjet_spark.operators.ann import mutual_nn_pairs
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((30, 8)).astype(np.float32)
+    b = rng.standard_normal((25, 8)).astype(np.float32)
+    # plant twins: b[0] ~ a[5], b[1] ~ a[17]
+    b[0] = a[5] + 0.01 * rng.standard_normal(8).astype(np.float32)
+    b[1] = a[17] + 0.01 * rng.standard_normal(8).astype(np.float32)
+    rows = [
+        (i, [float(x) for x in a[i]], 0) for i in range(30)
+    ] + [
+        (100 + j, [float(x) for x in b[j]], 9) for j in range(25)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in mutual_nn_pairs(emb, split_label=5).collect()
+    }
+
+    av = a.astype(np.float64)
+    bv = b.astype(np.float64)
+    cos = (av @ bv.T) / (
+        np.linalg.norm(av, axis=1)[:, None]
+        * np.linalg.norm(bv, axis=1)[None, :]
+    )
+    cos = np.round(cos, 6)
+    want = {}
+    for i in range(30):
+        j = min(
+            range(25), key=lambda j: (-cos[i, j], 100 + j)
+        )
+        # mutual iff i is also j's best (same rounded order, id ties)
+        i2 = min(range(30), key=lambda i2: (-cos[i2, j], i2))
+        if i2 == i:
+            want[(i, 100 + j)] = cos[i, j]
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 2e-6
+    assert (5, 100) in got and (17, 101) in got
