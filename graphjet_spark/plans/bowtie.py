@@ -103,8 +103,12 @@ def bowtie_decomposition(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    pivot = deg.orderBy(F.desc("deg"), F.asc("id")).first()["id"]
-    seed = spark.createDataFrame([(int(pivot),)], "id bigint")
+    top = deg.orderBy(F.desc("deg"), F.asc("id")).first()
+    if top is None:  # empty edge table: no vertices, empty map
+        e.unpersist()
+        rev.unpersist()
+        return spark.createDataFrame([], "id bigint, bowtie_class string")
+    seed = spark.createDataFrame([(int(top["id"]),)], "id bigint")
 
     fw = _reach(e, seed, fixed_iters)
     bw = _reach(rev, seed, fixed_iters)

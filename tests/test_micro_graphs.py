@@ -986,6 +986,21 @@ def test_degenerate_graphs_do_not_crash(spark):
     assert degree_assortativity(one).first()["assortativity"] is None
     got = {r["id"]: r["hub"] for r in hits(spark, one, fixed_iters=2).collect()}
     assert got[1] == 1.0 and got[2] == 0.0
+    # newer ops on the all-self-loop graph: defined outputs, no crash
+    from graphjet_spark.plans.bowtie import bowtie_decomposition
+    from graphjet_spark.plans.sweepcut import ppr_sweep_cut
+    from graphjet_spark.plans.wl import wl_colors
+
+    wl = {r["id"]: r["class_size"] for r in wl_colors(spark, loops, rounds=2).collect()}
+    assert wl == {1: 2, 2: 2}  # both isolated-in-sym: one color class
+    bt = {
+        r["id"]: r["bowtie_class"]
+        for r in bowtie_decomposition(spark, loops, fixed_iters=3).collect()
+    }
+    assert bt[1] == "CORE" and bt[2] == "DISC"  # pivot=1 by id tiebreak
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert bowtie_decomposition(spark, empty, fixed_iters=2).count() == 0
+    assert ppr_sweep_cut(spark, loops, {1: 1.0}, fixed_iters=2, k=5).count() == 0
 
 
 def test_spam_mass_separates_farm_from_trusted(spark):
