@@ -1471,6 +1471,18 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
 
+BPE_TOPK = 50
+
+
+def _q_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round BPE merge-pair counts (Sennrich ACL'16) — the
+    tokenizer-construction statistic: char pairs per word-type (with
+    </w> marker) weighted by corpus word frequency, top-k."""
+    from graphjet_spark.operators.textstats import bpe_merge_stats
+
+    return bpe_merge_stats(_docs(spark, sf_dir), k=BPE_TOPK)
+
+
 PACK_SEQ_LEN = 2048
 
 
@@ -1739,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans,
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
+        "bpe_merge_stats": _q_bpe_merge_stats,
         "source_token_kl": _q_source_token_kl,
         "bm25_topk": _q_bm25_topk,
         "containment_pairs": _q_containment_pairs,
@@ -2071,6 +2084,7 @@ GROUP BY s.seed ORDER BY s.seed
         "kmeans_assign": oracles.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
+        "bpe_merge_stats": oracles.bpe_merge_stats_sql(BPE_TOPK),
         "source_token_kl": oracles.source_token_kl_sql(),
         "bm25_topk": oracles.bm25_topk_sql(BM25_TERMS),
         "containment_pairs": oracles.containment_pairs_sql(

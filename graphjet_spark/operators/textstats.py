@@ -553,3 +553,52 @@ def bm25_topk(
         F.round(F.sum(term_score), round_to).alias("bm25"),
     )
     return out.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
+def bpe_merge_stats(
+    docs: DataFrame,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(pair, pair_count)`` — the top-k symbol-pair counts of the
+    FIRST byte-pair-encoding merge round (Sennrich et al. ACL'16):
+    adjacent character pairs inside each word-type (with the classic
+    ``</w>`` end-of-word marker), weighted by corpus word frequency.
+    The argmax row IS BPE's first merge; the table is the tokenizer-
+    construction statistic a vocab builder consumes each round.
+
+    Scale shape: word frequencies reduce the corpus to its (far
+    smaller) word-type table BEFORE any character work — pair explosion
+    is per distinct word-type (bounded by type length), never per
+    token occurrence; the pair count is one map-side-combined
+    aggregation weighted by the type frequency.  Top-k on the exact
+    BIGINT count with pair tie-break (cross-engine-stable boundary)."""
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    wfreq = (
+        docs.select(F.explode(words).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    # adjacent symbol pairs of each word-type: (c_i, c_i+1) for
+    # i < len, plus (c_len, '</w>'); all JVM-side string slicing
+    pairs = F.concat(
+        F.expr(
+            # sequence(1, 0) is DESCENDING in Spark: guard 1-char words
+            "CASE WHEN length(w) >= 2 THEN "
+            "transform(sequence(1, length(w) - 1), "
+            "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1))) "
+            "ELSE array() END"
+        ),
+        F.array(F.concat(F.expr("substring(w, length(w), 1)"), F.lit(" </w>"))),
+    )
+    return (
+        wfreq.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(k)
+    )

@@ -3343,3 +3343,29 @@ bb AS MATERIALIZED (
 SELECT ba.id_a, ba.id_b, ba.cosine
 FROM ba JOIN bb ON ba.id_a = bb.id_a AND ba.id_b = bb.id_b
 """
+
+
+def bpe_merge_stats_sql(k: int = 50) -> str:
+    """Twin of operators/textstats.py::bpe_merge_stats — word-type
+    frequencies, then per-type adjacent symbol pairs with the </w>
+    end marker, exact BIGINT counts, top-k on (count DESC, pair)."""
+    return rf"""
+WITH wf AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY w),
+pr AS MATERIALIZED (
+  SELECT unnest(
+    list_append(
+      CASE WHEN length(w) >= 2 THEN
+        list_transform(range(1, length(w)),
+                       i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1))
+      ELSE []::VARCHAR[] END,
+      substr(w, length(w), 1) || ' </w>')) AS pair,
+    freq
+  FROM wf)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pr GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT {k}
+"""

@@ -1175,3 +1175,36 @@ def test_mutual_nn_pairs_mirror_and_planted(spark):
     for k, v in want.items():
         assert abs(got[k] - v) < 2e-6
     assert (5, 100) in got and (17, 101) in got
+
+
+def test_bpe_merge_stats_mirror(spark):
+    """bpe_merge_stats vs a literal Counter mirror of the Sennrich
+    first-round pair count (word-type frequencies, </w> marker)."""
+    from collections import Counter
+
+    from graphjet_spark.operators.textstats import bpe_merge_stats
+
+    texts = [
+        "low low lower lowest",
+        "new newer newest new",
+        "a ab low",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    wfreq = Counter(w for t in texts for w in t.split())
+    want = Counter()
+    for w, f in wfreq.items():
+        for i in range(len(w) - 1):
+            want[f"{w[i]} {w[i + 1]}"] += f
+        want[f"{w[-1]} </w>"] += f
+    got = [
+        (r["pair"], r["pair_count"])
+        for r in bpe_merge_stats(docs, k=10).collect()
+    ]
+    want_top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert got == want_top
+    # the argmax row is BPE's first merge: 'lo' pairs (in low/lower/
+    # lowest x5 occurrences) dominate this corpus
+    assert got[0][0] in ("l o", "o w")
