@@ -77,6 +77,25 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_CUTOFF = "1998-01-01 00:00:00"
 
 
+BACKTEST_CUTOFF = "1997-07-01 00:00:00"
+BACKTEST_K = 5
+
+
+def _q_rec_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender backtest: co-engagement item-item recs built at the
+    cutoff, per-user top-k, precision scored against first-after-cutoff
+    engagements — the product metric behind a GraphJet-style serving
+    stack, as one reproducible row."""
+    from graphjet_spark.operators.projection import rec_backtest
+
+    inter = testdata.interactions(spark, sf_dir)
+    return rec_backtest(
+        inter,
+        F.lit(BACKTEST_CUTOFF).cast("timestamp"),
+        k=BACKTEST_K,
+    )
+
+
 def _q_one_mode_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.projection import one_mode_projection
 
@@ -1658,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "corpus_health": _q_corpus_health,
         "one_mode_projection": _q_one_mode_projection,
+        "rec_backtest": _q_rec_backtest,
         "degrees_asof": _q_degrees_asof,
         "edge_churn_monthly": _q_edge_churn,
         "graph_growth": _q_graph_growth,
@@ -1833,6 +1853,9 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents
 """,
         "one_mode_projection": oracles.one_mode_projection_sql(2),
+        "rec_backtest": oracles.rec_backtest_sql(
+            BACKTEST_CUTOFF, BACKTEST_K
+        ),
         "butterfly_count": oracles.butterfly_count_sql(),
         "betweenness_sampled": oracles.betweenness_sampled_sql(
             BETW_SOURCES, BETW_DEPTH

@@ -181,3 +181,81 @@ def edge_churn_monthly(
             ).alias("churn_rate"),
         )
     )
+
+
+def rec_backtest(
+    interactions: DataFrame,
+    cutoff: Column,
+    *,
+    k: int = 5,
+    min_cooccurrence: int = 2,
+    max_edges_per_node: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row recommender backtest — the product metric behind every
+    GraphJet-style co-engagement recommender: build "users who engaged
+    X also engaged Y" item pairs from interactions at or before
+    ``cutoff`` (the one-mode projection, F12-capped), recommend each
+    user their top-``k`` unseen items by summed pair weight, then score
+    precision against the user-item engagements that FIRST appear
+    after the cutoff.
+
+    Output ``(n_users, n_recs, n_hits, precision)``: exact BIGINTs and
+    one rounded division.  All ordering is on (exact integer score
+    DESC, item id ASC) so the top-k boundary is cross-engine stable.
+
+    Scale shape: the projection is bounded by the F12 cap and the
+    co-occurrence floor; candidate generation joins each user's
+    distinct before-items against the (broadcastable at gate scale,
+    bucket-joinable beyond) pair table; scoring and the hit join are
+    map-side-combined aggregations and semi-join-shaped lookups."""
+    before = interactions.where(F.col("ts") <= cutoff)
+    sim = one_mode_projection(
+        before,
+        min_cooccurrence=min_cooccurrence,
+        max_edges_per_node=max_edges_per_node,
+    )
+    sym = sim.select(
+        F.col("a").alias("x"), F.col("b").alias("y"), "weight"
+    ).unionByName(
+        sim.select(F.col("b").alias("x"), F.col("a").alias("y"), "weight")
+    )
+    user_items = before.select("src", "dst").distinct()
+    cand = (
+        user_items.join(sym, user_items.dst == sym.x)
+        .groupBy("src", "y")
+        .agg(F.sum("weight").cast("bigint").alias("score"))
+        .join(
+            user_items.withColumnRenamed("dst", "y"),
+            ["src", "y"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("y"))
+    recs = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("src", "y", "score")
+    )
+    future = (
+        interactions.groupBy("src", "dst")
+        .agg(F.min("ts").alias("first_ts"))
+        .where(F.col("first_ts") > cutoff)
+        .select("src", F.col("dst").alias("y"), F.lit(1).alias("hit"))
+    )
+    flagged = recs.join(future, ["src", "y"], "left")
+    return flagged.agg(
+        F.countDistinct("src").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_recs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+    ).select(
+        "n_users",
+        "n_recs",
+        "n_hits",
+        F.when(
+            F.col("n_recs") > 0,
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_recs"), round_to
+            ),
+        ).alias("precision"),
+    )

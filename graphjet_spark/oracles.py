@@ -3369,3 +3369,61 @@ SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
 FROM pr GROUP BY pair
 ORDER BY pair_count DESC, pair ASC LIMIT {k}
 """
+
+
+def rec_backtest_sql(
+    cutoff: str,
+    k: int = 5,
+    min_cooccurrence: int = 2,
+    max_edges_per_node: int = 500,
+    round_to: int = 6,
+) -> str:
+    """Twin of operators/projection.py::rec_backtest — the capped
+    one-mode projection at the cutoff, per-user top-k by summed pair
+    weight (exact BIGINT score, item tie-break), precision vs
+    first-after-cutoff engagements."""
+    return (
+        oracle_cte().rstrip()
+        + f""",
+bef AS MATERIALIZED (
+  SELECT * FROM interactions WHERE ts <= TIMESTAMP '{cutoff}'),
+latest AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY seq DESC) AS rn
+    FROM bef) WHERE rn <= {max_edges_per_node}),
+sim AS MATERIALIZED (
+  SELECT l1.dst AS a, l2.dst AS b, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM latest l1 JOIN latest l2 ON l1.src = l2.src AND l1.dst < l2.dst
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_cooccurrence}),
+sym AS MATERIALIZED (
+  SELECT a AS x, b AS y, weight FROM sim
+  UNION ALL
+  SELECT b AS x, a AS y, weight FROM sim),
+ui AS MATERIALIZED (SELECT DISTINCT src, dst FROM bef),
+cand AS MATERIALIZED (
+  SELECT u.src, s.y, CAST(SUM(s.weight) AS BIGINT) AS score
+  FROM ui u JOIN sym s ON u.dst = s.x GROUP BY 1, 2),
+cand2 AS MATERIALIZED (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ui u WHERE u.src = c.src AND u.dst = c.y)),
+recs AS MATERIALIZED (
+  SELECT src, y FROM (
+    SELECT src, y, ROW_NUMBER() OVER (
+      PARTITION BY src ORDER BY score DESC, y ASC) AS rn
+    FROM cand2) WHERE rn <= {k}),
+fut AS MATERIALIZED (
+  SELECT src, dst AS y FROM interactions GROUP BY src, dst
+  HAVING MIN(ts) > TIMESTAMP '{cutoff}'),
+fl AS MATERIALIZED (
+  SELECT r.src, CASE WHEN f.y IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM recs r LEFT JOIN fut f ON r.src = f.src AND r.y = f.y)
+SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_recs,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CASE WHEN COUNT(*) > 0
+            THEN ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), {round_to})
+            END AS precision
+FROM fl"""
+    )

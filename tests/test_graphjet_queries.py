@@ -597,3 +597,47 @@ def test_random_multigraph_neighbors(spark):
     by_id = {r["id"]: r["score"] for r in rows}
     assert by_id[5] == pytest.approx(1 / 12 + 1 / 12, abs=0.02)
     assert sum(by_id.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rec_backtest_hand_fixture(spark):
+    """rec_backtest on a hand-built timeline: users 1,2 co-engage items
+    10,11 before the cutoff, so each other's third item is the top rec;
+    user 1 actually engages it after the cutoff (hit), user 2 does not."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.operators.projection import rec_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    cut = dt.datetime(2024, 6, 1)
+    rows = [
+        # before cutoff: 1 -> {10, 11, 12}; 2 -> {10, 11, 13}; 3 -> {10}
+        (1, 10, t0, 1), (1, 11, t0, 2), (1, 12, t0, 3),
+        (2, 10, t0, 4), (2, 11, t0, 5), (2, 13, t0, 6),
+        (3, 10, t0, 7),
+        # after cutoff: user 1 picks up 13 (a hit); user 2 picks 99
+        (1, 13, dt.datetime(2024, 7, 1), 8),
+        (2, 99, dt.datetime(2024, 7, 1), 9),
+    ]
+    inter = spark.createDataFrame(
+        rows, "src bigint, dst bigint, ts timestamp, seq bigint"
+    )
+    row = rec_backtest(
+        inter, F.lit(cut.isoformat(sep=" ")).cast("timestamp"),
+        k=2, min_cooccurrence=2,
+    ).first()
+    # co-engagement pairs (weight>=2): (10,11) w2. 12/13 pair with
+    # 10/11 only once -> below floor, so candidates come from the
+    # (10,11) pair alone: every user holding 10 or 11 is recommended
+    # the other; 1 and 2 hold both (no unseen rec), 3 is recommended 11
+    assert (
+        row["n_users"], row["n_recs"], row["n_hits"], row["precision"],
+    ) == (1, 1, 0, 0.0)
+    # lower the floor: 13 pairs with 10,11 (w1 each) -> user 1's top
+    # unseen candidate is 13 (score 2 via its two pairs), a real hit
+    row = rec_backtest(
+        inter, F.lit(cut.isoformat(sep=" ")).cast("timestamp"),
+        k=1, min_cooccurrence=1,
+    ).first()
+    assert row["n_hits"] >= 1 and row["precision"] > 0
