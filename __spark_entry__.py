@@ -1195,6 +1195,19 @@ def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MARKOV_CUTOFF = "2024-01-22 00:00:00"
+
+
+def _q_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction backtest: the first-order Markov matrix
+    trained before the cutoff, argmax-predicting each later same-user
+    transition — behavior-model accuracy as one reproducible row."""
+    from graphjet_spark.operators.sessions import markov_backtest
+
+    events = testdata.load_tables(spark, sf_dir)["events"]
+    return markov_backtest(events, F.lit(MARKOV_CUTOFF))
+
+
 def _q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2-analogue over the events stream table: top users by total
     engagement value (ties -> larger id, recency semantics)."""
@@ -1750,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": _q_session_stats,
         "event_burstiness": _q_burstiness,
         "event_transitions": _q_event_transitions,
+        "markov_backtest": _q_markov_backtest,
         "events_daily": _q_events_daily,
         "quality_quantiles": _q_quality_quantiles,
         "reach_2hop": _q_reach_2hop,
@@ -2057,6 +2071,7 @@ FROM tru t JOIN ag a USING (event_type)
         "session_stats": oracles.session_stats_sql(),
         "event_burstiness": oracles.event_burstiness_sql(),
         "event_transitions": oracles.event_transitions_sql(),
+        "markov_backtest": oracles.markov_backtest_sql(MARKOV_CUTOFF),
         "events_daily": """
 SELECT date_trunc('day', ts) AS day,
        CAST(COUNT(*) AS BIGINT) AS n_events,

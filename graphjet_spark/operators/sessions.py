@@ -159,3 +159,71 @@ def event_transitions(
             round_to,
         ).alias("p"),
     )
+
+
+def markov_backtest(
+    events: DataFrame,
+    cutoff: Column,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row next-event prediction backtest: train the first-order
+    Markov transition matrix (:func:`event_transitions`) on consecutive
+    same-user pairs whose LATTER event is at or before ``cutoff``,
+    predict each later pair's next type as the argmax row of the
+    matrix (count DESC, type ASC tie-break), and report accuracy —
+    the behavior-model evaluation as one reproducible row.
+
+    Pairs whose from-type never appeared in training have no
+    prediction and count as incorrect (the honest denominator).
+    Exact BIGINT counts, one rounded division."""
+    cutoff_us = F.unix_micros(cutoff.cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy("us", id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pairs = (
+        events.select(
+            user_col, us.alias("us"), id_col, F.col(type_col).alias("t")
+        )
+        .withColumn("nxt", F.lead("t").over(w))
+        .withColumn("nxt_us", F.lead("us").over(w))
+        .where(F.col("nxt").isNotNull())
+    )
+    train = (
+        pairs.where(F.col("nxt_us") <= cutoff_us)
+        .groupBy(F.col("t").alias("type_from"), F.col("nxt").alias("type_to"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pw = Window.partitionBy("type_from").orderBy(
+        F.desc("cnt"), F.asc("type_to")
+    )
+    pred = (
+        train.withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select("type_from", F.col("type_to").alias("predicted"))
+    )
+    ev = pairs.where(F.col("nxt_us") > cutoff_us).select(
+        F.col("t").alias("type_from"), F.col("nxt").alias("actual")
+    )
+    scored = ev.join(F.broadcast(pred), "type_from", "left")
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "n_eval",
+        "n_correct",
+        F.when(
+            F.col("n_eval") > 0,
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_eval"),
+                round_to,
+            ),
+        ).alias("accuracy"),
+    )

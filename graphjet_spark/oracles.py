@@ -3427,3 +3427,40 @@ SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_users,
             END AS precision
 FROM fl"""
     )
+
+
+def markov_backtest_sql(cutoff: str, round_to: int = 6) -> str:
+    """Twin of operators/sessions.py::markov_backtest."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+         event_type AS t
+  FROM events),
+pr AS MATERIALIZED (
+  SELECT t,
+         LEAD(t) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt_us
+  FROM base),
+pp AS MATERIALIZED (SELECT * FROM pr WHERE nxt IS NOT NULL),
+train AS MATERIALIZED (
+  SELECT t AS type_from, nxt AS type_to, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pp WHERE nxt_us <= epoch_us(TIMESTAMP '{cutoff}')
+  GROUP BY 1, 2),
+pred AS MATERIALIZED (
+  SELECT type_from, type_to AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY type_from ORDER BY cnt DESC, type_to ASC) AS rn
+    FROM train) WHERE rn = 1),
+ev AS MATERIALIZED (
+  SELECT t AS type_from, nxt AS actual FROM pp
+  WHERE nxt_us > epoch_us(TIMESTAMP '{cutoff}')),
+sc AS MATERIALIZED (
+  SELECT CASE WHEN p.predicted = e.actual THEN 1 ELSE 0 END AS ok
+  FROM ev e LEFT JOIN pred p ON e.type_from = p.type_from)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       CASE WHEN COUNT(*) > 0
+            THEN ROUND(CAST(SUM(ok) AS DOUBLE) / COUNT(*), {round_to})
+            END AS accuracy
+FROM sc"""
+    

@@ -641,3 +641,46 @@ def test_rec_backtest_hand_fixture(spark):
         k=1, min_cooccurrence=1,
     ).first()
     assert row["n_hits"] >= 1 and row["precision"] > 0
+
+
+def test_markov_backtest_hand_fixture(spark):
+    """Hand-built timeline: training says a->b (2 of 3) beats a->c;
+    after the cutoff user transitions a->b (correct), a->c (wrong),
+    and z->b where z was never a training from-type (no prediction,
+    counted wrong)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.operators.sessions import markov_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ)
+
+    rows = [
+        # user 1 before cutoff: a->b, b->a, a->b  (a->b count 2)
+        ev(1, 1, "a", 0), ev(2, 1, "b", 1), ev(3, 1, "a", 2),
+        ev(4, 1, "b", 3),
+        # user 2 before cutoff: a->c (a->c count 1)
+        ev(5, 2, "a", 0), ev(6, 2, "c", 1),
+        # after cutoff (minute >= 100): user 1: b->a (train b->a is
+        # argmax), then a->b (correct), user 2: a->c (wrong: pred b),
+        # user 3: z->b (unseen from-type)
+        ev(7, 1, "a", 100), ev(8, 1, "b", 101),
+        ev(9, 2, "a", 100), ev(10, 2, "c", 101),
+        ev(11, 3, "z", 100), ev(12, 3, "b", 101),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    cut = (t0 + dt.timedelta(minutes=50)).isoformat(sep=" ")
+    row = markov_backtest(events, F.lit(cut)).first()
+    # eval pairs (latter after cutoff): 1:(b@3 -> a@100)? nxt_us>cutoff
+    # pairs: u1 b@3->a@100 (pred b->a: correct), a@100->b@101 (pred
+    # a->b: correct), u2 c@1->a@100 (pred? c unseen from-type in
+    # training: c@1's nxt... c->a eval, c has no training row: wrong),
+    # a@100->c@101 (pred b: wrong), u3 z->b (wrong)
+    assert (row["n_eval"], row["n_correct"]) == (5, 2)
+    assert row["accuracy"] == 0.4
