@@ -722,6 +722,19 @@ def _q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(spark, edges, fixed_iters=MIS_ITERS)
 
 
+CORENESS_ITERS = 12
+
+
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition (degeneracy profile) via iterated
+    h-index — the generalization of the k_core_3 gate to every k at
+    once, in the hub-safe histogram form."""
+    from graphjet_spark.plans.kcore import coreness
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return coreness(spark, edges, fixed_iters=CORENESS_ITERS)
+
+
 WL_ROUNDS = 3
 
 
@@ -1714,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_5": _q_labelprop,
         "lp_modularity": _q_lp_modularity,
         "k_core_3": _q_kcore,
+        "coreness": _q_coreness,
         "k_truss_4": _q_ktruss,
         "hits_hubs_authorities": _q_hits,
         "bfs_distances": _q_bfs,
@@ -1943,6 +1957,7 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "label_propagation_5": oracles.label_propagation_fixed_sql(LP_ITERS),
         "lp_modularity": oracles.lp_modularity_sql(LP_ITERS),
         "k_core_3": oracles.k_core_fixed_sql(KCORE_K, KCORE_ITERS),
+        "coreness": oracles.coreness_sql(CORENESS_ITERS),
         "k_truss_4": oracles.k_truss_fixed_sql(KTRUSS_K, KTRUSS_ITERS),
         "hits_hubs_authorities": oracles.hits_fixed_sql(HITS_ITERS),
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),

@@ -3464,3 +3464,33 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
             END AS accuracy
 FROM sc"""
     
+
+
+def coreness_sql(iters: int) -> str:
+    """Twin of plans/kcore.py::coreness — unrolled h-index rounds over
+    the (vertex, value) histogram form; every c is re-CAST to BIGINT so
+    DuckDB's HUGEINT window sums never change the compared dtype."""
+    parts = [
+        "c0 AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) "
+        "AS c FROM sym GROUP BY a)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT s.a, q.c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sym s JOIN c{t - 1} q ON s.b = q.id GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT a AS id, CAST(MAX(LEAST(c, cum)) AS BIGINT) AS c FROM (
+    SELECT a, c, SUM(n) OVER (PARTITION BY a ORDER BY c DESC) AS cum
+    FROM h{t}) GROUP BY a)"""
+        )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, c AS coreness FROM c{iters}"
+    )

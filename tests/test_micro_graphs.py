@@ -1407,3 +1407,42 @@ def test_ppr_sweep_cut_mirror_finds_clique(spark):
     best = min((c, k_) for k_, _, _, c in got if c is not None)
     best_prefix = {row[1] for row in got[: best[1]]}
     assert best_prefix == {1, 2, 3, 4, 5}
+
+
+def test_coreness_matches_peeling_mirror(spark):
+    """Iterated h-index coreness (converged) vs literal min-degree
+    peeling, and consistency with the k_core sets."""
+    from graphjet_spark.plans.kcore import coreness, k_core
+
+    pairs = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4: 3-core
+        + [(10, 11), (11, 12), (12, 13), (13, 10)]        # C4: 2-core
+        + [(4, 20), (20, 21), (21, 22)]                   # chain: 1-core
+    )
+    e = edges_df(spark, pairs)
+
+    def mirror():
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive, k, out = set(adj), 1, {}
+        while alive:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            if not drop:
+                k += 1
+                continue
+            for v in drop:
+                out[v] = k - 1
+            alive -= drop
+        return out
+
+    want = mirror()
+    got = {
+        r["id"]: r["coreness"]
+        for r in coreness(spark, e, fixed_iters=30).collect()
+    }
+    assert got == want
+    for k in (1, 2, 3):
+        in_core = {r["id"] for r in k_core(spark, e, k).collect()}
+        assert in_core == {v for v, c in want.items() if c >= k}
