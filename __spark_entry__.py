@@ -1528,6 +1528,19 @@ def _q_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_stats(_docs(spark, sf_dir), k=BPE_TOPK)
 
 
+COVERAGE_K, COVERAGE_N = 10, 2
+
+
+def _q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage corpus selection: k rounds of "pick the doc
+    adding the most unseen bigrams" with the running covered-vocabulary
+    curve — the (1-1/e)-approximate submodular data-selection
+    primitive."""
+    from graphjet_spark.operators.corpus import coverage_select
+
+    return coverage_select(_docs(spark, sf_dir), k=COVERAGE_K, n=COVERAGE_N)
+
+
 PACK_SEQ_LEN = 2048
 
 
@@ -1790,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "corpus_select": _q_corpus_select,
         "corpus_sample": _q_corpus_sample,
+        "coverage_select": _q_coverage_select,
         "source_quality_rollup": _q_source_rollup,
         "vocab_stats": _q_vocab_stats,
         "embedding_keep_list": _q_embedding_keep_list,
@@ -2125,6 +2139,9 @@ GROUP BY s.seed ORDER BY s.seed
         ),
         "corpus_sample": oracles.hash_threshold_sample_sql(
             SAMPLE_FRACS, SAMPLE_DEFAULT
+        ),
+        "coverage_select": oracles.coverage_select_sql(
+            COVERAGE_K, COVERAGE_N
         ),
         "source_quality_rollup": oracles.source_quality_rollup_sql(
             tuple(_STOPWORDS)

@@ -181,3 +181,50 @@ def pack_sequences(
             (F.col("seq_last") - F.col("seq_first") + 1).cast("bigint"),
         )
     )
+
+
+def coverage_select(
+    docs: DataFrame, *, k: int = 10, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """``(round, doc_id, gain, covered_total)`` — greedy maximum-
+    coverage corpus selection (the classic (1-1/e)-approximate
+    submodular data-selection primitive, Nemhauser et al. 1978): round
+    r picks the document adding the most not-yet-covered distinct
+    tokens (ties to the smaller doc_id) and reports the running covered
+    vocabulary.  The coverage-first subset selector behind "pick k
+    documents that span the corpus" curation.
+
+    Scale shape per round: one anti-join of the (doc, token) relation
+    against the covered-token set (token-keyed, broadcastable while the
+    selection is small) and one map-side-combined per-doc count; only
+    the argmax row crosses to the driver (k scalar rows total).  Exact
+    BIGINT gains — fully value-oracled against k unrolled SQL rounds."""
+    from graphjet_spark.operators.dedup import token_sets
+
+    spark = docs.sparkSession
+    toks = token_sets(docs, text_col, n).localCheckpoint(eager=True)
+    covered = spark.createDataFrame([], "tok string")
+    out: list[tuple[int, int, int, int]] = []
+    covered_total = 0
+    for r in range(1, k + 1):
+        gain = (
+            toks.join(F.broadcast(covered), "tok", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+        )
+        top = gain.orderBy(F.desc("gain"), F.asc("doc_id")).first()
+        if top is None:
+            break
+        doc, g = int(top["doc_id"]), int(top["gain"])
+        covered_total += g
+        out.append((r, doc, g, covered_total))
+        covered = (
+            covered.unionByName(
+                toks.where(F.col("doc_id") == doc).select("tok")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        out, "round int, doc_id bigint, gain bigint, covered_total bigint"
+    )

@@ -3494,3 +3494,53 @@ def coreness_sql(iters: int) -> str:
         + ",\n".join(parts)
         + f"\nSELECT id, c AS coreness FROM c{iters}"
     )
+
+
+def coverage_select_sql(k: int, n: int = 2) -> str:
+    """Twin of operators/corpus.py::coverage_select — k unrolled greedy
+    max-coverage rounds (argmax by exact BIGINT gain, doc_id ties) over
+    n-gram coverage (same gram construction as containment_pairs_sql)."""
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    gram_list = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n} + 2), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    parts = [
+        r"""wd AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)""",
+        f"""tk AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({gram_list}) AS tok FROM wd)
+  WHERE tok <> '')""",
+    ]
+    finals = []
+    for r in range(1, k + 1):
+        src = (
+            "tk"
+            if r == 1
+            else f"(SELECT * FROM tk WHERE tok NOT IN "
+            f"(SELECT tok FROM c{r - 1})) x"
+        )
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM {src} GROUP BY doc_id)"""
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT doc_id, gain FROM g{r} "
+            "ORDER BY gain DESC, doc_id ASC LIMIT 1)"
+        )
+        prev = f"SELECT tok FROM c{r - 1} UNION " if r > 1 else ""
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  {prev}SELECT DISTINCT t.tok FROM tk t JOIN w{r} USING (doc_id))"""
+        )
+        finals.append(
+            f"SELECT CAST({r} AS INT) AS round, doc_id, gain, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered_total "
+            f"FROM w{r}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+    )

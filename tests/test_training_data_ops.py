@@ -1208,3 +1208,46 @@ def test_bpe_merge_stats_mirror(spark):
     # the argmax row is BPE's first merge: 'lo' pairs (in low/lower/
     # lowest x5 occurrences) dominate this corpus
     assert got[0][0] in ("l o", "o w")
+
+
+def test_coverage_select_greedy_mirror(spark):
+    """coverage_select vs a literal greedy mirror; gains must be
+    non-increasing (submodularity) and the covered total must equal
+    the union of the winners' gram sets."""
+    from graphjet_spark.operators.corpus import coverage_select
+
+    texts = [
+        "a b c d e f",          # 5 bigrams, broad
+        "a b c d",              # subset of 0
+        "x y z w",              # disjoint 3 bigrams
+        "a b x y q r",          # overlaps both + 2 new
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    def grams(t):
+        w = t.split()
+        return {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+
+    covered: set = set()
+    want = []
+    for r in range(1, 5):
+        gains = {
+            i: len(grams(t) - covered)
+            for i, t in enumerate(texts)
+            if len(grams(t) - covered) > 0
+        }
+        if not gains:
+            break
+        doc = min(gains, key=lambda i: (-gains[i], i))
+        covered |= grams(texts[doc])
+        want.append((r, doc, gains[doc], len(covered)))
+    got = [
+        (r["round"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in coverage_select(docs, k=4, n=2).orderBy("round").collect()
+    ]
+    assert got == want
+    gains = [g for _, _, g, _ in got]
+    assert gains == sorted(gains, reverse=True)  # submodular curve
