@@ -1407,6 +1407,15 @@ def _q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return powerlaw_alpha(edges, dmin=PL_DMIN)
 
 
+def _q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-concentration Gini coefficient — the one-number hub
+    inequality audit, exact grouped-value form (no global sort)."""
+    from graphjet_spark.plans.graphstats import degree_gini
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return degree_gini(edges)
+
+
 SAMPLE_FRACS = {"en": 0.5, "fr": 0.25}
 SAMPLE_DEFAULT = 0.1
 
@@ -1767,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "degree_assortativity": _q_assortativity,
         "powerlaw_alpha": _q_powerlaw_alpha,
+        "degree_gini": _q_degree_gini,
         "rich_club": _q_rich_club,
         "intersection_similarity_cosine": _q_similarity,
         "intersection_similarity_jaccard": _q_similarity_jaccard,
@@ -2012,6 +2022,7 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "reciprocity": oracles.reciprocity_sql(),
         "degree_assortativity": oracles.degree_assortativity_sql(),
         "powerlaw_alpha": oracles.powerlaw_alpha_sql(PL_DMIN),
+        "degree_gini": oracles.degree_gini_sql(),
         "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(
             0.9, cc_iters=12
         ),

@@ -3544,3 +3544,35 @@ def coverage_select_sql(k: int, n: int = 2) -> str:
     return (
         "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
     )
+
+
+def degree_gini_sql(round_to: int = 9) -> str:
+    """Twin of plans/graphstats.py::degree_gini — grouped-value exact
+    Gini; HUGEINT products (== Spark decimal(38,0)), doubled-W form so
+    no intermediate division, one float64 division on the final row."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + f""",
+dg AS MATERIALIZED (
+  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+hist AS MATERIALIZED (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM dg GROUP BY d),
+blk AS MATERIALIZED (
+  SELECT d, c, SUM(c) OVER (ORDER BY d) - c AS r_prev FROM hist),
+ag AS MATERIALIZED (
+  SELECT SUM(CAST(d AS HUGEINT)
+             * (2 * CAST(c AS HUGEINT) * CAST(r_prev AS HUGEINT)
+                + CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) + 1))) AS w,
+         SUM(CAST(c AS HUGEINT)) AS n,
+         SUM(CAST(d AS HUGEINT) * CAST(c AS HUGEINT)) AS s
+  FROM blk)
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(s AS BIGINT) AS total_degree,
+       CASE WHEN n > 0 AND s > 0 THEN
+         ROUND((CAST(w AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), {round_to})
+       END AS gini
+FROM ag"""
+    )
