@@ -681,3 +681,70 @@ def test_betweenness_matches_brandes_mirror(spark, pairs):
         ).collect()
     }
     assert got == want
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_coreness_matches_peeling_on_random_graphs(spark, pairs):
+    from graphjet_spark.plans.kcore import coreness
+
+    pairs = [(s, d) for s, d in pairs if s != d]
+    if not pairs:
+        return
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive, k, want = set(adj), 1, {}
+    while alive:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            k += 1
+            continue
+        for v in drop:
+            want[v] = k - 1
+        alive -= drop
+    got = {
+        r["id"]: r["coreness"]
+        for r in coreness(spark, _df(spark, pairs), fixed_iters=20).collect()
+    }
+    assert got == want
+
+
+@given(pairs=edges_strategy)
+@SLOW
+def test_wl_colors_refine_structure(spark, pairs):
+    """WL invariants on random graphs: (1) same color => same degree
+    after round >= 1; (2) the partition only ever refines (round-2
+    classes are subsets of round-1 classes); (3) engine == literal
+    mirror (the micro-graph mirror generalized)."""
+    from graphjet_spark.plans.wl import wl_colors
+    from tests.test_micro_graphs import py_wl_colors
+
+    if not pairs:
+        return
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    c1 = {
+        r["id"]: r["wl_color"]
+        for r in wl_colors(spark, _df(spark, pairs), rounds=1).collect()
+    }
+    c2 = {
+        r["id"]: r["wl_color"]
+        for r in wl_colors(spark, _df(spark, pairs), rounds=2).collect()
+    }
+    assert c2 == py_wl_colors(pairs, 2) and c1 == py_wl_colors(pairs, 1)
+    by_c1: dict = {}
+    for v, c in c1.items():
+        by_c1.setdefault(c, set()).add(v)
+    for vs in by_c1.values():
+        assert len({len(adj.get(v, ())) for v in vs}) == 1  # same degree
+    # refinement: vertices sharing a round-2 color share round-1 color
+    by_c2: dict = {}
+    for v, c in c2.items():
+        by_c2.setdefault(c, set()).add(v)
+    for vs in by_c2.values():
+        assert len({c1[v] for v in vs}) == 1
