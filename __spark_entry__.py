@@ -1694,6 +1694,21 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir))
 
 
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs labeled language
+    counts — the classifier-evaluation readout over the corpus's own
+    ground-truth column (honest low accuracy here: the synthetic text
+    is vocab-English regardless of label)."""
+    docs = _docs(spark, sf_dir)
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(_docs(spark, sf_dir), shingle_n=3, threshold=0.5)
 
@@ -1840,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_flags": _q_decontamination,
         "content_fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
+        "langid_confusion": _q_langid_confusion,
         "minhash_near_dups": _q_minhash,
         "simhash_near_dups": _q_simhash,
         "lsh_ann_topk": _q_lsh_ann,
@@ -2186,6 +2202,12 @@ GROUP BY s.seed ORDER BY s.seed
         ),
         "content_fingerprint": oracles.content_fingerprint_sql(),
         "language_id": oracles.language_id_sql(_LANG_MARKERS),
+        "langid_confusion": f"""
+SELECT d.lang, l.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN ({oracles.language_id_sql(_LANG_MARKERS)}) l
+  USING (doc_id)
+GROUP BY d.lang, l.pred_lang
+""",
         "minhash_near_dups": oracles.minhash_near_dups_sql(
             num_hashes=128, shingle_n=3, bands=32, threshold=0.5, seed=42
         ),
