@@ -543,6 +543,22 @@ def _q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_walk_corpus(spark, edges, length=WALK_LEN)
 
 
+SAMPLE_WALK_LEN, SAMPLE_SEED_PCT = 4, 5
+
+
+def _q_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk graph sampling (Leskovec & Faloutsos KDD'06) in
+    rng-free hash form: the subgraph induced by walks from ~5% md5-
+    threshold seeds — the shape-preserving subgraph extractor for
+    downstream experimentation."""
+    from graphjet_spark.plans.walks import walk_sample_subgraph
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return walk_sample_subgraph(
+        spark, edges, length=SAMPLE_WALK_LEN, seed_pct=SAMPLE_SEED_PCT
+    )
+
+
 SKIPGRAM_WINDOW = 2
 
 
@@ -1770,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": _q_bfs,
         "sssp_weighted": _q_sssp,
         "walk_corpus": _q_walk_corpus,
+        "walk_sample_subgraph": _q_walk_sample,
         "node2vec_walks": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "katz_centrality": _q_katz,
@@ -2003,6 +2020,9 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "bfs_distances": oracles.bfs_fixed_sql(BFS_SOURCE, BFS_ITERS),
         "sssp_weighted": oracles.sssp_fixed_sql(BFS_SOURCE, SSSP_ITERS),
         "walk_corpus": oracles.hash_walk_corpus_sql(WALK_LEN),
+        "walk_sample_subgraph": oracles.walk_sample_subgraph_sql(
+            SAMPLE_WALK_LEN, SAMPLE_SEED_PCT
+        ),
         "node2vec_walks": oracles.node2vec_walks_sql(WALK_LEN, *N2V_WEIGHTS),
         "skipgram_pairs": oracles.skipgram_pairs_sql(
             WALK_LEN, SKIPGRAM_WINDOW

@@ -3576,3 +3576,44 @@ SELECT CAST(n AS BIGINT) AS n_vertices,
        END AS gini
 FROM ag"""
     )
+
+
+def walk_sample_subgraph_sql(length: int = 4, seed_pct: int = 5) -> str:
+    """Twin of plans/walks.py::walk_sample_subgraph — the hash-walk
+    chain seeded at the md5-threshold vertices, then the induced-edge
+    semi-joins."""
+    parts = [
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs "
+        "FROM e GROUP BY src)",
+        f"""sw0 AS MATERIALIZED (
+  SELECT src AS walk_id, src AS vertex FROM adj
+  WHERE (('0x' || substr(md5('smp:' || src), 1, 15))::BIGINT) % 100
+        < {seed_pct})""",
+    ]
+    unions = ["SELECT vertex FROM sw0"]
+    for i in range(1, length + 1):
+        parts.append(
+            f"""sw{i} AS MATERIALIZED (
+  SELECT f.walk_id,
+         a.nbrs[CAST((('0x' || substr(md5(f.walk_id || ':' || '{i}'), 1, 15))::BIGINT
+                % len(a.nbrs)) + 1 AS BIGINT)] AS vertex
+  FROM sw{i - 1} f JOIN adj a ON f.vertex = a.src)"""
+        )
+        unions.append(f"SELECT vertex FROM sw{i}")
+    parts.append(
+        "vis AS MATERIALIZED (SELECT DISTINCT vertex FROM ("
+        + " UNION ALL ".join(unions)
+        + "))"
+    )
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + ",\n"
+        + ",\n".join(parts)
+        + """
+SELECT e.src, e.dst
+FROM e
+JOIN vis va ON e.src = va.vertex
+JOIN vis vb ON e.dst = vb.vertex"""
+    )

@@ -248,3 +248,75 @@ def node2vec_walk_corpus(
     e.unpersist()
     adjpos.unpersist()
     return result
+
+
+def walk_sample_subgraph(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    length: int = 4,
+    seed_pct: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``(src, dst)`` — random-walk graph sampling (Leskovec &
+    Faloutsos KDD'06: RW samples preserve degree/clustering shape far
+    better than uniform edge samples) in the repo's rng-free form:
+    walks of ``length`` steps start from the ~``seed_pct``% of
+    out-edge vertices whose md5 lands under the threshold, and the
+    sample is the subgraph INDUCED by the visited set (both endpoints
+    visited).  A pure function of the graph — fully value-oracled —
+    and the subgraph-extraction primitive for downstream
+    experimentation at a fraction of the corpus.
+
+    Scale shape: the walk loop is frontier-sized supersteps over the
+    once-built sorted adjacency; the induced-edge step is two
+    semi-joins of the edge table against the (small) visited set."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    e = edges.select("src", "dst").distinct().persist()
+    adj = (
+        e.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .repartition(partitions, "src")
+        .persist()
+    )
+    seed_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("smp:"), F.col("src").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    frontier = (
+        adj.where(F.pmod(seed_h, F.lit(100)) < F.lit(seed_pct))
+        .select(F.col("src").alias("walk_id"), F.col("src").alias("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.select("vertex").distinct().localCheckpoint(eager=True)
+    for i in range(1, length + 1):
+        frontier = (
+            frontier.join(adj, frontier.vertex == adj.src)
+            .select(
+                "walk_id",
+                F.element_at(
+                    "nbrs",
+                    (
+                        F.pmod(_step_hash("walk_id", i), F.size("nbrs"))
+                        + F.lit(1)
+                    ).cast("int"),
+                ).alias("vertex"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        visited = (
+            visited.unionByName(frontier.select("vertex"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    va = visited.withColumnRenamed("vertex", "src")
+    vb = visited.withColumnRenamed("vertex", "dst")
+    out = e.join(va, "src", "semi").join(vb, "dst", "semi").select("src", "dst")
+    adj.unpersist()
+    return out
