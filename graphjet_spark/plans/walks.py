@@ -273,7 +273,9 @@ def walk_sample_subgraph(
     semi-joins of the edge table against the (small) visited set."""
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    e = edges.select("src", "dst").distinct().persist()
+    # eager checkpoint, not persist: e outlives this function inside the
+    # returned lazy plan, so a persist here would leak cached blocks
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     adj = (
         e.groupBy("src")
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
