@@ -2088,62 +2088,10 @@ SELECT user_id, ROUND(SUM(value), 6) AS total_value,
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id DESC LIMIT 20
 """,
-        "cms_heavy_hitters": f"""
-WITH cnt AS MATERIALIZED (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
-  FROM events GROUP BY user_id),
-tk AS MATERIALIZED (
-  SELECT user_id, true_cnt FROM cnt
-  ORDER BY true_cnt DESC, user_id ASC LIMIT {CMS_TOPK}),
-rws AS MATERIALIZED (
-  SELECT * FROM (VALUES {", ".join(f"({i})" for i in range(CMS_DEPTH))})
-  r(rw)),
-ctr AS MATERIALIZED (
-  SELECT r.rw,
-         (('0x'||substr(md5('cms:'||r.rw||':'||e.user_id),1,15))::BIGINT)
-           % {CMS_WIDTH} AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events e CROSS JOIN rws r GROUP BY 1, 2)
-SELECT t.user_id, t.true_cnt, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
-FROM tk t CROSS JOIN rws r
-LEFT JOIN ctr c ON c.rw = r.rw
- AND c.bucket =
-  (('0x'||substr(md5('cms:'||r.rw||':'||t.user_id),1,15))::BIGINT)
-    % {CMS_WIDTH}
-GROUP BY t.user_id, t.true_cnt
-""",
-        "hll_distinct_users": f"""
-WITH hs AS MATERIALIZED (
-  SELECT event_type,
-         (('0x'||substr(md5('hll:'||user_id),1,15))::BIGINT) AS h
-  FROM events),
-reg AS MATERIALIZED (
-  SELECT event_type, h % {HLL_M} AS bucket,
-         MAX(CASE WHEN (h // {HLL_M}) = 0 THEN 55
-                  ELSE 55 - LENGTH(BIN(h // {HLL_M})) END) AS mx
-  FROM hs GROUP BY 1, 2),
-ag AS MATERIALIZED (
-  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS present,
-         SUM((1::BIGINT << (55 - mx))) AS s_present
-  FROM reg GROUP BY 1),
-tru AS MATERIALIZED (
-  SELECT event_type,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
-  FROM events GROUP BY 1)
-SELECT t.event_type, t.true_distinct,
-  ROUND(CASE WHEN {0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**55)!r}
-                 / CAST(a.s_present
-                        + ({HLL_M} - a.present) * (1::BIGINT << 55)
-                        AS DOUBLE) < {2.5 * HLL_M!r}
-              AND ({HLL_M} - a.present) > 0
-        THEN {float(HLL_M)!r}
-             * ln({float(HLL_M)!r} / CAST({HLL_M} - a.present AS DOUBLE))
-        ELSE {0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**55)!r}
-             / CAST(a.s_present
-                    + ({HLL_M} - a.present) * (1::BIGINT << 55)
-                    AS DOUBLE) END, 4) AS hll_est
-FROM tru t JOIN ag a USING (event_type)
-""",
+        "cms_heavy_hitters": oracles.cms_heavy_hitters_sql(
+            CMS_WIDTH, CMS_DEPTH, CMS_TOPK
+        ),
+        "hll_distinct_users": oracles.hll_distinct_users_sql(HLL_M),
         "session_stats": oracles.session_stats_sql(),
         "event_burstiness": oracles.event_burstiness_sql(),
         "event_transitions": oracles.event_transitions_sql(),

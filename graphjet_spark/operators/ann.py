@@ -432,15 +432,11 @@ def kmeans_assign(
         F.posexplode(_as_double(vec_col)).alias("i", "x"),
     ).localCheckpoint(eager=True)
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from graphjet_spark.functions.hashing import md5_prefix_bigint
+
+    h = md5_prefix_bigint(
+        F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
+    )
     # orderBy+limit compiles to TakeOrderedAndProject (distributed
     # per-partition top-k + driver merge of k*P rows) — never a global
     # single-partition window sort
@@ -541,10 +537,16 @@ def mutual_nn_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = a.crossJoin(broadcast(b)).select(
-        "id_a",
-        "id_b",
-        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+    scored = (
+        a.crossJoin(broadcast(b))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        # both top-1 windows consume this; materialize once so the
+        # O(|A|x|B|) interpreted-HOF dot products run once, not twice
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graphjet_spark.functions.hashing import md5_prefix_bigint
 from graphjet_spark.operators.textstats import quality_score
 
 HASH_SPACE = 16**15  # md5-prefix range: 15 hex chars = 60 bits
@@ -28,7 +29,7 @@ HASH_SPACE = 16**15  # md5-prefix range: 15 hex chars = 60 bits
 
 def content_hash60(col: Column) -> Column:
     """Uniform 60-bit integer from content (cross-engine md5 prefix)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    return md5_prefix_bigint(col)
 
 
 def hash_threshold_sample(

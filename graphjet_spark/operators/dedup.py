@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphjet_spark.functions.hashing import md5_prefix_bigint
+
 # ----------------------------------------------------------------- exact
 
 
@@ -254,7 +256,7 @@ def _hash60(col):
     (``('0x'||substr(md5(s),1,15))::BIGINT``), so MinHash/SimHash
     outputs are value-checkable across engines — unlike xxhash64 /
     pd.util.hash_array, which are engine-private."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return md5_prefix_bigint(col)
 
 
 def shingle_hashes(

@@ -30,10 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _h(col) -> F.Column:
-    """Cross-engine md5-prefix hash -> BIGINT (same family as
-    plans/wl.py, plans/mis.py)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+from graphjet_spark.functions.hashing import md5_prefix_bigint as _h
 
 
 def _bucket(key_str: F.Column, row: F.Column, width: int) -> F.Column:

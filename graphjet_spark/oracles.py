@@ -3617,3 +3617,75 @@ FROM e
 JOIN vis va ON e.src = va.vertex
 JOIN vis vb ON e.dst = vb.vertex"""
     )
+
+
+def cms_heavy_hitters_sql(width: int, depth: int, topk: int) -> str:
+    """Twin of the cms_heavy_hitters gate (operators/sketches.py
+    cms_counters + cms_estimate over events.user_id)."""
+    rows = ", ".join(f"({i})" for i in range(depth))
+    return f"""
+WITH cnt AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY user_id),
+tk AS MATERIALIZED (
+  SELECT user_id, true_cnt FROM cnt
+  ORDER BY true_cnt DESC, user_id ASC LIMIT {topk}),
+rws AS MATERIALIZED (
+  SELECT * FROM (VALUES {rows})
+  r(rw)),
+ctr AS MATERIALIZED (
+  SELECT r.rw,
+         (('0x'||substr(md5('cms:'||r.rw||':'||e.user_id),1,15))::BIGINT)
+           % {width} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN rws r GROUP BY 1, 2)
+SELECT t.user_id, t.true_cnt, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+FROM tk t CROSS JOIN rws r
+LEFT JOIN ctr c ON c.rw = r.rw
+ AND c.bucket =
+  (('0x'||substr(md5('cms:'||r.rw||':'||t.user_id),1,15))::BIGINT)
+    % {width}
+GROUP BY t.user_id, t.true_cnt
+"""
+
+
+def hll_distinct_users_sql(m: int) -> str:
+    """Twin of the hll_distinct_users gate — w1 and alpha derived from
+    ``m`` exactly as operators/sketches.py does, so changing HLL_M can
+    never desync the oracle from the engine."""
+    if m & (m - 1) or m < 2:
+        raise ValueError(f"m must be a power of two >= 2, got {m}")
+    w1 = 60 - (m.bit_length() - 1) + 1
+    num = 0.7213 / (1 + 1.079 / m) * m * m * float(2**w1)
+    return f"""
+WITH hs AS MATERIALIZED (
+  SELECT event_type,
+         (('0x'||substr(md5('hll:'||user_id),1,15))::BIGINT) AS h
+  FROM events),
+reg AS MATERIALIZED (
+  SELECT event_type, h % {m} AS bucket,
+         MAX(CASE WHEN (h // {m}) = 0 THEN {w1}
+                  ELSE {w1} - LENGTH(BIN(h // {m})) END) AS mx
+  FROM hs GROUP BY 1, 2),
+ag AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS present,
+         SUM((1::BIGINT << ({w1} - mx))) AS s_present
+  FROM reg GROUP BY 1),
+tru AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+  FROM events GROUP BY 1)
+SELECT t.event_type, t.true_distinct,
+  ROUND(CASE WHEN {num!r}
+                 / CAST(a.s_present
+                        + ({m} - a.present) * (1::BIGINT << {w1})
+                        AS DOUBLE) < {2.5 * m!r}
+              AND ({m} - a.present) > 0
+        THEN {float(m)!r}
+             * ln({float(m)!r} / CAST({m} - a.present AS DOUBLE))
+        ELSE {num!r}
+             / CAST(a.s_present
+                    + ({m} - a.present) * (1::BIGINT << {w1})
+                    AS DOUBLE) END, 4) AS hll_est
+FROM tru t JOIN ag a USING (event_type)
+"""

@@ -45,8 +45,10 @@ def _reach(
 ) -> DataFrame:
     """Vertices reachable from ``seeds`` following ``e`` (src -> dst)
     in <= ``rounds`` hops, never entering ``blocked``.  Frontier-sized
-    supersteps with lineage truncation per round."""
-    reach = seeds.localCheckpoint(eager=True)
+    supersteps with lineage truncation per round.  Callers pass seeds
+    already materialized (checkpointed or tiny), so no redundant
+    checkpoint here."""
+    reach = seeds
     frontier = reach
     for _ in range(rounds):
         nxt = (

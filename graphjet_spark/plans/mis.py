@@ -27,12 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphjet_spark.functions.hashing import md5_prefix_bigint
 from graphjet_spark.plans.components import symmetrize
 
 
 def _priority(id_col: str, rnd: int):
     s = F.concat(F.lit("mis:"), F.col(id_col).cast("string"), F.lit(f":{rnd}"))
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    return md5_prefix_bigint(s)
 
 
 def luby_mis(
@@ -138,9 +139,7 @@ def greedy_coloring(
             )
             pr = und.select(
                 "id",
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-                .cast("bigint")
-                .alias("h"),
+                md5_prefix_bigint(s).alias("h"),
             )
             nbr_max = (
                 sym.join(pr, sym.b == pr.id)

@@ -86,6 +86,9 @@ def ppr_sweep_cut(
         .select(F.greatest("ra", "rb").alias("mr"))
         .groupBy("mr")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_int"))
+        # materialize (<= k rows) BEFORE sym.unpersist() below — lazily
+        # it would recompute the symmetrize shuffle uncached at collect
+        .localCheckpoint(eager=True)
     )
     total_vol = sym.count()  # = sum of undirected degrees
 

@@ -24,13 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphjet_spark.functions.hashing import md5_prefix_bigint
+
 
 def _step_hash(walk_col: str, step: int):
     """Cross-engine uniform 60-bit hash of (walk_id, step)."""
     s = F.concat(
         F.col(walk_col).cast("string"), F.lit(":"), F.lit(str(step))
     )
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    return md5_prefix_bigint(s)
 
 
 def hash_walk_corpus(
@@ -282,15 +284,9 @@ def walk_sample_subgraph(
         .repartition(partitions, "src")
         .persist()
     )
-    seed_h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("smp:"), F.col("src").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    seed_h = md5_prefix_bigint(
+        F.concat(F.lit("smp:"), F.col("src").cast("string"))
+    )
     frontier = (
         adj.where(F.pmod(seed_h, F.lit(100)) < F.lit(seed_pct))
         .select(F.col("src").alias("walk_id"), F.col("src").alias("vertex"))

@@ -46,9 +46,7 @@ from graphjet_spark.plans.components import symmetrize
 _MOD = 2_147_483_647
 
 
-def _h(col) -> F.Column:
-    """Cross-engine md5-prefix hash of a string column -> BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+from graphjet_spark.functions.hashing import md5_prefix_bigint as _h
 
 
 def wl_colors(

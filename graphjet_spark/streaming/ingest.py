@@ -182,20 +182,32 @@ def windowed_event_counts(
     )
 
 
-def read_component_labels(spark: SparkSession, labels_dir: str):
-    """Latest committed ``(id, component)`` snapshot written by
-    :func:`streaming_components`, or ``None`` before the first batch."""
-    if not os.path.isdir(labels_dir):
+def _latest_snapshot(
+    spark: SparkSession, snap_dir: str, *, before: int | None = None
+):
+    """Latest ``_SUCCESS``-committed ``v=<batch_id>`` snapshot under
+    ``snap_dir`` (optionally strictly older than ``before``), or
+    ``None`` — the shared reader for every per-batch-id snapshot
+    layout (CC labels, sketch grids)."""
+    if not os.path.isdir(snap_dir):
         return None
     versions = sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(labels_dir)
+        for d in os.listdir(snap_dir)
         if d.startswith("v=")
-        and os.path.exists(os.path.join(labels_dir, d, "_SUCCESS"))
+        and os.path.exists(os.path.join(snap_dir, d, "_SUCCESS"))
     )
+    if before is not None:
+        versions = [v for v in versions if v < before]
     if not versions:
         return None
-    return spark.read.parquet(os.path.join(labels_dir, f"v={versions[-1]}"))
+    return spark.read.parquet(os.path.join(snap_dir, f"v={versions[-1]}"))
+
+
+def read_component_labels(spark: SparkSession, labels_dir: str):
+    """Latest committed ``(id, component)`` snapshot written by
+    :func:`streaming_components`, or ``None`` before the first batch."""
+    return _latest_snapshot(spark, labels_dir)
 
 
 def streaming_components(
@@ -299,19 +311,7 @@ def read_sketch_grid(
     written by :func:`streaming_cms`, or ``None`` before the first
     batch.  ``before`` restricts to versions strictly older — the
     exactly-once replay rule (see below)."""
-    if not os.path.isdir(grid_dir):
-        return None
-    versions = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(grid_dir)
-        if d.startswith("v=")
-        and os.path.exists(os.path.join(grid_dir, d, "_SUCCESS"))
-    )
-    if before is not None:
-        versions = [v for v in versions if v < before]
-    if not versions:
-        return None
-    return spark.read.parquet(os.path.join(grid_dir, f"v={versions[-1]}"))
+    return _latest_snapshot(spark, grid_dir, before=before)
 
 
 def streaming_cms(
