@@ -57,6 +57,16 @@ def resolve_url(hrefs: pd.Series, base_urls: pd.Series) -> pd.Series:
     return hrefs.where(is_abs, origin.str.cat(hrefs))
 
 
+def _resolve_targets(hrefs: pd.Series, base: pd.Series, idx) -> pd.Series:
+    """Shared href post-processing of both extractors: resolve each
+    exploded href against its page's base url, then canonicalize —
+    keeping link rows and anchor rows byte-identical by construction."""
+    resolved = resolve_url(
+        hrefs.reset_index(drop=True), base.iloc[idx].reset_index(drop=True)
+    )
+    return canonicalize_url(resolved)
+
+
 def extract_links(html: pd.Series, base_urls: pd.Series) -> pd.DataFrame:
     """Explode each page into its outgoing links.
 
@@ -64,6 +74,8 @@ def extract_links(html: pd.Series, base_urls: pd.Series) -> pd.DataFrame:
     ``page_idx`` indexes into the input series (positional).  Duplicate
     hrefs within a page are preserved (dedup is a later, explicit stage
     — reference F11, algorithms/counting/TopSecondDegreeByCount.java:99-103).
+    Catches EVERY ``href=`` (nav/link/area included) — deliberately
+    broader than :func:`extract_anchors`' anchor-tag-only view.
     """
     text = decode_html(html).reset_index(drop=True)
     base = base_urls.reset_index(drop=True)
@@ -73,11 +85,11 @@ def extract_links(html: pd.Series, base_urls: pd.Series) -> pd.DataFrame:
         return pd.DataFrame({"page_idx": pd.Series(dtype="int64"),
                              "dst_url": pd.Series(dtype="object")})
     idx = exploded.index.to_numpy()
-    resolved = resolve_url(
-        exploded.reset_index(drop=True), base.iloc[idx].reset_index(drop=True)
-    )
     return pd.DataFrame(
-        {"page_idx": idx, "dst_url": canonicalize_url(resolved).to_numpy()}
+        {
+            "page_idx": idx,
+            "dst_url": _resolve_targets(exploded, base, idx).to_numpy(),
+        }
     )
 
 
@@ -102,13 +114,12 @@ def extract_anchors(html: pd.Series, base_urls: pd.Series) -> pd.DataFrame:
             }
         )
     idx = exploded.index.to_numpy()
-    hrefs = exploded.str[0].reset_index(drop=True)
+    hrefs = exploded.str[0]
     anchors = exploded.str[1].reset_index(drop=True)
-    resolved = resolve_url(hrefs, base.iloc[idx].reset_index(drop=True))
     return pd.DataFrame(
         {
             "page_idx": idx,
-            "dst_url": canonicalize_url(resolved).to_numpy(),
+            "dst_url": _resolve_targets(hrefs, base, idx).to_numpy(),
             "anchor": anchors.to_numpy(),
         }
     )
