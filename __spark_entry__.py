@@ -1664,6 +1664,15 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile curriculum bins over the per-doc unigram
+    log-likelihood (easy->hard ordering for curriculum/annealing
+    schedules); percentile thresholds, no global NTILE window."""
+    from graphjet_spark.operators.textstats import curriculum_buckets
+
+    return curriculum_buckets(_docs(spark, sf_dir))
+
+
 DECON_N = 3
 DECON_MOD = 97
 
@@ -1863,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "crossdoc_dup_fraction": _q_crossdoc_dup,
         "unigram_logprob": _q_unigram_logprob,
+        "curriculum_buckets": _q_curriculum_buckets,
         "zipf_alpha": _q_zipf_alpha,
         "degree_quantiles": _q_degree_quantiles,
         "repetition_stats": _q_repetition,
@@ -2159,6 +2169,7 @@ GROUP BY s.seed ORDER BY s.seed
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),
         "unigram_logprob": oracles.unigram_logprob_sql(),
+        "curriculum_buckets": oracles.curriculum_buckets_sql(),
         "zipf_alpha": oracles.zipf_alpha_sql(ZIPF_CMIN),
         "degree_quantiles": oracles.degree_quantiles_sql(),
         "repetition_stats": oracles.repetition_stats_sql(),

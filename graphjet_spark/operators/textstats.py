@@ -602,3 +602,39 @@ def bpe_merge_stats(
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(k)
     )
+
+
+def curriculum_buckets(
+    docs: DataFrame, *, text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """``(bucket, n_docs, mean_logprob, mean_tokens)`` — quartile
+    curriculum bins over the per-doc unigram log-likelihood (the
+    easy->hard ordering signal curriculum/annealing schedules consume:
+    bucket 1 = most-typical quartile, 4 = hardest).
+
+    Skew-free at scale: NO global NTILE window — the three quartile
+    thresholds come from one exact `percentile` aggregate (the proven
+    cross-engine quantile), and bucket assignment is a row-local
+    comparison against the broadcast threshold row.  Boundary rows
+    compare on the ROUNDED score both sides, so the bin edges are
+    cross-engine stable."""
+    lp = unigram_logprob(docs, text_col=text_col, round_to=round_to)
+    th = lp.agg(
+        F.expr("percentile(avg_logprob, 0.25)").alias("q1"),
+        F.expr("percentile(avg_logprob, 0.50)").alias("q2"),
+        F.expr("percentile(avg_logprob, 0.75)").alias("q3"),
+    )
+    scored = lp.crossJoin(F.broadcast(th)).select(
+        F.when(F.col("avg_logprob") >= F.col("q3"), F.lit(1))
+        .when(F.col("avg_logprob") >= F.col("q2"), F.lit(2))
+        .when(F.col("avg_logprob") >= F.col("q1"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("bucket"),
+        "avg_logprob",
+        "n_tokens",
+    )
+    return scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("avg_logprob"), round_to).alias("mean_logprob"),
+        F.round(F.avg("n_tokens"), round_to).alias("mean_tokens"),
+    )

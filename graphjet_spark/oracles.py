@@ -3689,3 +3689,28 @@ SELECT t.event_type, t.true_distinct,
                     AS DOUBLE) END, 4) AS hll_est
 FROM tru t JOIN ag a USING (event_type)
 """
+
+
+def curriculum_buckets_sql(round_to: int = 6) -> str:
+    """Twin of operators/textstats.py::curriculum_buckets — quartile
+    thresholds via quantile_cont (== Spark percentile interpolation)
+    over the rounded per-doc log-likelihoods, row-local bucket
+    assignment, per-bucket means."""
+    lp = unigram_logprob_sql()
+    return f"""
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(avg_logprob), {round_to}) AS mean_logprob,
+       ROUND(AVG(n_tokens), {round_to}) AS mean_tokens
+FROM (
+  SELECT l.avg_logprob, l.n_tokens,
+         CASE WHEN l.avg_logprob >= t.q3 THEN 1
+              WHEN l.avg_logprob >= t.q2 THEN 2
+              WHEN l.avg_logprob >= t.q1 THEN 3
+              ELSE 4 END AS bucket
+  FROM ({lp}) l CROSS JOIN (
+    SELECT quantile_cont(avg_logprob, 0.25) AS q1,
+           quantile_cont(avg_logprob, 0.50) AS q2,
+           quantile_cont(avg_logprob, 0.75) AS q3
+    FROM ({lp})) t)
+GROUP BY bucket
+"""
