@@ -638,3 +638,56 @@ def curriculum_buckets(
         F.round(F.avg("avg_logprob"), round_to).alias("mean_logprob"),
         F.round(F.avg("n_tokens"), round_to).alias("mean_tokens"),
     )
+
+
+# ----------------------------------------------------------------- PII
+
+# The C4/CCNet/Dolma-style scrub patterns: conservative, line-rate
+# JVM regexes (Java regex syntax — the hot path stays in codegen).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"(?<![\d.])\+?\d[\d().\- ]{7,}\d(?![\d.])",
+}
+
+
+def pii_scrub(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, text_scrubbed, n_email, n_ipv4, n_phone)`` — the
+    standard pre-training PII pass (C4 / CCNet / Dolma ship the same
+    stage): each pattern family is counted and replaced with a typed
+    placeholder token.  Pure JVM regexp expressions — one narrow
+    projection, no Python, no shuffle; at 100 TB this runs at scan
+    rate.  Patterns apply in the fixed dict order so counts are
+    deterministic even when families overlap (an email's host never
+    double-counts as a phone: earlier replacements consume the text
+    the later patterns see)."""
+    out = docs.select("doc_id", F.col(text_col).alias("_t"))
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all("_t", F.lit(pat), F.lit(0))),
+        ).withColumn(
+            "_t", F.regexp_replace("_t", pat, f"<{name.upper()}>")
+        )
+        counts.append(f"n_{name}")
+    return out.select(
+        "doc_id", F.col("_t").alias("text_scrubbed"), *counts
+    )
+
+
+def pii_summary(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """One row ``(n_docs, docs_with_pii, n_email, n_ipv4, n_phone)`` —
+    the corpus-level audit of the scrub pass."""
+    s = pii_scrub(docs, text_col=text_col)
+    any_pii = sum(F.col(f"n_{n}") for n in PII_PATTERNS) > 0
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(any_pii.cast("int")).cast("bigint").alias("docs_with_pii"),
+        *[
+            F.sum(f"n_{n}").cast("bigint").alias(f"n_{n}")
+            for n in PII_PATTERNS
+        ],
+    )

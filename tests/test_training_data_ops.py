@@ -1251,3 +1251,33 @@ def test_coverage_select_greedy_mirror(spark):
     assert got == want
     gains = [g for _, _, g, _ in got]
     assert gains == sorted(gains, reverse=True)  # submodular curve
+
+
+def test_pii_scrub_planted(spark):
+    """pii_scrub on planted PII: counts per family, placeholders in the
+    scrubbed text, clean docs untouched, and no double-counting when an
+    earlier family consumes the text (email host != phone)."""
+    from graphjet_spark.operators.textstats import pii_scrub, pii_summary
+
+    texts = [
+        "contact alice.smith+x@example.co.uk or bob@mail.org today",
+        "server at 10.0.255.7 answered; backup 192.168.1.1 did not",
+        "call +1 (415) 555-0199 or 020-7946-0958 now",
+        "mixed: eve@host.io from 8.8.8.8 dialed 646 555 2211",
+        "perfectly clean text with no identifiers at all",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (2, 0, 0)
+    assert rows[0]["text_scrubbed"] == "contact <EMAIL> or <EMAIL> today"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (0, 2, 0)
+    assert rows[2]["n_phone"] == 2 and "<PHONE>" in rows[2]["text_scrubbed"]
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) == (1, 1, 1)
+    assert rows[4]["text_scrubbed"] == texts[4]
+    assert all(rows[4][c] == 0 for c in ("n_email", "n_ipv4", "n_phone"))
+    summ = pii_summary(docs).first()
+    assert summ["n_docs"] == 6 and summ["docs_with_pii"] == 4
+    assert (summ["n_email"], summ["n_ipv4"], summ["n_phone"]) == (3, 3, 3)
