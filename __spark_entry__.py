@@ -1566,6 +1566,22 @@ def _q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_select(_docs(spark, sf_dir), k=COVERAGE_K, n=COVERAGE_N)
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token overlapping chunking (the pretraining/RAG window
+    splitter — pack_sequences' inverse); pure JVM array expressions at
+    scan rate."""
+    from graphjet_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
 PACK_SEQ_LEN = 2048
 
 
@@ -1869,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "containment_pairs": _q_containment_pairs,
         "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
         "quality_score": _q_quality,
         "crossdoc_dup_fraction": _q_crossdoc_dup,
         "unigram_logprob": _q_unigram_logprob,
@@ -2166,6 +2183,9 @@ GROUP BY s.seed ORDER BY s.seed
             CONTAIN_N, CONTAIN_T
         ),
         "pack_sequences": oracles.pack_sequences_sql(PACK_SEQ_LEN),
+        "chunk_documents": oracles.chunk_documents_sql(
+            CHUNK_TOKENS, CHUNK_OVERLAP
+        ),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),
         "unigram_logprob": oracles.unigram_logprob_sql(),

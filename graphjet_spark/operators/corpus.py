@@ -229,3 +229,47 @@ def coverage_select(
     return spark.createDataFrame(
         out, "round int, doc_id bigint, gain bigint, covered_total bigint"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text)`` —
+    split every document into fixed-size token windows with overlap
+    (stride = chunk_tokens - overlap): the standard pretraining / RAG
+    chunker that pack_sequences' concat-and-chunk is the inverse of.
+    Empty documents yield no chunks; the last window is short when the
+    tail is short.
+
+    Pure JVM array expressions (split + sequence + slice + explode):
+    one narrow projection, no shuffle, scan-rate at any corpus size."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = (
+        f"CASE WHEN trim({text_col}) = '' THEN array() "
+        f"ELSE split(trim({text_col}), '\\\\s+') END"
+    )
+    starts = (
+        f"CASE WHEN size({toks}) = 0 THEN array() "
+        f"ELSE sequence(0, size({toks}) - 1, {stride}) END"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(toks).alias("_w"),
+        F.posexplode_outer(F.expr(starts)).alias("chunk_idx", "_s"),
+    ).where(F.col("_s").isNotNull()).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("_s") + 1).cast("int").alias("start_tok"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_w") - F.col("_s")
+        ).cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.expr(f"slice(_w, _s + 1, {chunk_tokens})")
+        ).alias("chunk_text"),
+    )

@@ -3714,3 +3714,27 @@ FROM (
     FROM ({lp})) t)
 GROUP BY bucket
 """
+
+
+def chunk_documents_sql(chunk_tokens: int, overlap: int) -> str:
+    """Twin of operators/corpus.py::chunk_documents."""
+    stride = chunk_tokens - overlap
+    return rf"""
+WITH wd AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents),
+st AS MATERIALIZED (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) = 0 THEN []::BIGINT[]
+                ELSE range(0, len(w), {stride}) END) AS s,
+         generate_subscripts(CASE WHEN len(w) = 0 THEN []::BIGINT[]
+                ELSE range(0, len(w), {stride}) END, 1) - 1 AS chunk_idx
+  FROM wd)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(s + 1 AS INT) AS start_tok,
+       CAST(LEAST({chunk_tokens}, len(w) - s) AS INT) AS n_chunk_tokens,
+       array_to_string(w[s + 1 : s + {chunk_tokens}], ' ') AS chunk_text
+FROM st
+"""

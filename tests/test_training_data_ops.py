@@ -1281,3 +1281,39 @@ def test_pii_scrub_planted(spark):
     summ = pii_summary(docs).first()
     assert summ["n_docs"] == 6 and summ["docs_with_pii"] == 4
     assert (summ["n_email"], summ["n_ipv4"], summ["n_phone"]) == (3, 3, 3)
+
+
+def test_chunk_documents_mirror(spark):
+    """Chunker vs a literal Python mirror: overlap reconstruction,
+    short tails, exactly-one-chunk docs, empty docs dropped."""
+    from graphjet_spark.operators.corpus import chunk_documents
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(10)),  # 10 toks: 3 chunks
+        1: "a b c",                               # 1 short chunk
+        2: "",                                    # no chunks
+        3: " ".join(f"u{i}" for i in range(4)),   # exactly chunk size
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"],
+         r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            docs, chunk_tokens=4, overlap=2
+        ).collect()
+    )
+    want = []
+    for d, t in texts.items():
+        w = t.split()
+        for ci, s in enumerate(range(0, len(w), 2)):
+            piece = w[s : s + 4]
+            want.append((d, ci, s + 1, len(piece), " ".join(piece)))
+    assert got == sorted(want)
+    # every token of doc 0 appears in some chunk (coverage)
+    covered = set()
+    for d, _, s, n, _ in got:
+        if d == 0:
+            covered.update(range(s, s + n))
+    assert covered == set(range(1, 11))
