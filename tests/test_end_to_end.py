@@ -73,3 +73,97 @@ def test_pagerank_matches_numpy_on_web_graph(spark, web):
     assert len(got) == len(want)
     for url, rank in want.items():
         assert got[verts[url]] == pytest.approx(rank, abs=1e-6)
+
+
+def test_training_data_pipeline_end_to_end(spark):
+    """Capstone: the full LLM-data path a user would run, chained over
+    the real sf0.001 documents table — dedup keep-list -> quality +
+    language filter -> PII scrub -> chunking -> sequence packing —
+    with conservation invariants at every boundary.  Each operator is
+    value-oracled individually by its gate; this test proves they
+    COMPOSE (schemas line up, keep-lists filter, token accounting is
+    conserved end to end)."""
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.operators.corpus import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from graphjet_spark.operators.dedup import dedup_keep_list
+    from graphjet_spark.operators.textstats import (
+        pii_scrub,
+        quality_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+
+    # 1. dedup: every doc maps to exactly one keeper; keepers keep
+    # themselves
+    keep = dedup_keep_list(docs, threshold=0.9, cc_fixed_iters=8)
+    assert keep.count() == n_docs
+    keepers = keep.where(F.col("doc_id") == F.col("keep_id"))
+    n_keep = keepers.count()
+    assert 0 < n_keep <= n_docs
+
+    # 2. select: keepers x quality floor x language
+    scored = quality_score(docs).join(
+        docs.select("doc_id", "lang", "text"), "doc_id"
+    )
+    selected = (
+        keepers.select("doc_id")
+        .join(scored, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    )
+    n_sel = selected.count()
+    assert 0 < n_sel < n_keep
+
+    # 3. PII scrub: corpus is synthetic-clean, so the pass must be an
+    # identity with zero counts
+    scrubbed = pii_scrub(selected)
+    assert (
+        scrubbed.where(
+            (F.col("n_email") > 0)
+            | (F.col("n_ipv4") > 0)
+            | (F.col("n_phone") > 0)
+        ).count()
+        == 0
+    )
+    clean = scrubbed.select(
+        "doc_id", F.col("text_scrubbed").alias("text")
+    )
+
+    # 4. chunking: tokens conserved doc-by-doc under overlap accounting
+    chunks = chunk_documents(clean, chunk_tokens=32, overlap=8)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("chunk_toks"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("start_tok") + F.col("n_chunk_tokens") - 1).alias(
+            "max_tok"
+        ),
+    )
+    truth = clean.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    j = per_doc.join(truth, "doc_id")
+    # every selected doc is chunked, the windows reach exactly the last
+    # token, and overlap accounting holds: sum(chunk tokens) =
+    # n_toks + 8 * (n_chunks - 1) except a short final stride
+    assert j.count() == n_sel
+    assert j.where(F.col("max_tok") != F.col("n_toks")).count() == 0
+    bad = j.where(
+        (F.col("chunk_toks") - F.col("n_toks"))
+        > 8 * (F.col("n_chunks") - 1)
+    )
+    assert bad.count() == 0
+
+    # 5. packing: exact global token accounting across sequences
+    packed = pack_sequences(clean, seq_len=128)
+    tot = packed.agg(
+        F.sum("n_tokens").alias("toks"),
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("end"),
+        F.max("seq_last").alias("last_seq"),
+    ).first()
+    assert tot["toks"] == tot["end"]  # contiguous, gap-free stream
+    assert tot["last_seq"] == (tot["toks"] - 1) // 128
