@@ -1423,6 +1423,15 @@ def _q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return powerlaw_alpha(edges, dmin=PL_DMIN)
 
 
+def _q_triangle_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed triangles vs the configuration-model closed form —
+    the motif-significance audit without generating a null graph."""
+    from graphjet_spark.plans.graphstats import triangle_significance
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return triangle_significance(spark, edges)
+
+
 def _q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-concentration Gini coefficient — the one-number hub
     inequality audit, exact grouped-value form (no global sort)."""
@@ -1834,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "degree_gini": _q_degree_gini,
+        "triangle_significance": _q_triangle_significance,
         "rich_club": _q_rich_club,
         "intersection_similarity_cosine": _q_similarity,
         "intersection_similarity_jaccard": _q_similarity_jaccard,
@@ -2086,6 +2096,7 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "degree_assortativity": oracles.degree_assortativity_sql(),
         "powerlaw_alpha": oracles.powerlaw_alpha_sql(PL_DMIN),
         "degree_gini": oracles.degree_gini_sql(),
+        "triangle_significance": oracles.triangle_significance_sql(),
         "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(
             0.9, cc_iters=12
         ),

@@ -3738,3 +3738,49 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        array_to_string(w[s + 1 : s + {chunk_tokens}], ' ') AS chunk_text
 FROM st
 """
+
+
+def triangle_significance_sql(round_to: int = 6) -> str:
+    """Twin of plans/graphstats.py::triangle_significance — observed
+    triangles (the degree-ordered count) vs the configuration-model
+    closed form (sum d(d-1))^3 / (6 (sum d)^3) from HUGEINT-exact
+    moments, three float64 ops on the reduced row."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + GRAPH_PRELUDE.strip()
+        + f""",
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM graph_edges WHERE src <> dst),
+dg2 AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY a),
+mom AS MATERIALIZED (
+  SELECT SUM(CAST(d AS HUGEINT)) AS s1,
+         SUM(CAST(d AS HUGEINT) * (CAST(d AS HUGEINT) - 1)) AS s2
+  FROM dg2),
+tdeg AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY id),
+orient AS MATERIALIZED (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi
+  FROM und u JOIN tdeg da ON u.a = da.id JOIN tdeg db ON u.b = db.id),
+obs AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orient e1
+  JOIN orient e2 ON e1.hi = e2.lo
+  JOIN orient e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+SELECT o.observed,
+       ROUND((CAST(m.s2 AS DOUBLE) / CAST(m.s1 AS DOUBLE))
+             * (CAST(m.s2 AS DOUBLE) / CAST(m.s1 AS DOUBLE))
+             * (CAST(m.s2 AS DOUBLE) / CAST(m.s1 AS DOUBLE)) / 6.0,
+             {round_to}) AS expected_cfg,
+       CASE WHEN m.s2 > 0 THEN
+         ROUND(CAST(o.observed AS DOUBLE)
+               / ((CAST(m.s2 AS DOUBLE) / CAST(m.s1 AS DOUBLE))
+                  * (CAST(m.s2 AS DOUBLE) / CAST(m.s1 AS DOUBLE))
+                  * (CAST(m.s2 AS DOUBLE) / CAST(m.s1 AS DOUBLE)) / 6.0),
+               {round_to})
+       END AS ratio
+FROM obs o CROSS JOIN mom m"""
+    )

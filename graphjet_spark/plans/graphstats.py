@@ -294,3 +294,46 @@ def degree_gini(edges: DataFrame, *, round_to: int = 9) -> DataFrame:
             (F.col("n") > 0) & (F.col("s") > 0), F.round(gini, round_to)
         ).alias("gini"),
     )
+
+
+def triangle_significance(
+    spark, edges: DataFrame, *, round_to: int = 6
+) -> DataFrame:
+    """One row ``(observed, expected_cfg, ratio)`` — observed triangle
+    count vs the configuration-model (degree-preserving null)
+    closed-form expectation E[T] = (Σd(d-1))³ / (6·(Σd)³) (Newman,
+    SIAM Rev. 2003 §4.2): ratio >> 1 means clustering is REAL structure
+    (communities, link farms, boilerplate rings), ratio ≈ 1 means it is
+    a pure degree artifact.  The motif-significance audit without
+    generating any null graph — just the exact degree moments the
+    engine already folds.
+
+    Moments in decimal(38,0) (overflow-safe), the null expectation in
+    three float64 ops off the single reduced row; observed reuses the
+    degree-oriented triangle plan."""
+    from graphjet_spark.plans.triangles import triangle_count
+
+    sym = symmetrize(edges)
+    dec = "decimal(38,0)"
+    deg = sym.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    mom = deg.agg(
+        F.sum(F.col("d").cast(dec)).alias("s1"),
+        F.sum(
+            F.col("d").cast(dec) * (F.col("d").cast(dec) - F.lit(1))
+        ).alias("s2"),
+    )
+    obs = triangle_count(spark, edges).select(
+        F.col("triangles").cast("bigint").alias("observed")
+    )
+    r = F.col("s2").cast("double") / F.col("s1").cast("double")
+    expected = r * r * r / F.lit(6.0)
+    return obs.crossJoin(mom).select(
+        "observed",
+        F.round(expected, round_to).alias("expected_cfg"),
+        F.when(
+            F.col("s2") > 0,
+            F.round(F.col("observed").cast("double") / expected, round_to),
+        ).alias("ratio"),
+    )
