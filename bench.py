@@ -63,18 +63,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                **extras,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    line = json.dumps(payload)
+    # The driver captures only a truncated stdout tail; persist the full
+    # JSON so the bench artifact is self-contained (BENCH_r02.json lost
+    # its totals to the 2000-char cap).
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", f"bench_latest_sf{sf}.json"
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -485,6 +485,79 @@ def kmeans_assign(
     return assign.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
 
 
+def _mutual_from_candidates(
+    v: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Shared tail of the mutual-NN plans: exact float64 rescore of the
+    candidate pairs (sequential JVM fold — byte-identical to a naive
+    all-pairs evaluation, reproducible against any float64 oracle),
+    round(cos, 6), then top-1-per-side windows on the ROUNDED value with
+    id tie-breaks (the repo's cross-engine boundary rule) and the
+    mutuality semi-join.  ``v`` carries (id, v, nrm); ``cand`` carries
+    (id_a, id_b)."""
+    va = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        # both top-1 windows consume this; materialize once so the
+        # candidate rescore runs once, not twice
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
+    best_b = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("id_a", "id_b", "cosine")
+    )
+    best_a = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("id_a", "id_b")
+    )
+    return best_b.join(best_a, ["id_a", "id_b"], "semi")
+
+
+def _mnn_sides(
+    embeddings: DataFrame,
+    split_label: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """(id, v, nrm, lbl) projection shared by the mutual-NN plans."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        norm.alias("nrm"),
+        (F.col(label_col) < split_label).alias("is_a"),
+    )
+
+
 def mutual_nn_pairs(
     embeddings: DataFrame,
     *,
@@ -492,6 +565,7 @@ def mutual_nn_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Mutual nearest neighbors ACROSS two corpora — the bitext /
     aligned-pair mining shape (Artetxe & Schwenk ACL'19 margin mining,
@@ -504,66 +578,108 @@ def mutual_nn_pairs(
     Output ``(id_a, id_b, cosine)``, cosine rounded to 6 with id
     tie-breaks — the repo's cross-engine top-1 boundary rules.
 
-    Scale shape: this exact form is one broadcast cross join (fine up
-    to ~10^4 on the broadcast side) + two bounded per-key top-1
-    windows; beyond that the candidate generation swaps to the LSH /
-    IVF bucket joins in this module (same rescore), like the near-dup
-    gate's LSH path."""
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                vec_col, lambda x: x.cast("double") * x.cast("double")
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    Scale shape (exact, never a row-level cross join): the same blocked
+    formulation as :func:`dedup.embedding_near_dups` — A is hashed into
+    ``ceil(|A|/block_rows)`` blocks, B likewise; every (i, j) block pair
+    is one cogrouped-Arrow task running a float64 numpy GEMM over its
+    two bounded blocks, emitting only each a-row's (and b-column's)
+    block-local near-top candidates (within 1e-5 of the block max —
+    covers GEMM-vs-sequential float drift plus 6-decimal rounding ties).
+    The global top-1 is then a per-id window over ~n_blocks candidate
+    rows per id, exact-rescored JVM-side.  Per-task memory is
+    2*block_rows*dim floats and no |A|x|B|-row intermediate is ever
+    materialized (exact mutual-NN compute is inherently quadratic; the
+    sublinear route is :func:`mutual_nn_pairs_lsh`)."""
+    v = _mnn_sides(embeddings, split_label, id_col, vec_col, label_col)
+    na_cnt, nb_cnt = v.agg(
+        F.sum(F.col("is_a").cast("long")),
+        F.sum((~F.col("is_a")).cast("long")),
+    ).first()
+    nba = max(1, -(-int(na_cnt or 0) // block_rows))
+    nbb = max(1, -(-int(nb_cnt or 0) // block_rows))
+    a_rep = v.where("is_a").select(
+        "id",
+        "v",
+        F.pmod(F.xxhash64("id"), F.lit(nba)).cast("int").alias("bi"),
+        F.explode(F.sequence(F.lit(0), F.lit(nbb - 1))).alias("bj"),
     )
-    v = embeddings.select(
-        F.col(id_col).alias("id"),
-        _as_double(vec_col).alias("v"),
-        norm.alias("nrm"),
-        F.col(label_col).alias("lbl"),
+    b_rep = v.where(~F.col("is_a")).select(
+        "id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(nba - 1))).alias("bi"),
+        F.pmod(F.xxhash64("id"), F.lit(nbb)).cast("int").alias("bj"),
     )
-    a = v.where(F.col("lbl") < split_label).select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = v.where(F.col("lbl") >= split_label).select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        a.crossJoin(broadcast(b))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-        )
-        # both top-1 windows consume this; materialize once so the
-        # O(|A|x|B|) interpreted-HOF dot products run once, not twice
-        .localCheckpoint(eager=True)
-    )
-    from pyspark.sql import Window
+    eps = 1e-5
 
-    wa = Window.partitionBy("id_a").orderBy(
-        F.desc("cosine"), F.asc("id_b")
+    def _block_top(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        A = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
+        B = np.stack(b_pdf["v"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0] = np.inf  # zero vectors never win a top-1
+        nb[nb == 0] = np.inf
+        S = (A / na[:, None]) @ (B / nb[:, None]).T
+        # block-local near-max per a-row and per b-column: the global
+        # (rounded, id-tiebreak) top-1 is always within eps of some
+        # block's max, so the union of block candidates contains it
+        ia_r, ib_r = np.nonzero(S >= (S.max(axis=1, keepdims=True) - eps))
+        ia_c, ib_c = np.nonzero(S >= (S.max(axis=0, keepdims=True) - eps))
+        ia = np.concatenate([ia_r, ia_c])
+        ib = np.concatenate([ib_r, ib_c])
+        out = pd.DataFrame(
+            {
+                "id_a": a_pdf["id"].to_numpy()[ia],
+                "id_b": b_pdf["id"].to_numpy()[ib],
+            }
+        )
+        return out.drop_duplicates()
+
+    cand = (
+        a_rep.groupby("bi", "bj")
+        .cogroup(b_rep.groupby("bi", "bj"))
+        .applyInPandas(_block_top, schema="id_a bigint, id_b bigint")
+        .distinct()
     )
-    wb = Window.partitionBy("id_b").orderBy(
-        F.desc("cosine"), F.asc("id_a")
+    return _mutual_from_candidates(v, cand)
+
+
+def mutual_nn_pairs_lsh(
+    embeddings: DataFrame,
+    *,
+    split_label: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Sublinear mutual-NN: random-hyperplane LSH candidate generation
+    (same tables as :func:`lsh_bucketed_topk`) replaces the blocked
+    all-pairs scoring; candidates are A-side x B-side rows sharing a
+    (table, bucket) key, then the identical exact rescore + mutual-top-1
+    windows as :func:`mutual_nn_pairs`.  Approximate (top-1 restricted
+    to LSH candidates); recall on planted twins is pytest-proven, the
+    exact plan stays the gate.  At 100 TB the bucket join is an
+    equi-join on (tbl, bucket) — hash-partitioned, never all-pairs."""
+    v = _mnn_sides(embeddings, split_label, id_col, vec_col, label_col)
+    buckets = _lsh_buckets(
+        embeddings,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).join(
+        v.select("id", "is_a"), "id"
+    ).localCheckpoint(eager=False)
+    ga = buckets.where("is_a").select(
+        F.col("id").alias("id_a"), "tbl", "bucket"
     )
-    best_b = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .select("id_a", "id_b", "cosine")
+    gb = buckets.where(~F.col("is_a")).select(
+        F.col("id").alias("id_b"), "tbl", "bucket"
     )
-    best_a = (
-        scored.withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") == 1)
-        .select("id_a", "id_b")
-    )
-    return best_b.join(best_a, ["id_a", "id_b"], "semi")
+    cand = ga.join(gb, ["tbl", "bucket"]).select("id_a", "id_b").distinct()
+    return _mutual_from_candidates(v, cand)
