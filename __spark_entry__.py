@@ -1550,6 +1550,25 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_docs(spark, sf_dir))
 
 
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints exploded to scalar (doc_id, fingerprint)
+    rows — array-free output keeps the cross-engine comparator exact."""
+    from graphjet_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("fingerprints").alias("fingerprint")
+    )
+
+
+def _q_pii_scrub_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically planted PII (the synthetic
+    corpus itself is digit-free, so the ground truth is nonzero only
+    via the closed-form plants — operators/textstats.py::plant_pii)."""
+    from graphjet_spark.operators.textstats import pii_scrub, plant_pii
+
+    return pii_scrub(plant_pii(_docs(spark, sf_dir)))
+
+
 BPE_TOPK = 50
 
 
@@ -1890,6 +1909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans,
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
+        "pii_scrub_planted": _q_pii_scrub_planted,
+        "winnowing_fingerprints": _q_winnowing,
         "bpe_merge_stats": _q_bpe_merge_stats,
         "source_token_kl": _q_source_token_kl,
         "bm25_topk": _q_bm25_topk,
@@ -2187,6 +2208,8 @@ GROUP BY s.seed ORDER BY s.seed
         "kmeans_assign": oracles.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
+        "pii_scrub_planted": oracles.pii_scrub_sql(),
+        "winnowing_fingerprints": oracles.winnowing_sql(),
         "bpe_merge_stats": oracles.bpe_merge_stats_sql(BPE_TOPK),
         "source_token_kl": oracles.source_token_kl_sql(),
         "bm25_topk": oracles.bm25_topk_sql(BM25_TERMS),

@@ -175,25 +175,74 @@ def winnowing_fingerprints(
         base = np.uint64(257)
         mod = np.uint64((1 << 31) - 1)
         for pdf in batches:
-            out = []
-            for s in pdf[text_col]:
-                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(
-                    np.uint64
-                )
-                if len(b) < k:
-                    out.append([])
-                    continue
-                win = np.lib.stride_tricks.sliding_window_view(b, k)
-                kh = np.zeros(len(b) - k + 1, dtype=np.uint64)
-                for j in range(k):  # Horner: k vectorized steps
-                    kh = (kh * base + win[:, j]) % mod
-                if len(kh) < window:
-                    out.append(sorted({int(kh.min())}))
-                    continue
-                w = np.lib.stride_tricks.sliding_window_view(kh, window)
-                mins = w.min(axis=1)
-                out.append(sorted({int(x) for x in mins}))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprints": out})
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            # flat-batch kernel (same shape as dedup.minhash_signatures):
+            # one concatenated byte buffer + per-doc offsets; every
+            # O(total-chars) step is a whole-buffer numpy op — the only
+            # Python loops are the k Horner steps and O(n_docs)
+            # bookkeeping (encode/split), never per character.
+            enc = pdf[text_col].str.encode("utf-8")
+            lens = enc.str.len().to_numpy(dtype=np.int64)
+            buf = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype(
+                np.uint64
+            )
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nk = np.maximum(lens - k + 1, 0)  # k-grams per doc
+            # Horner over the WHOLE buffer: kh[p] hashes buf[p:p+k];
+            # positions spanning doc boundaries exist but are never
+            # selected below (kh index == flat byte position)
+            if len(buf) >= k:
+                win_n = len(buf) - k + 1
+                kh = np.zeros(win_n, dtype=np.uint64)
+                for j in range(k):
+                    kh = (kh * base + buf[j : j + win_n]) % mod
+            else:
+                kh = np.zeros(0, dtype=np.uint64)
+            doc_parts, val_parts = [], []
+            big = nk >= window  # full winnowing windows exist
+            if big.any():
+                swm = np.lib.stride_tricks.sliding_window_view(
+                    kh, window
+                ).min(axis=1)
+                cnt = nk[big] - window + 1  # window starts per big doc
+                csum = np.cumsum(cnt)
+                ragged = np.arange(csum[-1]) - np.repeat(csum - cnt, cnt)
+                pos = np.repeat(starts[big], cnt) + ragged
+                doc_parts.append(np.repeat(np.flatnonzero(big), cnt))
+                val_parts.append(swm[pos])
+            small = (nk > 0) & ~big  # fewer k-grams than the window
+            if small.any():
+                s = starts[small]
+                seg = np.stack([s, s + nk[small]], axis=1).ravel()
+                if seg[-1] == len(kh):  # reduceat indices must be < len
+                    seg = seg[:-1]
+                doc_parts.append(np.flatnonzero(small))
+                val_parts.append(np.minimum.reduceat(kh, seg)[0::2])
+            if doc_parts:
+                # distinct (doc, fingerprint) + per-doc ascending sort in
+                # one np.unique over packed keys (values < 2^31)
+                key = (
+                    np.concatenate(doc_parts).astype(np.uint64) << np.uint64(31)
+                ) | np.concatenate(val_parts)
+                u = np.unique(key)
+                u_doc = (u >> np.uint64(31)).astype(np.int64)
+                u_val = (u & mod).astype(np.int64)
+            else:
+                u_doc = np.zeros(0, dtype=np.int64)
+                u_val = np.zeros(0, dtype=np.int64)
+            bounds = np.searchsorted(u_doc, np.arange(n_docs + 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "fingerprints": [
+                        u_val[bounds[i] : bounds[i + 1]].tolist()
+                        for i in range(n_docs)
+                    ],
+                }
+            )
 
     return docs.select("doc_id", text_col).mapInPandas(
         _fp, schema="doc_id bigint, fingerprints array<bigint>"
@@ -649,6 +698,47 @@ PII_PATTERNS: dict[str, str] = {
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
     "phone": r"(?<![\d.])\+?\d[\d().\- ]{7,}\d(?![\d.])",
 }
+
+
+def plant_pii(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Deterministic PII-injection fixture: appends a closed-form email
+    (doc_id % 7 == 0), IPv4 (% 11) and phone (% 13) to the document
+    text, all derived from ``doc_id`` alone so any engine reconstructs
+    the exact ground truth (the synthetic corpus itself is PII-free —
+    digit-free, even — so the scrub gate would otherwise compare
+    zeros).  The corpus being digit-free also means every planted match
+    sits in a fully controlled context, which is what lets the DuckDB
+    oracle mirror the Java-regex lookarounds with RE2-safe patterns."""
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail"),
+        (d % 5).cast("string"),
+        F.lit(".example.com"),
+    )
+    ipv4 = F.concat(
+        F.lit(" from 10."),
+        (d % 200).cast("string"),
+        F.lit("."),
+        (d % 193).cast("string"),
+        F.lit("."),
+        (d % 250).cast("string"),
+    )
+    phone = F.concat(
+        F.lit(" call +1 555-01"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+        F.lit(" ok"),
+    )
+    return docs.withColumn(
+        text_col,
+        F.concat(
+            F.col(text_col),
+            F.when(d % 7 == 0, email).otherwise(F.lit("")),
+            F.when(d % 11 == 0, ipv4).otherwise(F.lit("")),
+            F.when(d % 13 == 0, phone).otherwise(F.lit("")),
+        ),
+    )
 
 
 def pii_scrub(

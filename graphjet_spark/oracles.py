@@ -3784,3 +3784,76 @@ SELECT o.observed,
        END AS ratio
 FROM obs o CROSS JOIN mom m"""
     )
+
+
+def pii_scrub_sql() -> str:
+    """Twin of operators/textstats.py::pii_scrub over plant_pii'd text.
+
+    The planted corpus is otherwise digit-free (checked: zero digits /
+    '@' in every documents tier), so every match context is controlled
+    and the Java-regex lookarounds in the phone pattern reduce to the
+    plain RE2-safe body below — the general lookaround semantics are
+    pinned by the Python-re mirror pytest instead.  Same sequential
+    family order as the engine (email, then ipv4, then phone: earlier
+    replacements consume the text later patterns see)."""
+    email = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\+?\d[\d().\- ]{7,}\d"
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id
+         || '@mail' || (doc_id % 5) || '.example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || (doc_id % 200)
+         || '.' || (doc_id % 193) || '.' || (doc_id % 250) ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call +1 555-01'
+         || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' ok' ELSE '' END AS t
+  FROM documents),
+e AS MATERIALIZED (
+  SELECT doc_id,
+    len(regexp_extract_all(t, '{email}')) AS n_email,
+    regexp_replace(t, '{email}', '<EMAIL>', 'g') AS t
+  FROM planted),
+i AS MATERIALIZED (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t, '{ipv4}')) AS n_ipv4,
+    regexp_replace(t, '{ipv4}', '<IPV4>', 'g') AS t
+  FROM e)
+SELECT doc_id,
+  regexp_replace(t, '{phone}', '<PHONE>', 'g') AS text_scrubbed,
+  n_email, n_ipv4,
+  len(regexp_extract_all(t, '{phone}')) AS n_phone
+FROM i
+"""
+
+
+def winnowing_sql(k: int = 5, window: int = 4) -> str:
+    """Twin of operators/textstats.py::winnowing_fingerprints (exploded
+    to (doc_id, fingerprint) rows): the identical Horner k-gram hash
+    (base 257 mod 2^31-1) evaluated positionally — valid because the
+    synthetic corpus is ASCII, so ord(char) == utf-8 byte — then window
+    minima via a bounded window frame (frames clip at the partition
+    end, which also covers the fewer-k-grams-than-window case at the
+    single start position), DISTINCT."""
+    horner = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        horner = (
+            f"(({horner}) * 257 + ord(substr(text, i + {j}, 1))) % 2147483647"
+        )
+    return f"""
+WITH pos AS MATERIALIZED (
+  SELECT doc_id, CAST(unnest(range(1, len(text) - {k} + 2)) AS BIGINT) AS i,
+         text
+  FROM documents WHERE len(text) >= {k}),
+h AS MATERIALIZED (
+  SELECT doc_id, i, {horner} AS kh FROM pos),
+n AS MATERIALIZED (SELECT doc_id, COUNT(*) AS nk FROM h GROUP BY doc_id),
+wm AS MATERIALIZED (
+  SELECT doc_id, i, MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
+        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+  FROM h)
+SELECT DISTINCT wm.doc_id, fp AS fingerprint
+FROM wm JOIN n USING (doc_id)
+WHERE wm.i <= GREATEST(n.nk - {window} + 1, 1)
+"""

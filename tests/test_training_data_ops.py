@@ -385,6 +385,51 @@ def test_winnowing_shared_substring_guarantee(spark, docs):
     assert got[5] == set()
 
 
+def test_winnowing_fingerprints_mirror(spark):
+    """The flat-batch kernel vs a literal per-doc Python mirror of
+    Schleimer winnowing (Horner k-gram hash, window mins, distinct,
+    ascending) — edge cases: empty, shorter than k, fewer k-grams than
+    the window, multi-byte utf-8, repeated chars."""
+    k, window = 5, 4
+    texts = [
+        "",
+        "abc",
+        "abcd",
+        "abcde",  # exactly one k-gram
+        "abcdefg",  # 3 k-grams < window
+        "abcdefgh",  # nk == window
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaa",  # all-equal hashes: dedup collapses to one
+        "héllo wörld ünïcode text",  # multi-byte utf-8
+        "zz yy xx ww vv uu tt ss rr qq pp oo",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["fingerprints"]
+        for r in winnowing_fingerprints(docs, k=k, window=window).collect()
+    }
+    for i, s in enumerate(texts):
+        b = s.encode("utf-8")
+        if len(b) < k:
+            assert got[i] == []
+            continue
+        kh = []
+        for p in range(len(b) - k + 1):
+            h = 0
+            for c in b[p : p + k]:
+                h = (h * 257 + c) % ((1 << 31) - 1)
+            kh.append(h)
+        if len(kh) < window:
+            want = sorted({min(kh)})
+        else:
+            want = sorted(
+                {min(kh[p : p + window]) for p in range(len(kh) - window + 1)}
+            )
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
 # ------------------------------------------------------------- multimodal
 
 
