@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed through Arrow-batched stages.
 
-Real pure-numpy codecs are implemented for the two formats that need no
-external library: **BMP** (24-bit uncompressed BI_RGB) and **WAV**
-(16-bit PCM) — header parsing, padding, bottom-up row order, RIFF chunk
-walking, all struct/numpy.  Compressed formats (PNG/JPEG/ffmpeg video)
-still raise NotImplementedError (their codec libraries are absent in
-this container); the deterministic fake-feature path remains for
-opaque payloads.  The Spark-side plumbing — schema contracts,
+Real pure-numpy codecs are implemented for the formats that need no
+external library: **BMP** (24-bit uncompressed BI_RGB), **WAV** (16-bit
+PCM), and **PNG** (8-bit truecolor/greyscale ± alpha, all five scanline
+filters — stdlib zlib inflate + numpy unfiltering).  DCT/entropy-coded
+formats (JPEG / ffmpeg video) still raise NotImplementedError (their
+codec libraries are absent in this container); the deterministic
+fake-feature path remains for opaque payloads.  The Spark-side plumbing — schema contracts,
 mapInPandas signatures, batch shapes, partition sizing — is shared by
 all paths.
 
@@ -80,6 +80,115 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()  # -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+A, RGBA
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as an 8-bit truecolor PNG
+    (filter 0 scanlines, zlib-deflated) — stdlib zlib + struct only."""
+    import zlib
+
+    h, w, c = pixels.shape
+    color_type = {3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scan = np.zeros((h, 1 + w * c), dtype=np.uint8)  # filter byte 0 + row
+    scan[:, 1:] = pixels.reshape(h, w * c)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (all five scanline filters:
+    None/Sub/Up/Average/Paeth) to an (H, W, C) uint8 array — stdlib
+    zlib inflate + numpy unfiltering.  None/Sub/Up rows are whole-row
+    vectorized (Sub via per-lane cumsum; uint8 addition wraps mod 256
+    natively); Average/Paeth keep the spec's sequential left-dependency
+    as a per-byte loop (rare rows — our encoder emits filter 0)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"color_type={ctype}, interlace={interlace})"
+        )
+    c = _PNG_CHANNELS[ctype]
+    stride = w * c
+    data = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if len(data) != h * (1 + stride):
+        raise ValueError("PNG scanline size mismatch")
+    rows = data.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = rows[y, 1:]
+        prev = out[y - 1] if y else zero_row
+        f = int(ftypes[y])
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            for lane in range(c):
+                out[y, lane::c] = np.cumsum(
+                    cur[lane::c].astype(np.int64)
+                ).astype(np.uint8)
+        elif f == 2:  # Up: uint8 add wraps mod 256
+            out[y] = cur + prev
+        elif f == 3:  # Average
+            rec = out[y]
+            for x in range(stride):
+                left = int(rec[x - c]) if x >= c else 0
+                rec[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return out.reshape(h, w, c).copy()
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode int16 mono PCM samples as a canonical RIFF/WAVE file."""
     data = samples.astype("<i2").tobytes()
@@ -129,9 +238,9 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
-            payload = encode_bmp(
-                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            )
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            # alternate container formats so both codecs run in-pipeline
+            payload = encode_bmp(px) if (i // 3) % 2 == 0 else encode_png(px)
             meta = {"width": w, "height": h, "sample_rate": None,
                     "duration_ms": None}
         elif kind == "audio":
@@ -166,15 +275,20 @@ def _fake_features(payloads: pd.Series, dim: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload by magic bytes: BMP decodes for real
-    (pure numpy); PNG/JPEG raise — their codec libraries (libpng /
-    libjpeg / PIL) are absent in this container."""
+    """Decode an image payload by magic bytes: BMP and PNG decode for
+    real (pure numpy / stdlib zlib); JPEG raises — a DCT codec library
+    (libjpeg / PIL) is absent in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    if payload[:4] == b"\x89PNG" or payload[:2] == b"\xff\xd8":
+    if payload[:4] == b"\x89PNG":
+        img = decode_png(payload)
+        if img.shape[2] == 4:  # drop alpha for the RGB descriptor path
+            img = img[:, :, :3]
+        return img
+    if payload[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "PNG/JPEG decoding requires an image library not present in "
-            "this environment; BMP decodes natively"
+            "JPEG decoding requires an image library not present in "
+            "this environment; BMP and PNG decode natively"
         )
     raise ValueError("unrecognized image payload")
 
@@ -258,7 +372,7 @@ def extract_features(
                 ):
                     b = bytes(payload)
                     if kind == "image":
-                        feats.append(image_features(decode_bmp(b), dim))
+                        feats.append(image_features(decode_image(b), dim))
                     elif kind == "audio":
                         sr, x = decode_wav(b)
                         feats.append(audio_features(sr, x, dim))

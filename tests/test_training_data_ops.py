@@ -433,6 +433,55 @@ def test_winnowing_fingerprints_mirror(spark):
 # ------------------------------------------------------------- multimodal
 
 
+def test_png_codec_roundtrip_and_filters():
+    """encode_png -> decode_png is exact for RGB and RGBA; decode also
+    handles Sub/Up/Average/Paeth scanlines, checked against a literal
+    per-byte reference filterer applied at encode time."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    for h, w, c in [(5, 7, 3), (1, 1, 3), (9, 4, 4), (16, 16, 3)]:
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        assert (multimodal.decode_png(multimodal.encode_png(img)) == img).all()
+
+    # hand-build a PNG whose rows use filters 1..4 (literal spec mirror)
+    h, w, c = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    flat = img.reshape(h, w * c).astype(int)
+    stride = w * c
+    scan = bytearray()
+    for y in range(h):
+        f = (y % 4) + 1
+        scan.append(f)
+        prev = flat[y - 1] if y else np.zeros(stride, int)
+        for x in range(stride):
+            a = flat[y][x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            scan.append((flat[y][x] - pred) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_png(payload) == img).all()
+    # and the unified dispatcher handles PNG now
+    assert (multimodal.decode_image(payload) == img).all()
+
+
 def test_bmp_wav_codecs_roundtrip():
     """The pure-numpy BMP/WAV codecs are exact inverses (including BMP
     row padding and bottom-up order, WAV RIFF chunk walking)."""
@@ -488,9 +537,9 @@ def test_multimodal_plumbing(spark):
     assert {r["media_id"]: r["features"] for r in rows} == {
         r["media_id"]: r["features"] for r in rows2
     }
-    # real decode path is stubbed
+    # JPEG decode is the remaining honest stub (PNG decodes natively now)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0")
     plan = multimodal.frame_sample_plan(media, every_ms=5000)
     assert plan.count() > 0
     rp = multimodal.resize_plan(media, max_side=64).collect()
