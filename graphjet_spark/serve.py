@@ -54,6 +54,8 @@ class QueryServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_limit: int = 10_000,
+        materialize: bool = False,
+        ttl_s: float | None = None,
     ):
         if registry is None:
             import __spark_entry__ as entry_mod
@@ -63,6 +65,15 @@ class QueryServer:
         self._sf_dir = sf_dir
         self._registry = registry
         self._max_limit = max_limit
+        # engine-resident materialized results (the GraphTables pattern
+        # applied to the READ path): first hit per query collects up to
+        # max_limit rows once; repeated hits serve driver-memory slices
+        # (GraphJet's recs-per-second serving shape) with staleness
+        # metadata.  ttl_s bounds staleness; ?fresh=1 forces recompute.
+        self._materialize = materialize
+        self._ttl_s = ttl_s
+        self._cache: dict[str, tuple[list, float]] = {}
+        self._cache_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -92,23 +103,27 @@ class QueryServer:
                     limit = min(
                         int(qs.get("limit", ["100"])[0]), outer._max_limit
                     )
+                    fresh = qs.get("fresh", ["0"])[0] == "1"
                     try:
-                        df = fn(outer._spark, outer._sf_dir)
-                        rows = df.limit(limit).collect()
+                        rows, built_at = outer._rows_for(name, fn, fresh)
                     except Exception as e:  # surface engine errors as 500s
                         self._send(500, {"error": str(e)[:500]})
                         return
-                    self._send(
-                        200,
-                        {
-                            "query": name,
-                            "n": len(rows),
-                            "rows": [
-                                {k: _jsonable(v) for k, v in r.asDict().items()}
-                                for r in rows
-                            ],
-                        },
-                    )
+                    rows = rows[:limit]
+                    payload = {
+                        "query": name,
+                        "n": len(rows),
+                        "rows": [
+                            {k: _jsonable(v) for k, v in r.asDict().items()}
+                            for r in rows
+                        ],
+                    }
+                    if built_at is not None:
+                        import time as _time
+
+                        payload["materialized_at"] = built_at
+                        payload["age_s"] = round(_time.time() - built_at, 3)
+                    self._send(200, payload)
                     return
                 self._send(404, {"error": "unknown path"})
 
@@ -116,6 +131,30 @@ class QueryServer:
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
+
+    def _rows_for(self, name: str, fn, fresh: bool):
+        """Row source for one request: direct execution when
+        materialization is off; otherwise the engine-resident result
+        (built once, max_limit rows, recomputed when past ttl_s or on
+        ?fresh=1).  Returns (rows, built_at_epoch_or_None)."""
+        import time
+
+        if not self._materialize:
+            df = fn(self._spark, self._sf_dir)
+            return df.limit(self._max_limit).collect(), None
+        with self._cache_lock:
+            hit = self._cache.get(name)
+            if (
+                hit is not None
+                and not fresh
+                and (self._ttl_s is None or time.time() - hit[1] <= self._ttl_s)
+            ):
+                return hit
+            df = fn(self._spark, self._sf_dir)
+            rows = df.limit(self._max_limit).collect()
+            entry = (rows, time.time())
+            self._cache[name] = entry
+            return entry
 
     @property
     def port(self) -> int:

@@ -49,3 +49,31 @@ def test_query_server_round_trip(spark):
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_query_server_materialized_read_path(spark):
+    """materialize=True: the first hit executes the plan once; repeated
+    hits serve engine-resident rows sub-second with staleness metadata,
+    values unchanged; ?fresh=1 rebuilds."""
+    import time
+
+    srv = QueryServer(spark, SF, materialize=True).start()
+    try:
+        t0 = time.time()
+        status, first = _get(srv.port, "/query/degrees?limit=3")
+        cold = time.time() - t0
+        assert status == 200 and first["n"] == 3
+        assert "materialized_at" in first and first["age_s"] >= 0
+
+        t0 = time.time()
+        status, again = _get(srv.port, "/query/degrees?limit=3")
+        warm = time.time() - t0
+        assert again["rows"] == first["rows"]
+        assert again["materialized_at"] == first["materialized_at"]
+        assert warm < 1.0 and warm < cold  # served from memory
+
+        status, fresh = _get(srv.port, "/query/degrees?limit=3&fresh=1")
+        assert fresh["rows"] == first["rows"]  # deterministic rebuild
+        assert fresh["materialized_at"] >= first["materialized_at"]
+    finally:
+        srv.stop()
