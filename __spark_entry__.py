@@ -277,7 +277,7 @@ def _q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     pr = pagerank(spark, edges, fixed_iters=PR_ITERS)
     # one row per vertex: count the (checkpointed) result instead of
     # re-deriving the vertex set with a second union+distinct job
@@ -304,7 +304,7 @@ def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     pr = pagerank(spark, edges, fixed_iters=PPR_ITERS, teleport=PPR_SEEDS)
     return pr.select("id", F.round("pagerank", 9).alias("ppr"))
 
@@ -321,7 +321,7 @@ def _q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     conductance prefix of the returned profile."""
     from graphjet_spark.plans.sweepcut import ppr_sweep_cut
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return ppr_sweep_cut(
         spark, edges, SWEEP_SEEDS, fixed_iters=SWEEP_ITERS, k=SWEEP_K
     )
@@ -338,7 +338,7 @@ def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     triage signal on a Common-Crawl-style link graph.  Composes the
     engine's global PageRank and trust-seeded personalized PageRank at
     the same fixed superstep count."""
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     pr = pagerank(spark, edges, fixed_iters=SPAM_ITERS)
     tr = pagerank(
         spark, edges, fixed_iters=SPAM_ITERS, teleport=TRUST_SEEDS
@@ -360,7 +360,7 @@ def _q_grouped_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     MANY seed users in one superstep loop (sparse (seed, id) state) —
     the grouped batch form of GraphJet's one-user-at-a-time walk
     queries."""
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return ppr_grouped(
         spark, edges, list(GPPR_SEEDS), fixed_iters=GPPR_ITERS, k=20
     )
@@ -375,7 +375,7 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the literal Tarjan mirror property test."""
     from graphjet_spark.plans.scc import strongly_connected_components
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     back = edges.filter(
         F.pmod(F.col("src") + F.col("dst"), F.lit(5)) == 0
     ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -393,7 +393,7 @@ def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike mutual-reachability SCC."""
     from graphjet_spark.plans.bowtie import bowtie_decomposition
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     back = edges.filter(
         F.pmod(F.col("src") + F.col("dst"), F.lit(5)) == 0
     ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -446,7 +446,7 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge-detection centrality in its web-scale form."""
     from graphjet_spark.plans.betweenness import betweenness_sampled
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return betweenness_sampled(
         spark, edges, list(BETW_SOURCES), max_depth=BETW_DEPTH
     )
@@ -464,7 +464,7 @@ def _q_anf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     float tolerance."""
     from graphjet_spark.plans.anf import anf_sketch_histogram
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return anf_sketch_histogram(spark, edges, iters=ANF_ITERS)
 
 
@@ -473,7 +473,7 @@ def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop-plot statistic (Palmer KDD'02) read from the same sketches."""
     from graphjet_spark.plans.anf import anf_sketch_histogram, effective_diameter
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     hist = anf_sketch_histogram(spark, edges, iters=ANF_ITERS)
     return effective_diameter(hist)
 
@@ -483,7 +483,7 @@ def _q_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold the held-out delta batch in via the condensed-graph merge path
     — output must equal (and is oracled against) the full-graph CC
     fixpoint."""
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     is_delta = F.pmod(F.col("src") + F.col("dst"), F.lit(7)) == 0
     old_lab = connected_components_star(spark, edges.filter(~is_delta))
     return connected_components_delta(
@@ -499,7 +499,7 @@ _CC_CACHE: dict[str, DataFrame] = {}
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _CC_CACHE:
-        edges = testdata.graph_edges(spark, sf_dir)
+        edges = _tables(spark, sf_dir, "graph_edges").pairs
         _CC_CACHE[sf_dir] = connected_components(
             spark, edges, fixed_iters=CC_ITERS
         ).localCheckpoint(eager=True)
@@ -514,7 +514,7 @@ def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-round large-star/small-star CC — runs to convergence, so it
     shares the hash-min oracle (whose CC_ITERS unrolling converges on
     this graph; the hash-min gate proves that)."""
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return connected_components_star(spark, edges)
 
 
@@ -528,7 +528,7 @@ BFS_ITERS = 8
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.bfs import bfs_distances
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return bfs_distances(spark, edges, BFS_SOURCE, fixed_iters=BFS_ITERS)
 
 
@@ -539,7 +539,7 @@ WALK_LEN = 4
 def _q_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.walks import hash_walk_corpus
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return hash_walk_corpus(spark, edges, length=WALK_LEN)
 
 
@@ -553,7 +553,7 @@ def _q_walk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream experimentation."""
     from graphjet_spark.plans.walks import walk_sample_subgraph
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return walk_sample_subgraph(
         spark, edges, length=SAMPLE_WALK_LEN, seed_pct=SAMPLE_SEED_PCT
     )
@@ -570,7 +570,7 @@ def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-oracled unlike seeded-RNG walkers."""
     from graphjet_spark.plans.walks import node2vec_walk_corpus
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     wr, wn, wf = N2V_WEIGHTS
     return node2vec_walk_corpus(
         spark, edges, length=WALK_LEN, w_return=wr, w_neighbor=wn, w_far=wf
@@ -580,7 +580,7 @@ def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.walks import hash_walk_corpus, skipgram_pairs
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     corpus = hash_walk_corpus(spark, edges, length=WALK_LEN)
     return skipgram_pairs(corpus, window=SKIPGRAM_WINDOW)
 
@@ -588,14 +588,14 @@ def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.sssp import sssp
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return sssp(spark, edges, BFS_SOURCE, fixed_iters=SSSP_ITERS)
 
 
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.hits import hits
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     res = hits(spark, edges, fixed_iters=HITS_ITERS)
     return res.select(
         "id",
@@ -611,7 +611,7 @@ KATZ_ITERS = 8
 def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.katz import katz
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     res = katz(spark, edges, alpha=KATZ_ALPHA, fixed_iters=KATZ_ITERS)
     return res.select("id", F.round("katz", 9).alias("katz"))
 
@@ -622,7 +622,7 @@ EIGEN_ITERS = 8
 def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.katz import eigenvector_centrality
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     res = eigenvector_centrality(spark, edges, fixed_iters=EIGEN_ITERS)
     return res.select("id", F.round("eigen", 9).alias("eigen"))
 
@@ -634,7 +634,7 @@ AA_MIN_COMMON = 2
 def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.linkpred import adamic_adar_pairs
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return adamic_adar_pairs(
         spark,
         edges,
@@ -649,7 +649,7 @@ HARMONIC_SOURCES = [1, 2, 3]
 def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.bfs import harmonic_centrality
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return harmonic_centrality(
         spark, edges, HARMONIC_SOURCES, fixed_iters=BFS_ITERS
     )
@@ -660,7 +660,7 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator form, like harmonic)."""
     from graphjet_spark.plans.bfs import closeness_centrality
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return closeness_centrality(
         spark, edges, HARMONIC_SOURCES, fixed_iters=BFS_ITERS
     )
@@ -671,7 +671,7 @@ def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     resource-allocation / preferential-attachment) over capped wedges."""
     from graphjet_spark.operators.linkpred import link_prediction_scores
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return link_prediction_scores(
         spark,
         edges,
@@ -699,7 +699,7 @@ def _landmark_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _LANDMARK_CACHE:
         from graphjet_spark.plans.bfs import landmark_labels
 
-        edges = testdata.graph_edges(spark, sf_dir)
+        edges = _tables(spark, sf_dir, "graph_edges").pairs
         _LANDMARK_CACHE[sf_dir] = landmark_labels(
             spark, edges, list(LANDMARKS), fixed_iters=LM_ITERS
         ).localCheckpoint(eager=True)
@@ -734,7 +734,7 @@ def _q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic BSP building block for coloring/scheduling/coarsening."""
     from graphjet_spark.plans.mis import luby_mis
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return luby_mis(spark, edges, fixed_iters=MIS_ITERS)
 
 
@@ -747,7 +747,7 @@ def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, in the hub-safe histogram form."""
     from graphjet_spark.plans.kcore import coreness
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return coreness(spark, edges, fixed_iters=CORENESS_ITERS)
 
 
@@ -762,7 +762,7 @@ def _q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     gather is one map-side-combinable aggregation."""
     from graphjet_spark.plans.wl import wl_colors
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return wl_colors(spark, edges, rounds=WL_ROUNDS)
 
 
@@ -775,7 +775,7 @@ def _q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     -1 = uncolored within the color budget."""
     from graphjet_spark.plans.mis import greedy_coloring
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return greedy_coloring(
         spark, edges, colors=COLORING_COLORS, mis_iters=COLORING_MIS_ITERS
     )
@@ -790,7 +790,7 @@ def _q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax decisions are exact BIGINT cross-multiplications."""
     from graphjet_spark.plans.densest import densest_subgraph
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return densest_subgraph(spark, edges, rounds=DENSEST_ROUNDS)
 
 
@@ -813,51 +813,51 @@ KTRUSS_ITERS = 4
 def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.ktruss import k_truss
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return k_truss(spark, edges, KTRUSS_K, fixed_iters=KTRUSS_ITERS)
 
 
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.kcore import k_core
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return k_core(spark, edges, KCORE_K, fixed_iters=KCORE_ITERS)
 
 
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return label_propagation(spark, edges, iters=LP_ITERS)
 
 
 def _q_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.labelprop import modularity
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     labels = label_propagation(spark, edges, iters=LP_ITERS)
     return modularity(spark, edges, labels)
 
 
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return triangle_count(spark, edges)
 
 
 def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return per_vertex_triangles(spark, edges)
 
 
 def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.graphstats import local_clustering
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return local_clustering(spark, edges)
 
 
 def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.graphstats import reciprocity
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return reciprocity(edges)
 
 
@@ -867,14 +867,14 @@ RICH_CLUB_KS = (4, 8, 16, 32)
 def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.graphstats import rich_club
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return rich_club(spark, edges, list(RICH_CLUB_KS))
 
 
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.graphstats import degree_assortativity
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return degree_assortativity(edges)
 
 
@@ -990,7 +990,7 @@ def _q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.plans.simrank import simrank_pairs
     from graphjet_spark.sources.testdata import PART_OFS, SUPP_OFS
 
-    e = testdata.graph_edges(spark, sf_dir).select("src", "dst").distinct()
+    e = _tables(spark, sf_dir, "graph_edges").pairs
     seeds = [
         r[0]
         for r in (
@@ -1005,7 +1005,7 @@ def _q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return simrank_pairs(
-        testdata.graph_edges(spark, sf_dir),
+        _tables(spark, sf_dir, "graph_edges").pairs,
         seeds,
         c=SIMRANK_C,
         iters=SIMRANK_ITERS,
@@ -1419,7 +1419,7 @@ def _q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-number shape audit of a crawled webgraph."""
     from graphjet_spark.plans.graphstats import powerlaw_alpha
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return powerlaw_alpha(edges, dmin=PL_DMIN)
 
 
@@ -1428,7 +1428,7 @@ def _q_triangle_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the motif-significance audit without generating a null graph."""
     from graphjet_spark.plans.graphstats import triangle_significance
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return triangle_significance(spark, edges)
 
 
@@ -1437,7 +1437,7 @@ def _q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality audit, exact grouped-value form (no global sort)."""
     from graphjet_spark.plans.graphstats import degree_gini
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     return degree_gini(edges)
 
 
@@ -1688,7 +1688,7 @@ def _q_degree_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting/broadcast decisions before running anything else."""
     from graphjet_spark.plans.components import symmetrize
 
-    edges = testdata.graph_edges(spark, sf_dir)
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
     deg = symmetrize(edges).groupBy("a").agg(
         F.count(F.lit(1)).cast("double").alias("d")
     )
