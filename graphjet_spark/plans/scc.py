@@ -137,10 +137,27 @@ def strongly_connected_components(
         # the edge table once per layer (the sort is deferred to the
         # coloring phase below, which is the only SMJ consumer)
         while True:
-            srcs = er.select(F.col("src").alias("id")).distinct()
-            dsts = er.select(F.col("dst").alias("id")).distinct()
-            both = srcs.join(dsts, "id", "left_semi").localCheckpoint(
-                eager=True
+            # vertices with BOTH an out- and an in-edge, in ONE shuffle
+            # (map-side-combined max flags) instead of two distincts +
+            # a semi join
+            both = (
+                er.select(
+                    F.col("src").alias("id"),
+                    F.lit(1).alias("s"),
+                    F.lit(0).alias("d"),
+                )
+                .union(
+                    er.select(
+                        F.col("dst").alias("id"),
+                        F.lit(0).alias("s"),
+                        F.lit(1).alias("d"),
+                    )
+                )
+                .groupBy("id")
+                .agg(F.max("s").alias("s"), F.max("d").alias("d"))
+                .where((F.col("s") == 1) & (F.col("d") == 1))
+                .select("id")
+                .localCheckpoint(eager=True)
             )
             trimmed = remaining.join(both, "id", "left_anti")
             if trimmed.limit(1).count() == 0:
@@ -169,15 +186,21 @@ def strongly_connected_components(
         )
 
         # --- 2. forward-min coloring to fixpoint ---------------------
-        # prev color rides along as a column so change detection is a
-        # predicate over the just-checkpointed relation — no per-
-        # iteration self-join
+        # DELTA propagation: min is monotone, so a vertex whose color
+        # did not change last iteration has already delivered its
+        # contribution — only the changed frontier needs to send.
+        # Message volume collapses after the first hops (the edge-side
+        # scan stays, but the shuffle/groupBy runs over frontier-edge
+        # messages, not all edges every iteration).  prev rides along
+        # as a column so the frontier is a predicate over the
+        # just-checkpointed relation — no per-iteration self-join.
         colors = remaining.select(
             "id", F.col("id").alias("color")
         ).localCheckpoint(eager=True)
+        frontier = colors
         while True:
             incoming = (
-                er.join(colors, er.src == colors.id)
+                er.join(frontier.withColumnRenamed("id", "src"), "src")
                 .groupBy("dst")
                 .agg(F.min("color").alias("mn"))
             )
@@ -192,13 +215,11 @@ def strongly_connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_colors.where(F.col("color") != F.col("prev"))
-                .limit(1)
-                .count()
-            )
+            frontier = new_colors.where(
+                F.col("color") != F.col("prev")
+            ).select("id", "color")
             colors = new_colors.select("id", "color")
-            if changed == 0:
+            if frontier.limit(1).count() == 0:
                 break
 
         # --- 3. backward sweep within each color ---------------------
@@ -219,10 +240,14 @@ def strongly_connected_components(
             .sortWithinPartitions("dst", "color")
             .localCheckpoint(eager=True)
         )
+        # frontier BFS: each hop gathers predecessors of the NEWLY
+        # captured vertices only (not the whole member set) — total
+        # gather work is each same-color edge once, not once per hop
+        frontier = member
         while True:
             grown = (
                 ce.join(
-                    member.withColumnRenamed("id", "dst"),
+                    frontier.withColumnRenamed("id", "dst"),
                     ["dst", "color"],
                     "left_semi",
                 )
@@ -234,6 +259,7 @@ def strongly_connected_components(
             if grown.limit(1).count() == 0:
                 break
             member = member.unionByName(grown).localCheckpoint(eager=True)
+            frontier = grown
 
         done.append(member.select("id", F.col("color").alias("scc")))
         remaining = remaining.join(
