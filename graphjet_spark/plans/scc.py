@@ -34,10 +34,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _fixpoint_count(df: DataFrame) -> int:
-    return df.count()
-
-
 def strongly_connected_components(
     spark: SparkSession,
     edges: DataFrame,
