@@ -35,18 +35,25 @@ def one_mode_projection(
 ) -> DataFrame:
     """(a, b, weight) — right-side co-engagement pairs (a < b) with
     weight = number of left vertices engaging both, computed over each
-    left vertex's latest ``max_edges_per_node`` edges."""
+    left vertex's latest ``max_edges_per_node`` edges.
+
+    Plan shape: the F12 cap window already shuffles by ``src``; the
+    per-src neighbor set is then folded in place (``collect_set`` state
+    bounded at the cap, partitioning reused — no second shuffle) and
+    pairs are emitted JVM-side by a double explode.  Two shuffles total
+    (window + final pair groupBy) versus the naive
+    window→distinct→self-join→groupBy chain's four."""
     w = Window.partitionBy("src").orderBy(F.desc(seq_col))
-    latest = (
+    neighbor_sets = (
         interactions.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_edges_per_node)
-        .select("src", "dst")
-        .distinct()
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("ds"))
     )
-    l1 = latest.select("src", F.col("dst").alias("a"))
-    l2 = latest.select(F.col("src").alias("src2"), F.col("dst").alias("b"))
-    pairs = l1.join(
-        l2, (F.col("src") == F.col("src2")) & (F.col("a") < F.col("b"))
+    pairs = (
+        neighbor_sets.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a") < F.col("b"))
     )
     return (
         pairs.groupBy("a", "b")
@@ -96,15 +103,11 @@ def butterfly_count(
         seq_col=seq_col,
     )
     w = Window.partitionBy("src").orderBy(F.desc(seq_col))
-    latest = (
+    wedges = (
         interactions.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_edges_per_node)
-        .select("src", "dst")
-        .distinct()
-    )
-    wedges = (
-        latest.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
+        .groupBy("src")
+        .agg(F.count_distinct("dst").alias("d"))
         .agg(
             F.sum(F.expr("CAST(d * (d - 1) DIV 2 AS BIGINT)"))
             .cast("bigint")

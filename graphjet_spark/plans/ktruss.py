@@ -6,10 +6,11 @@ sharpening of the k-core (plans/kcore.py) and the standard dense-
 community primitive on web/social graphs.
 
 Each peel round enumerates triangles over the surviving edge set with
-the same degree-ordered orientation as plans/triangles.py (out-degree
-bounded by O(sqrt m), so wedge work stays polynomial on power-law
-graphs), credits each triangle to its three edges, and drops edges
-below the support threshold.  ``fixed_iters`` rounds make the unrolled
+the same degree-ordered adjacency-intersection as plans/triangles.py
+(out-degree bounded by O(sqrt m), so intersection work stays polynomial
+on power-law graphs and no wedge relation is materialized), credits
+each triangle to its three edges, and drops edges below the support
+threshold.  ``fixed_iters`` rounds make the unrolled
 DuckDB oracle exact; the peeling is monotone, so extra rounds after the
 fixpoint are no-ops.
 """
@@ -18,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from graphjet_spark.plans.triangles import _closing_neighbors
 
 
 def k_truss(
@@ -62,19 +65,8 @@ def k_truss(
             F.when(lower, F.col("a")).otherwise(F.col("b")).alias("lo"),
             F.when(lower, F.col("b")).otherwise(F.col("a")).alias("hi"),
         )
-        e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
-        tri = (
-            e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
-            .join(
-                e3,
-                (F.col("e1.lo") == F.col("e3.lo"))
-                & (F.col("e2.hi") == F.col("e3.hi")),
-            )
-            .select(
-                F.col("e1.lo").alias("x"),
-                F.col("e1.hi").alias("y"),
-                F.col("e2.hi").alias("z"),
-            )
+        tri = _closing_neighbors(o).select(
+            "x", "y", F.explode("zs").alias("z")
         )
         tri_edges = (
             tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))

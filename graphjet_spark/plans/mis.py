@@ -17,9 +17,13 @@ vertices stay undecided and resolve next round under a fresh hash —
 deterministic without any tie-break ordering.
 
 Scale shape per round: one equi-join of the undecided set against the
-symmetrized edges (partitioned+sorted once), one map-side-combined MAX
-per vertex, two anti-joins to shrink the frontier.  State is
-frontier-sized, not |V|.
+LIVE edge relation — edges with both endpoints still undecided, shrunk
+after every round by anti-joining out the decided delta (the same
+frontier discipline as plans/scc.py) — one map-side-combined MAX per
+vertex, two anti-joins to shrink the frontier.  Because Luby removes a
+constant fraction of edges per round in expectation, rounds after the
+first run over geometrically smaller relations instead of re-scanning
+the full symmetrized edge set.  State is frontier-sized, not |V|.
 """
 
 from __future__ import annotations
@@ -34,6 +38,22 @@ from graphjet_spark.plans.components import symmetrize
 def _priority(id_col: str, rnd: int):
     s = F.concat(F.lit("mis:"), F.col(id_col).cast("string"), F.lit(f":{rnd}"))
     return md5_prefix_bigint(s)
+
+
+def _shrink_live(live: DataFrame, removed: DataFrame, partitions: int) -> DataFrame:
+    """Drop every live edge touching a just-decided vertex.  Anti-join
+    on the (small, delta-sized) removed set twice — by a, then by b so
+    the result lands partitioned+sorted by b for the next round's
+    neighbor-max sort-merge join."""
+    ra = removed.select(F.col("id").alias("a"))
+    rb = removed.select(F.col("id").alias("b"))
+    return (
+        live.join(ra, "a", "left_anti")
+        .join(rb, "b", "left_anti")
+        .repartition(partitions, "b")
+        .sortWithinPartitions("b")
+        .localCheckpoint(eager=True)
+    )
 
 
 def luby_mis(
@@ -57,12 +77,13 @@ def luby_mis(
     vertices = sym.select(F.col("a").alias("id")).distinct()
 
     und = vertices.localCheckpoint(eager=True)
+    live = sym
     mis_parts: list[DataFrame] = []
 
     for t in range(1, fixed_iters + 1):
         pr = und.select("id", _priority("id", t).alias("h"))
         nbr_max = (
-            sym.join(pr, sym.b == pr.id)
+            live.join(pr, live.b == pr.id)
             .groupBy("a")
             .agg(F.max("h").alias("mh"))
         )
@@ -73,12 +94,16 @@ def luby_mis(
             .localCheckpoint(eager=True)
         )
         mis_parts.append(winners)
+        # No distinct: left_anti semantics ignore duplicate keys on the
+        # right, so deduplicating `removed` would only add a shuffle.
         removed = winners.unionByName(
-            sym.join(winners, sym.a == winners.id).select(
+            live.join(winners, live.a == winners.id).select(
                 F.col("b").alias("id")
             )
-        ).distinct()
+        ).localCheckpoint(eager=True)
         und = und.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+        if t < fixed_iters:
+            live = _shrink_live(live, removed, partitions)
 
     mis = mis_parts[0]
     for p in mis_parts[1:]:
@@ -126,10 +151,12 @@ def greedy_coloring(
     vertices = sym.select(F.col("a").alias("id")).distinct()
 
     remaining = vertices.localCheckpoint(eager=True)
+    live_rem = sym  # edges with both endpoints still uncolored
     colored_parts: list[DataFrame] = []
 
     for c in range(colors):
         und = remaining
+        live = live_rem
         win_parts: list[DataFrame] = []
         for t in range(1, mis_iters + 1):
             s = F.concat(
@@ -142,7 +169,7 @@ def greedy_coloring(
                 md5_prefix_bigint(s).alias("h"),
             )
             nbr_max = (
-                sym.join(pr, sym.b == pr.id)
+                live.join(pr, live.b == pr.id)
                 .groupBy("a")
                 .agg(F.max("h").alias("mh"))
             )
@@ -154,13 +181,15 @@ def greedy_coloring(
             )
             win_parts.append(winners)
             removed = winners.unionByName(
-                sym.join(winners, sym.a == winners.id).select(
+                live.join(winners, live.a == winners.id).select(
                     F.col("b").alias("id")
                 )
-            ).distinct()
+            ).localCheckpoint(eager=True)
             und = und.join(removed, "id", "left_anti").localCheckpoint(
                 eager=True
             )
+            if t < mis_iters:
+                live = _shrink_live(live, removed, partitions)
         wc = win_parts[0]
         for p in win_parts[1:]:
             wc = wc.unionByName(p)
@@ -169,6 +198,8 @@ def greedy_coloring(
         remaining = remaining.join(wc, "id", "left_anti").localCheckpoint(
             eager=True
         )
+        if c < colors - 1:
+            live_rem = _shrink_live(live_rem, wc, partitions)
 
     colored = colored_parts[0]
     for p in colored_parts[1:]:

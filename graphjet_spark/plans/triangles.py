@@ -1,11 +1,12 @@
 """Triangle counting over degree-ordered adjacency.
 
 Each undirected edge is oriented from its lower-(degree, id) endpoint to
-the higher one; triangles then appear exactly once as a directed wedge
-``lo→m→hi`` closed by ``lo→hi``.  Degree ordering bounds the out-degree
-of every vertex by O(√m), which is what keeps the self-join's wedge
-count polynomial on power-law graphs (the same skew insight as
-GraphJet's degree-tiered pools, reference graphjet-core/src/main/java/
+the higher one; a triangle then appears exactly once, as the common
+out-neighbor set of its base edge's endpoints.  Degree ordering bounds
+the out-degree of every vertex by O(√m), which keeps both the
+per-vertex adjacency arrays and the per-edge intersection work
+polynomial on power-law graphs (the same skew insight as GraphJet's
+degree-tiered pools, reference graphjet-core/src/main/java/
 com/twitter/graphjet/bipartite/edgepool/PowerLawDegreeEdgePool.java:37-65).
 """
 
@@ -41,39 +42,43 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def _closing_neighbors(o: DataFrame) -> DataFrame:
+    """(x, y, zs) — for every oriented edge x→y, the array of common
+    out-neighbors zs = N⁺(x) ∩ N⁺(y); each triangle {x,y,z} appears
+    exactly once, on the edge joining its two lower-ordered vertices.
+
+    Adjacency-intersection form (Latapy TCS'08 edge-iterator family):
+    the oriented out-neighbor arrays are bounded ~O(√m) per vertex by
+    the degree orientation, so collect_list state is hub-safe, and the
+    intersection runs in-core as a native JVM set expression — no
+    wedge relation is ever materialized or shuffled, which is what the
+    naive wedge self-join + edge SMJ plan pays W >> m rows for."""
+    o = o.localCheckpoint(eager=True)  # consumed twice: adjacency + probe
+    adj = o.groupBy("lo").agg(F.collect_list("hi").alias("ns"))
+    a1 = adj.select(F.col("lo").alias("x"), F.col("ns").alias("n1"))
+    a2 = adj.select(F.col("lo").alias("y"), F.col("ns").alias("n2"))
+    return (
+        o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+        .join(a1, "x")
+        .join(a2, "y")
+        .select("x", "y", F.array_intersect("n1", "n2").alias("zs"))
+    )
+
+
 def triangle_count(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Global triangle count; returns a 1-row DataFrame ``(triangles)``."""
-    o = oriented_edges(edges).persist()
-    e1 = o.alias("e1")
-    e2 = o.alias("e2")
-    e3 = o.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
-        .join(
-            e3,
-            (F.col("e1.lo") == F.col("e3.lo")) & (F.col("e2.hi") == F.col("e3.hi")),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    per_edge = _closing_neighbors(oriented_edges(edges))
+    return per_edge.agg(
+        F.coalesce(F.sum(F.size("zs")), F.lit(0))
+        .cast("bigint")
+        .alias("triangles")
     )
-    result = tri
-    return result
 
 
 def per_vertex_triangles(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts ``(id, triangles)``."""
-    o = oriented_edges(edges)
-    e1 = o.alias("e1")
-    e2 = o.alias("e2")
-    e3 = o.alias("e3")
-    closed = (
-        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
-        .join(
-            e3,
-            (F.col("e1.lo") == F.col("e3.lo")) & (F.col("e2.hi") == F.col("e3.hi")),
-        )
-        .select(
-            F.col("e1.lo").alias("x"), F.col("e1.hi").alias("y"), F.col("e2.hi").alias("z")
-        )
+    closed = _closing_neighbors(oriented_edges(edges)).select(
+        "x", "y", F.explode("zs").alias("z")
     )
     verts = (
         closed.select(F.col("x").alias("id"))

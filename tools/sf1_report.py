@@ -17,7 +17,7 @@ import sys
 LINE = re.compile(
     r"(?P<name>[a-z0-9_]+): (?:OK rows=(?P<rows>\d+) "
     r"\[spark (?P<spark>[0-9.]+)s, duck (?P<duck>[0-9.]+)s\]"
-    r"|rows=(?P<ro_rows>\d+) \(no oracle, rows-only\) \[(?P<ro_spark>[0-9.]+)s\]"
+    r"|rows=(?P<ro_rows>\d+) \((?P<ro_note>[^)]*)\) \[(?P<ro_spark>[0-9.]+)s\]"
     r"|(?:SCHEMA |ROWCOUNT |VALUE )MISMATCH(?P<mis>.*))"
 )
 
@@ -36,6 +36,7 @@ def parse(path: str) -> dict[str, dict]:
         elif m.group("ro_rows") is not None:
             out[name] = {
                 "status": "rows-only",
+                "note": m.group("ro_note"),
                 "rows": int(m.group("ro_rows")),
                 "spark": float(m.group("ro_spark")),
             }
