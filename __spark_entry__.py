@@ -1530,6 +1530,25 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(_embs(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+SEMDEDUP_TAU = 0.4
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23) semantic dedup keep-list: k-means
+    clusters, then within-cluster cosine pruning keeping the min-id
+    representative — per-cluster blocked-GEMM candidates + exact JVM
+    rescore, value-oracled end to end (deterministic hash-init
+    k-means)."""
+    from graphjet_spark.operators.dedup import semdedup_keep_list
+
+    return semdedup_keep_list(
+        _embs(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_TAU,
+    )
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(_embs(spark, sf_dir), [0, 1, 2, 3, 4], k=10)
 
@@ -1907,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _q_ann_topk,
         "mutual_nn_pairs": _q_mutual_nn,
         "kmeans_assign": _q_kmeans,
+        "semdedup_keep_list": _q_semdedup,
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
         "pii_scrub_planted": _q_pii_scrub_planted,
@@ -2206,6 +2226,9 @@ GROUP BY s.seed ORDER BY s.seed
         "ann_topk_cosine": oracles.ann_topk_sql(),
         "mutual_nn_pairs": oracles.mutual_nn_sql(MNN_SPLIT),
         "kmeans_assign": oracles.kmeans_assign_sql(KMEANS_K, KMEANS_ITERS),
+        "semdedup_keep_list": oracles.semdedup_keep_list_sql(
+            KMEANS_K, KMEANS_ITERS, SEMDEDUP_TAU
+        ),
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
         "pii_scrub_planted": oracles.pii_scrub_sql(),

@@ -992,3 +992,158 @@ def containment_pairs(
         .select("doc_a", "doc_b", contain.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def semdedup_keep_list(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup of an
+    embedding corpus — k-means clusters, then within-cluster cosine
+    pruning.  The public reference implementation drops a point when its
+    cosine to any LOWER-INDEX member of the same cluster exceeds the
+    threshold (facebookresearch/SemDeDup keeps the first-seen
+    representative of each semantic-duplicate neighborhood); with the
+    repo's deterministic hash-init k-means (:func:`~graphjet_spark.
+    operators.ann.kmeans_assign`) the whole pass is a pure function of
+    the table and value-oracles against DuckDB.
+
+    Output, one row per vector: ``(vec_id, cluster, max_cos_smaller,
+    keep)`` where ``max_cos_smaller`` is the max round-6 cosine to any
+    smaller-id cluster-mate (sentinel ``-2.0`` when none — cluster
+    minimum or singleton) and ``keep = max_cos_smaller < threshold``.
+
+    Scale shape (the SemDeDup premise is k grows with the corpus so
+    cluster sizes stay bounded):
+
+    - per-cluster **blocked GEMM** candidate generation, sized by a
+      k-row cluster-size map (k rows to the driver, never data rows):
+      cluster c with n_c members gets ceil(n_c / block_rows) blocks, so
+      a skewed mega-cluster fans out into more block-pair tasks instead
+      of one oversized task; per-task memory is 2 * block_rows * dim
+      floats and no quadratic row intermediate is materialized — each
+      task emits only the block-local near-max (within 1e-5) smaller-id
+      candidates per row;
+    - exact float64 rescore of candidates with sequential JVM
+      aggregate/zip_with folds (byte-identical to a naive evaluation,
+      reproducible against the DuckDB twin), round-6, then a map-side-
+      combined max per vector;
+    - the keep flag is a row-local comparison; the final left join is
+      hash-partitioned on vec_id.
+    """
+    from graphjet_spark.operators.ann import kmeans_assign
+
+    clusters = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+
+    nb_rows = [
+        (int(r["cluster"]), max(1, -(-int(r["n"]) // block_rows)))
+        for r in clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    nb_map = embeddings.sparkSession.createDataFrame(
+        nb_rows, "cluster int, nb int"
+    )
+
+    v = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+        .join(clusters.withColumnRenamed("vec_id", "id"), "id")
+        .join(F.broadcast(nb_map), "cluster")
+        # materialized once: three consumers (both cogroup sides + the
+        # rescore), and the join-bearing lineage would otherwise trip
+        # Spark's ambiguous-self-join detection at the cogroup
+        .localCheckpoint(eager=True)
+    )
+    a_rep = v.select(
+        "id",
+        "v",
+        "cluster",
+        F.pmod(F.xxhash64("id"), F.col("nb")).cast("int").alias("bi"),
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("bj"),
+    )
+    b_rep = v.select(
+        "id",
+        "v",
+        "cluster",
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("bi"),
+        F.pmod(F.xxhash64("id"), F.col("nb")).cast("int").alias("bj"),
+    )
+    eps = 1e-5
+
+    def _block_smax(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"id": [], "id_s": []})
+        A = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
+        B = np.stack(b_pdf["v"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0] = np.inf  # zero vectors never produce a candidate
+        nb[nb == 0] = np.inf
+        S = (A / na[:, None]) @ (B / nb[:, None]).T
+        ida = a_pdf["id"].to_numpy()
+        idb = b_pdf["id"].to_numpy()
+        # only smaller-id cluster-mates count (the SemDeDup keep rule)
+        S = np.where(idb[None, :] < ida[:, None], S, -np.inf)
+        rowmax = S.max(axis=1, keepdims=True)
+        # near-max per row; isfinite() drops the masked -inf cells of
+        # rows whose every candidate is masked (rowmax = -inf)
+        ia, ib = np.nonzero((S >= rowmax - eps) & np.isfinite(S))
+        return pd.DataFrame({"id": ida[ia], "id_s": idb[ib]})
+
+    cand = (
+        a_rep.groupby("cluster", "bi", "bj")
+        .cogroup(b_rep.groupby("cluster", "bi", "bj"))
+        .applyInPandas(_block_smax, schema="id bigint, id_s bigint")
+    )
+
+    # exact float64 rescore: sequential JVM folds, byte-identical to a
+    # naive all-pairs evaluation (same discipline as embedding_near_dups)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    va = v.select(F.col("id"), F.col("v").alias("va"), norm.alias("na"))
+    vb = v.select(
+        F.col("id").alias("id_s"), F.col("v").alias("vb"), norm.alias("nb2")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mx = (
+        cand.join(va, "id")
+        .join(vb, "id_s")
+        .select(
+            "id",
+            F.round(dot / (F.col("na") * F.col("nb2")), round_to).alias("cos"),
+        )
+        .groupBy("id")
+        .agg(F.max("cos").alias("mcs"))
+    )
+    out = clusters.join(
+        mx.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    )
+    mcs = F.coalesce(F.col("mcs"), F.lit(-2.0))
+    return out.select(
+        "vec_id",
+        "cluster",
+        mcs.alias("max_cos_smaller"),
+        (mcs < F.lit(threshold)).alias("keep"),
+    )

@@ -2943,11 +2943,13 @@ FROM allv a JOIN best b ON a.r = b.r JOIN stats s ON s.r = b.r"""
     )
 
 
-def kmeans_assign_sql(k: int = 8, iters: int = 2) -> str:
-    """Twin of operators/ann.py::kmeans_assign — deterministic
-    hash-init Lloyd iterations unrolled; centroids ROUNDed to 12 after
-    every update and squared distances to 9 before each argmin, same
-    as the engine, so summation order can't flip an assignment."""
+def _kmeans_parts(k: int, iters: int) -> list[str]:
+    """Shared CTE list for the deterministic hash-init Lloyd unroll
+    (twin of operators/ann.py::kmeans_assign); the final assignment
+    lives in ``a{iters}`` and the exploded (vec_id, i, x) table in
+    ``dims``.  Centroids ROUNDed to 12 after every update and squared
+    distances to 9 before each argmin, same as the engine, so summation
+    order can't flip an assignment."""
     parts = [
         """dims AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -2984,11 +2986,66 @@ def kmeans_assign_sql(k: int = 8, iters: int = 2) -> str:
   FROM a{t} a JOIN dims d USING (vec_id)
   GROUP BY a.cluster, d.i)"""
         )
+    return parts
+
+
+def kmeans_assign_sql(k: int = 8, iters: int = 2) -> str:
+    """Twin of operators/ann.py::kmeans_assign — see _kmeans_parts."""
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_parts(k, iters))
+        + f"""
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters}"""
+    )
+
+
+def semdedup_keep_list_sql(
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> str:
+    """Twin of operators/dedup.py::semdedup_keep_list — the same
+    deterministic k-means unroll, then naive within-cluster all-pairs
+    cosine restricted to smaller ids (the engine's blocked candidates
+    have recall 1 within its 1e-5 margin and are exact-rescored, so the
+    candidate-free oracle matches); sentinel -2.0 when a vector has no
+    smaller-id cluster-mate."""
+    parts = _kmeans_parts(k, iters)
+    parts.append(
+        f"""asg AS MATERIALIZED (
+  SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters})"""
+    )
+    parts.append(
+        """nrm AS MATERIALIZED (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM dims GROUP BY vec_id)"""
+    )
+    parts.append(
+        """dots AS MATERIALIZED (
+  SELECT ga.vec_id AS id, gb.vec_id AS id_s, SUM(da.x * db.x) AS dot
+  FROM asg ga JOIN asg gb
+    ON ga.cluster = gb.cluster AND gb.vec_id < ga.vec_id
+  JOIN dims da ON da.vec_id = ga.vec_id
+  JOIN dims db ON db.vec_id = gb.vec_id AND db.i = da.i
+  GROUP BY 1, 2)"""
+    )
+    parts.append(
+        f"""mx AS MATERIALIZED (
+  SELECT d.id AS vec_id,
+         MAX(ROUND(d.dot / (na.nrm * nb.nrm), {round_to})) AS mcs
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.id
+  JOIN nrm nb ON nb.vec_id = d.id_s
+  GROUP BY 1)"""
+    )
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters}"""
+SELECT a.vec_id, a.cluster,
+       COALESCE(mx.mcs, -2.0) AS max_cos_smaller,
+       COALESCE(mx.mcs, -2.0) < {threshold} AS keep
+FROM asg a LEFT JOIN mx USING (vec_id)"""
     )
 
 

@@ -1467,3 +1467,55 @@ def test_chunk_documents_mirror(spark):
         if d == 0:
             covered.update(range(s, s + n))
     assert covered == set(range(1, 11))
+
+
+def test_semdedup_keep_list_mirror(spark):
+    """SemDeDup keep rule vs a literal numpy mirror (within-cluster max
+    round-6 cosine to smaller ids, sentinel -2.0, keep = below tau),
+    with planted near-identical twins that must be dropped and
+    block_rows=4 forcing the multi-block cogroup path."""
+    from graphjet_spark.operators.ann import kmeans_assign
+    from graphjet_spark.operators.dedup import semdedup_keep_list
+
+    rng = np.random.RandomState(31)
+    base = rng.normal(0, 1.0, (24, 6))
+    twins = base[:4] + rng.normal(0, 1e-4, (4, 6))
+    vecs = np.vstack([base, twins]).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    k, iters, tau = 3, 2, 0.9
+
+    clusters = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, k=k, iters=iters).collect()
+    }
+    x = vecs.astype(np.float64)
+    nrm = np.linalg.norm(x, axis=1)
+    exp = {}
+    for i in range(len(rows)):
+        mates = [j for j in range(i) if clusters[j] == clusters[i]]
+        mc = (
+            round(
+                max(float(x[i] @ x[j] / (nrm[i] * nrm[j])) for j in mates), 6
+            )
+            if mates
+            else -2.0
+        )
+        exp[i] = (clusters[i], mc, mc < tau)
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["max_cos_smaller"], r["keep"])
+        for r in semdedup_keep_list(
+            df, k=k, iters=iters, threshold=tau, block_rows=4
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0], (i, got[i], exp[i])
+        assert abs(got[i][1] - exp[i][1]) < 1e-9, (i, got[i], exp[i])
+        assert got[i][2] == exp[i][2], (i, got[i], exp[i])
+    # the planted twins sit on top of their base vector: same cluster,
+    # cosine ~1 to a smaller id => dropped
+    for t in range(24, 28):
+        assert got[t][2] is False or got[t][2] == False  # noqa: E712
+        assert got[t][1] > 0.99
