@@ -3172,14 +3172,18 @@ def simrank_pairs_sql(
     c: float = 0.8,
     iters: int = 3,
     round_to: int = 6,
-    lo: int = 2_000_000,
-    hi: int = 3_000_000,
+    lo: int | None = None,
+    hi: int | None = None,
 ) -> str:
     """Twin of plans/simrank.py::simrank_pairs — need-driven pair sets
     unrolled top-down (n0..n{iters-1}), values folded bottom-up
     (s{iters-1}..s0) with exact diagonal counts; identical IEEE
     (c * tsum) / (na * nb) shape.  Seeds = top-``nseeds`` part-range
     nodes by distinct-edge in-degree (ties -> smaller id)."""
+    from graphjet_spark.sources.testdata import PART_OFS, SUPP_OFS
+
+    lo = PART_OFS if lo is None else lo
+    hi = SUPP_OFS if hi is None else hi
     parts = [
         "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM graph_edges)",
         "ind AS MATERIALIZED ("

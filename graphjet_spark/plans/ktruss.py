@@ -17,10 +17,9 @@ fixpoint are no-ops.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from graphjet_spark.plans.triangles import _closing_neighbors
 
 
 def k_truss(
@@ -61,13 +60,45 @@ def k_truss(
         lower = F.struct(F.col("da"), F.col("a")) < F.struct(
             F.col("db"), F.col("b")
         )
-        o = j.select(
-            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("lo"),
-            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        o = (
+            j.select(
+                F.when(lower, F.col("a")).otherwise(F.col("b")).alias("lo"),
+                F.when(lower, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            )
+            .repartition(partitions, "lo")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        tri = _closing_neighbors(o).select(
-            "x", "y", F.explode("zs").alias("z")
+        o.count()
+        # Stage the collect_list adjacency eagerly: fusing the object
+        # aggregate with the downstream SMJ + support hashAgg in one
+        # task pipeline holds all three operators' buffers live per
+        # thread at once (measured 12g-heap OOM at sf1 on 32 threads);
+        # materializing between stages keeps each phase's working set
+        # alone in the heap and spillable.
+        adj = (
+            o.groupBy("lo")
+            .agg(F.collect_list("hi").alias("ns"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        adj.count()
+        a1 = adj.select(F.col("lo").alias("x"), F.col("ns").alias("n1"))
+        a2 = adj.select(F.col("lo").alias("y"), F.col("ns").alias("n2"))
+        # Triangle triples (x, y, z) materialized ONCE — narrow rows,
+        # consumed three times by the per-edge credit union below
+        # (unioning straight off the join would recompute the whole
+        # adjacency-intersection three times).
+        tri = (
+            o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+            .join(a1, "x")
+            .join(a2, "y")
+            .select(
+                "x",
+                "y",
+                F.explode(F.array_intersect("n1", "n2")).alias("z"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        tri.count()
         tri_edges = (
             tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
             .unionAll(
@@ -90,5 +121,8 @@ def k_truss(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        o.unpersist()
+        adj.unpersist()
+        tri.unpersist()
 
     return surv

@@ -54,7 +54,13 @@ def _closing_neighbors(o: DataFrame) -> DataFrame:
     wedge relation is ever materialized or shuffled, which is what the
     naive wedge self-join + edge SMJ plan pays W >> m rows for."""
     o = o.localCheckpoint(eager=True)  # consumed twice: adjacency + probe
-    adj = o.groupBy("lo").agg(F.collect_list("hi").alias("ns"))
+    # Materialize the collect_list aggregate in its own stage: fused
+    # with the downstream SMJs + consumer aggregates it holds every
+    # operator's buffers live per thread simultaneously (measured
+    # 12g-heap OOM at sf1 x 32 threads in the fused form).
+    adj = o.groupBy("lo").agg(F.collect_list("hi").alias("ns")).localCheckpoint(
+        eager=True
+    )
     a1 = adj.select(F.col("lo").alias("x"), F.col("ns").alias("n1"))
     a2 = adj.select(F.col("lo").alias("y"), F.col("ns").alias("n2"))
     return (

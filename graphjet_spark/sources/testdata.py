@@ -41,10 +41,13 @@ TABLES = (
     "embeddings",
 )
 
-# Disjoint id namespaces for the unified directed graph.
-ORDER_OFS = 1_000_000
-PART_OFS = 2_000_000
-SUPP_OFS = 3_000_000
+# Disjoint id namespaces for the unified directed graph.  100M spacing
+# keeps the ranges disjoint through ~sf60 (orderkeys grow ~1.5M per sf;
+# at the old 1M spacing the order range collided with the part range
+# from sf0.7 up, silently merging ~500k order/part nodes at sf1).
+ORDER_OFS = 100_000_000
+PART_OFS = 200_000_000
+SUPP_OFS = 300_000_000
 
 # Bipartite typed interactions: customer -> part.
 # edge_type from l_returnflag (N=0, A=1, R=2) — the typed-edge slot of

@@ -77,9 +77,18 @@ def main() -> int:
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
     failures = 0
+    import gc
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Between queries, release dead DataFrame refs so the
+        # ContextCleaner can unpersist the previous query's orphaned
+        # localCheckpoint blocks — in a 130-query soak session they
+        # otherwise accumulate in the 12g heap (the engine-resident
+        # GraphTables stay referenced and survive this).
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
