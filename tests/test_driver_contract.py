@@ -50,6 +50,32 @@ def duck():
     return con
 
 
+def test_graph_id_namespaces_disjoint():
+    """The unified graph namespaces ids by fixed offsets; if a key
+    range outgrows its slot the graph silently merges unrelated nodes
+    (this happened at sf1 with 1M spacing: orderkeys reach 1.5M per
+    unit sf, so orders bled into the part range from sf0.7 up).  Guard
+    every synthesized scale that exists on disk."""
+    import glob
+    import os
+
+    con = duckdb.connect()
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*")) + sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "..", "testdata", "sf*"))
+    )
+    assert sf_dirs
+    for d in sf_dirs:
+        row = con.execute(
+            f"""SELECT (SELECT max(c_custkey) FROM read_parquet('{d}/customer.parquet')),
+                       (SELECT max(o_orderkey) FROM read_parquet('{d}/orders.parquet')),
+                       (SELECT max(p_partkey) FROM read_parquet('{d}/part.parquet'))"""
+        ).fetchone()
+        max_cust, max_order, max_part = row
+        assert max_cust < testdata.ORDER_OFS, d
+        assert max_order + testdata.ORDER_OFS < testdata.PART_OFS, d
+        assert max_part + testdata.PART_OFS < testdata.SUPP_OFS, d
+
+
 def test_all_oracle_sql_binds_in_duckdb(duck):
     bad = []
     for name, sql in E.oracle_sql().items():
