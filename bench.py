@@ -63,11 +63,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters: the driver keeps only a ~2000-char tail of
+    # stdout, so the headline scalars go LAST (after the large per-query
+    # map) to survive truncation; BENCH_r02.json lost its totals the
+    # other way around.
     payload = {
+        "queries": timings,
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         **extras,
     }
