@@ -1432,6 +1432,17 @@ def _q_triangle_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_significance(spark, edges)
 
 
+def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-cycle vs feed-forward-loop counts — the
+    hierarchy-vs-feedback motif audit (Milo et al. Science'02); the
+    Spark plan classifies each undirected triangle's direction bits,
+    the oracle re-derives both counts via naive directed wedge joins."""
+    from graphjet_spark.plans.triangles import directed_triad_census
+
+    edges = _tables(spark, sf_dir, "graph_edges").pairs
+    return directed_triad_census(spark, edges)
+
+
 def _q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-concentration Gini coefficient — the one-number hub
     inequality audit, exact grouped-value form (no global sort)."""
@@ -1691,6 +1702,31 @@ def _q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossdoc_dup_fraction(_docs(spark, sf_dir), n=CROSSDOC_N)
 
 
+def _q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct n-grams FIRST seen in that doc
+    (arrival-order marginal contribution — the crawl-scheduling twin of
+    crossdoc_dup_fraction)."""
+    from graphjet_spark.operators.dedup import gram_novelty
+
+    return gram_novelty(_docs(spark, sf_dir), n=CROSSDOC_N)
+
+
+DSIR_LANG = "en"
+DSIR_QUANTILE = 0.75
+
+
+def _q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. NeurIPS'23) importance log-ratio + deterministic
+    top-quantile selection against the corpus's own en slice."""
+    from graphjet_spark.operators.textstats import dsir_logratio
+
+    return dsir_logratio(
+        _docs(spark, sf_dir),
+        target_lang=DSIR_LANG,
+        select_quantile=DSIR_QUANTILE,
+    )
+
+
 ZIPF_CMIN = 3
 
 
@@ -1882,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": _q_powerlaw_alpha,
         "degree_gini": _q_degree_gini,
         "triangle_significance": _q_triangle_significance,
+        "directed_triad_census": _q_triad_census,
         "rich_club": _q_rich_club,
         "intersection_similarity_cosine": _q_similarity,
         "intersection_similarity_jaccard": _q_similarity_jaccard,
@@ -1939,8 +1976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "quality_score": _q_quality,
         "crossdoc_dup_fraction": _q_crossdoc_dup,
+        "gram_novelty": _q_gram_novelty,
         "unigram_logprob": _q_unigram_logprob,
         "curriculum_buckets": _q_curriculum_buckets,
+        "dsir_logratio": _q_dsir_logratio,
         "zipf_alpha": _q_zipf_alpha,
         "degree_quantiles": _q_degree_quantiles,
         "repetition_stats": _q_repetition,
@@ -2138,6 +2177,7 @@ ORDER BY trend DESC, id ASC LIMIT 20
         "powerlaw_alpha": oracles.powerlaw_alpha_sql(PL_DMIN),
         "degree_gini": oracles.degree_gini_sql(),
         "triangle_significance": oracles.triangle_significance_sql(),
+        "directed_triad_census": oracles.directed_triad_census_sql(),
         "dedup_rate_by_source": oracles.dedup_rate_by_source_sql(
             0.9, cc_iters=12
         ),
@@ -2245,6 +2285,10 @@ GROUP BY s.seed ORDER BY s.seed
         ),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),
+        "gram_novelty": oracles.gram_novelty_sql(CROSSDOC_N),
+        "dsir_logratio": oracles.dsir_logratio_sql(
+            DSIR_LANG, DSIR_QUANTILE
+        ),
         "unigram_logprob": oracles.unigram_logprob_sql(),
         "curriculum_buckets": oracles.curriculum_buckets_sql(),
         "zipf_alpha": oracles.zipf_alpha_sql(ZIPF_CMIN),

@@ -916,6 +916,63 @@ def crossdoc_dup_fraction(
     )
 
 
+def gram_novelty(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, n_grams, novel_grams, novelty) — for each document, the
+    fraction of its DISTINCT token n-grams whose FIRST corpus occurrence
+    (minimum doc_id over the ingest order) is this document.  The
+    arrival-order twin of :func:`crossdoc_dup_fraction`: where that op
+    asks "how much of this doc exists elsewhere", novelty asks "how much
+    did this doc add when it arrived" — the per-document marginal-
+    contribution signal behind dedup-aware crawl scheduling and the
+    memorization audits of Lee et al. ACL'22 §5 (later copies of a
+    duplicated span contribute ~0 novel grams).
+
+    Plan shape is linear in gram volume at any corpus size: one distinct
+    over (doc_id, gram), one map-side-combined min(doc_id) per gram, one
+    equi-join back, one per-doc fold — no doc x doc pairing and no
+    global ordering (min over a BIGINT id is order-free).  Docs with
+    fewer than ``n`` tokens report zero grams and 0.0 novelty (kept:
+    absence of evidence is a value)."""
+    grams = token_sets(docs, text_col, n)
+    first = grams.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint"))
+            .cast("bigint")
+            .alias("novel_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("novel_grams", F.lit(0))
+            .cast("bigint")
+            .alias("novel_grams"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("novel_grams").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    round_to,
+                )
+            )
+            .alias("novelty"),
+        )
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     *,

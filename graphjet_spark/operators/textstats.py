@@ -689,6 +689,94 @@ def curriculum_buckets(
     )
 
 
+def dsir_logratio(
+    docs: DataFrame,
+    *,
+    target_lang: str = "en",
+    select_quantile: float = 0.75,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """``(doc_id, n_tokens, log_ratio, selected)`` — Data Selection via
+    Importance Resampling (Xie et al., NeurIPS'23) with the corpus's own
+    ``lang == target_lang`` slice as the target distribution: each
+    document scores its mean per-token log importance ratio
+    ln(p_target(tok) / p_raw(tok)) under two add-1-smoothed unigram
+    models sharing the corpus vocabulary, and the top
+    ``1 - select_quantile`` fraction by rounded score is marked
+    ``selected = 1`` (the importance-resampled training subset; we use
+    the deterministic top-quantile variant of DSIR's Gumbel resampling
+    so the gate is seed-free).  Length-normalized (mean, not sum) so
+    long documents don't dominate the ranking.
+
+    Scale shape: two map-side-combined token-count groupBys (corpus and
+    target slice) build a vocab-sized ratio relation; the smoothing
+    scalars (vocab size, both token totals) and the selection threshold
+    (one exact `percentile` aggregate — the proven cross-engine
+    quantile) join as broadcast single-row relations; the per-doc score
+    is one equi-join of the token stream against the ratio relation plus
+    one fold.  No global sort, no window — selection is a row-local
+    comparison against the broadcast threshold, on ROUNDED scores both
+    sides so the boundary is cross-engine stable.  All counts are exact
+    BIGINTs; float enters only the final ln() expression (identical
+    operand order on both engines).  Zero-token docs are dropped
+    (no likelihood is defined for them)."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cr = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        toks.where(F.col("lang") == target_lang)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    scal = cr.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cr").alias("nr")
+    ).crossJoin(
+        F.broadcast(
+            ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+        )
+    )
+    ratio = (
+        cr.join(ct, "tok", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "tok",
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    * (F.col("nr") + F.col("v")).cast("double")
+                )
+                / (
+                    (F.col("cr") + F.lit(1)).cast("double")
+                    * (F.col("nt") + F.col("v")).cast("double")
+                )
+            ).alias("lterm"),
+        )
+    )
+    per_doc = (
+        toks.join(ratio, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("lterm"), round_to).alias("log_ratio"),
+        )
+    )
+    th = per_doc.agg(
+        F.expr(f"percentile(log_ratio, {select_quantile!r})").alias("thr")
+    )
+    return per_doc.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_tokens",
+        "log_ratio",
+        (F.col("log_ratio") >= F.col("thr")).cast("int").alias("selected"),
+    )
+
+
 # ----------------------------------------------------------------- PII
 
 # The C4/CCNet/Dolma-style scrub patterns: conservative, line-rate

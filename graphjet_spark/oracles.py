@@ -1956,6 +1956,88 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def gram_novelty_sql(n: int = 3, round_to: int = 6) -> str:
+    """Twin of operators/dedup.py::gram_novelty — fraction of each doc's
+    distinct token n-grams first occurring (min doc_id) in that doc."""
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    gram_list = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n} + 2), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({gram_list}) AS tok FROM w)
+  WHERE tok <> ''),
+firsts AS MATERIALIZED (
+  SELECT tok, MIN(doc_id) AS first_doc FROM grams GROUP BY tok),
+per_doc AS MATERIALIZED (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS novel_grams
+  FROM grams g JOIN firsts f ON g.tok = f.tok
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.novel_grams, 0) AS novel_grams,
+       CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(p.novel_grams AS DOUBLE)
+                       / CAST(p.n_grams AS DOUBLE), {round_to}) END
+         AS novelty
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def dsir_logratio_sql(
+    target_lang: str = "en",
+    select_quantile: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """Twin of operators/textstats.py::dsir_logratio — add-1-smoothed
+    unigram importance log-ratio vs the ``lang = target_lang`` slice,
+    top-quantile selection on rounded scores (quantile_cont == Spark
+    percentile interpolation; ln() operand order identical)."""
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+cr AS MATERIALIZED (SELECT tok, COUNT(*) AS cr FROM toks GROUP BY tok),
+ctt AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS ct FROM toks
+  WHERE lang = '{target_lang}' GROUP BY tok),
+scal AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM cr) AS v,
+         (SELECT SUM(cr) FROM cr) AS nr,
+         (SELECT COALESCE(SUM(ct), 0) FROM ctt) AS nt),
+ratio AS MATERIALIZED (
+  SELECT cr.tok,
+         LN((CAST(COALESCE(ctt.ct, 0) + 1 AS DOUBLE)
+             * CAST(s.nr + s.v AS DOUBLE))
+            / (CAST(cr.cr + 1 AS DOUBLE)
+               * CAST(s.nt + s.v AS DOUBLE))) AS lterm
+  FROM cr LEFT JOIN ctt ON cr.tok = ctt.tok CROSS JOIN scal s),
+per_doc AS MATERIALIZED (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(r.lterm), {round_to}) AS log_ratio
+  FROM toks t JOIN ratio r ON t.tok = r.tok
+  GROUP BY t.doc_id),
+th AS MATERIALIZED (
+  SELECT quantile_cont(log_ratio, {select_quantile!r}) AS thr
+  FROM per_doc)
+SELECT p.doc_id, p.n_tokens, p.log_ratio,
+       CAST(CASE WHEN p.log_ratio >= t.thr THEN 1 ELSE 0 END AS INT)
+         AS selected
+FROM per_doc p CROSS JOIN th t
+"""
+
+
 def zipf_alpha_sql(cmin: int = 3, round_to: int = 6) -> str:
     """Twin of operators/textstats.py::zipf_alpha — CSN'09 MLE over
     token frequencies >= cmin."""
@@ -3844,6 +3926,37 @@ SELECT o.observed,
                {round_to})
        END AS ratio
 FROM obs o CROSS JOIN mom m"""
+    )
+
+
+def directed_triad_census_sql() -> str:
+    """Twin of plans/triangles.py::directed_triad_census — but derived
+    INDEPENDENTLY via the naive directed wedge joins the Spark plan
+    deliberately avoids: 3-cycles as e1.e2.e3 closing chains (each
+    distinct cycle appears once per rotation, hence // 3) and
+    transitive triples as path-plus-shortcut joins.  The two engines
+    arriving at the same numbers from structurally different
+    enumerations is the cross-check."""
+    return (
+        oracle_cte().rstrip()
+        + ",\n"
+        + """
+dirs AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM graph_edges WHERE src <> dst),
+cyc AS MATERIALIZED (
+  SELECT CAST(COUNT(*) // 3 AS BIGINT) AS cyclic_triples
+  FROM dirs e1
+  JOIN dirs e2 ON e1.dst = e2.src
+  JOIN dirs e3 ON e2.dst = e3.src AND e3.dst = e1.src
+  WHERE e1.src <> e2.dst),
+trans AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS transitive_triples
+  FROM dirs e1
+  JOIN dirs e2 ON e1.dst = e2.src
+  JOIN dirs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  WHERE e1.src <> e2.dst)
+SELECT cyclic_triples, transitive_triples FROM cyc CROSS JOIN trans
+""".strip()
     )
 
 

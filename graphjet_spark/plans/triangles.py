@@ -81,6 +81,82 @@ def triangle_count(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
 
 
+def directed_triad_census(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """One row ``(cyclic_triples, transitive_triples)`` — exact directed
+    triangle-motif counts over the simple digraph (distinct (src, dst),
+    no self-loops): ``cyclic_triples`` is the number of distinct directed
+    3-cycles a→b→c→a (a fully reciprocal triangle contains two), and
+    ``transitive_triples`` the number of ordered triples (a, b, c) with
+    a→b, b→c and the shortcut a→c — the feed-forward-loop count, the
+    hierarchy-vs-feedback signal of directed-motif analysis (Milo et al.,
+    Science'02; Holland & Leinhardt's 030T/030C triad classes).
+
+    Scale shape: every motif lives on an undirected triangle, so the
+    plan enumerates each triangle ONCE via the same degree-ordered
+    adjacency intersection as :func:`triangle_count` (O(m^1.5)-bounded
+    on power-law graphs) and then classifies it by the six direction
+    bits equi-joined from a canonical pair-flag relation — it never
+    pays the Σ in(b)·out(b) wedge fan-out of naive directed path joins
+    (which is exactly the independent plan the DuckDB oracle runs, so
+    the two derivations cross-check each other)."""
+    dirs = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    flags = (
+        dirs.select(
+            F.least("src", "dst").alias("p"),
+            F.greatest("src", "dst").alias("q"),
+            (F.col("src") < F.col("dst")).alias("isfwd"),
+        )
+        .groupBy("p", "q")
+        .agg(
+            F.max(F.col("isfwd")).alias("fwd"),
+            F.max(~F.col("isfwd")).alias("rev"),
+        )
+    )
+    tri = (
+        _closing_neighbors(oriented_edges(edges))
+        .select("x", "y", F.explode("zs").alias("z"))
+        .select(F.array_sort(F.array("x", "y", "z")).alias("v"))
+        .select(
+            F.col("v")[0].alias("u"),
+            F.col("v")[1].alias("v_"),
+            F.col("v")[2].alias("w"),
+        )
+    )
+    f = [
+        flags.select(
+            F.col("p").alias(pc),
+            F.col("q").alias(qc),
+            F.col("fwd").alias(f"f{i}"),
+            F.col("rev").alias(f"r{i}"),
+        )
+        for i, (pc, qc) in enumerate(
+            [("u", "v_"), ("v_", "w"), ("u", "w")], start=1
+        )
+    ]
+    j = tri.join(f[0], ["u", "v_"]).join(f[1], ["v_", "w"]).join(f[2], ["u", "w"])
+    b = lambda c: F.col(c).cast("int")  # noqa: E731
+    f1, r1, f2, r2, f3, r3 = (b(c) for c in ("f1", "r1", "f2", "r2", "f3", "r3"))
+    cyc = f1 * f2 * r3 + r1 * r2 * f3
+    trans = (
+        f1 * f2 * f3
+        + f3 * r2 * f1
+        + r1 * f3 * f2
+        + f2 * r3 * r1
+        + r3 * f1 * r2
+        + r2 * r1 * r3
+    )
+    return j.agg(
+        F.coalesce(F.sum(cyc), F.lit(0)).cast("bigint").alias("cyclic_triples"),
+        F.coalesce(F.sum(trans), F.lit(0))
+        .cast("bigint")
+        .alias("transitive_triples"),
+    )
+
+
 def per_vertex_triangles(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts ``(id, triangles)``."""
     closed = _closing_neighbors(oriented_edges(edges)).select(

@@ -1446,3 +1446,36 @@ def test_coreness_matches_peeling_mirror(spark):
     for k in (1, 2, 3):
         in_core = {r["id"] for r in k_core(spark, e, k).collect()}
         assert in_core == {v for v, c in want.items() if c >= k}
+
+
+def test_directed_triad_census_mirror(spark):
+    """Cyclic vs transitive triad counts vs an itertools brute force on
+    a digraph with a pure 3-cycle, a feed-forward loop, a fully
+    reciprocal triangle (2 cycles + 6 transitive by definition),
+    duplicate edges, and a self-loop."""
+    from itertools import combinations, permutations
+
+    from graphjet_spark.plans.triangles import directed_triad_census
+
+    pairs = [
+        (1, 2), (2, 3), (3, 1),          # pure 3-cycle
+        (4, 5), (5, 6), (4, 6),          # feed-forward loop
+        (7, 8), (8, 7), (8, 9), (9, 8), (7, 9), (9, 7),  # reciprocal K3
+        (1, 2), (4, 5),                  # duplicate edges (ignored)
+        (5, 5),                          # self-loop (dropped)
+        (2, 6),                          # dangling extra edge
+    ]
+    E = {(s, d) for s, d in pairs if s != d}
+    nodes = sorted({x for e in E for x in e})
+    cyc = sum(
+        ((a, b) in E and (b, c) in E and (c, a) in E)
+        + ((a, c) in E and (c, b) in E and (b, a) in E)
+        for a, b, c in combinations(nodes, 3)
+    )
+    trans = sum(
+        (a, b) in E and (b, c) in E and (a, c) in E
+        for a, b, c in permutations(nodes, 3)
+    )
+    got = directed_triad_census(spark, edges_df(spark, pairs)).first()
+    assert got["cyclic_triples"] == cyc == 3  # 1 pure + 2 reciprocal
+    assert got["transitive_triples"] == trans == 7  # 1 FFL + 6 reciprocal

@@ -54,6 +54,8 @@ SCALAR_CROSSJOIN_ALLOW = {
     "bm25_topk",  # operators/textstats.py:480 — 1-row avgdl row
     "unigram_logprob",  # operators/textstats.py:533 — 1-row vocab stats
     "curriculum_buckets",  # operators/textstats.py:627 — 1-row thresholds
+    "dsir_logratio",  # operators/textstats.py — 1-row smoothing scalars
+    # + 1-row selection threshold
     "hits_scores",  # plans/hits.py:82 — 1-row norm total per iteration
     "trustrank",  # plans/pagerank.py:247 — 1-row dangling-mass row
     # bounded-broadcast baseline (not scalar, but not n^2 either):

@@ -1519,3 +1519,90 @@ def test_semdedup_keep_list_mirror(spark):
     for t in range(24, 28):
         assert got[t][2] is False or got[t][2] == False  # noqa: E712
         assert got[t][1] > 0.99
+
+
+def test_gram_novelty_mirror(spark, docs):
+    """Arrival-order n-gram novelty vs a literal mirror: doc 0 owns all
+    its grams, its exact dup (doc 1) owns none, the island owns all."""
+    from graphjet_spark.operators.dedup import gram_novelty
+
+    n = 3
+    grams: dict[int, set[str]] = {}
+    for doc_id, text in DOCS:
+        toks = text.split()
+        grams[doc_id] = {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    first: dict[str, int] = {}
+    for doc_id in sorted(grams):
+        for g in grams[doc_id]:
+            first.setdefault(g, doc_id)
+    want = {}
+    for doc_id, gs in grams.items():
+        nov = sum(1 for g in gs if first[g] == doc_id)
+        want[doc_id] = (
+            len(gs), nov, round(nov / len(gs), 6) if gs else 0.0
+        )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+        for r in gram_novelty(
+            spark.createDataFrame(DOCS, "doc_id bigint, text string"), n=n
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-9)
+    assert got[0][2] == 1.0 and got[1][2] == 0.0 and got[3][2] == 1.0
+
+
+def test_dsir_logratio_mirror(spark):
+    """DSIR importance log-ratio vs a literal numpy mirror (add-1
+    smoothed unigram models, np.percentile linear interpolation =
+    Spark percentile); en-typical docs rank above the de doc."""
+    import numpy as np
+
+    from graphjet_spark.operators.textstats import dsir_logratio
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the dog sat on the log"),
+        (2, "en", "a cat and a dog met"),
+        (3, "de", "der hund und die katze schlafen"),
+        (4, "de", "die katze sitzt auf der matte"),
+        (5, "xx", "the cat sat on the mat"),  # en text mislabeled
+    ]
+    toks_by_doc = {i: t.split() for i, _, t in rows}
+    all_toks = [w for ws in toks_by_doc.values() for w in ws]
+    en_toks = [w for i, lg, t in rows if lg == "en" for w in t.split()]
+    cr: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for w in all_toks:
+        cr[w] = cr.get(w, 0) + 1
+    for w in en_toks:
+        ct[w] = ct.get(w, 0) + 1
+    v, nr, nt = len(cr), len(all_toks), len(en_toks)
+    lterm = {
+        w: np.log((ct.get(w, 0) + 1) * (nr + v) / ((cr[w] + 1) * (nt + v)))
+        for w in cr
+    }
+    score = {
+        i: round(float(np.mean([lterm[w] for w in ws])), 6)
+        for i, ws in toks_by_doc.items()
+    }
+    thr = float(np.percentile(sorted(score.values()), 75))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"], r["selected"])
+        for r in dsir_logratio(
+            spark.createDataFrame(rows, "doc_id bigint, lang string, text string"),
+            target_lang="en",
+            select_quantile=0.75,
+        ).collect()
+    }
+    assert got.keys() == score.keys()
+    for i in score:
+        assert got[i][0] == len(toks_by_doc[i])
+        assert got[i][1] == pytest.approx(score[i], abs=1e-9)
+        assert got[i][2] == int(score[i] >= thr)
+    # mislabeled-but-en-typical text outranks genuinely-de docs
+    assert got[5][1] > got[3][1] and got[5][1] > got[4][1]
