@@ -102,6 +102,202 @@ def ngram_jaccard_pairs(
     Exact Jaccard is then computed on candidates only.  Output
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6.
     """
+    classes, cls_pairs = _ngram_jaccard_class_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col
+    )
+
+    # --- expand class pairs back to doc pairs ---------------------------
+    m = classes.select("doc_id", "cls")
+    inter_docs = (
+        cls_pairs.join(
+            m.select(F.col("cls").alias("ca"), F.col("doc_id").alias("da")), "ca"
+        )
+        .join(m.select(F.col("cls").alias("cb"), F.col("doc_id").alias("db")), "cb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    m1 = m.alias("m1")
+    m2 = m.alias("m2")
+    intra_docs = (
+        m1.join(
+            m2,
+            (F.col("m1.cls") == F.col("m2.cls"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter_docs.unionByName(intra_docs)
+
+
+# Dense-vocabulary regime bound for the bitset Jaccard path: V <= 256
+# token types = at most 4 words (32 bytes) per class bitset, so a block
+# pair's popcount work stays a few single-digit GB of word ops and the
+# per-class state is negligible.  Above this, the AllPairs/PPJoin
+# prefix-filtered path wins (and actually prunes).
+_BITSET_VOCAB_MAX = 256
+
+# byte -> popcount lookup (numpy 1.26 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _bitset_cls_pairs(
+    rtoks: DataFrame, reps: DataFrame, vocab: int, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over ALL distinct class pairs for dense (small)
+    vocabularies: each class's token set becomes a W-word bitset
+    (W = ceil(V/64), global token ids assigned by sorted token order),
+    classes are hashed into blocks, and every block pair is one
+    cogrouped-Arrow task computing intersection = popcount(AND) over a
+    strip-chunked numpy outer product — the bitset analogue of
+    :func:`embedding_near_dups`' block GEMM.  No candidate relation is
+    ever materialized; per-task memory is bounded by the strip size.
+    Emits integer intersections; the final Jaccard and threshold are
+    evaluated JVM-side on exact (i, sza, szb) ints, so values are
+    byte-identical to the exploded-count path and to any SQL oracle.
+    """
+    n_words = (vocab + 63) // 64
+    from pyspark.sql import Window
+
+    tok_ids = (
+        rtoks.select("tok")
+        .distinct()
+        .withColumn(
+            "tid", F.row_number().over(Window.orderBy(F.asc("tok"))) - 1
+        )
+    )
+    words = (
+        rtoks.join(F.broadcast(tok_ids), "tok")
+        .select(
+            "cls",
+            (F.col("tid") / 64).cast("int").alias("wi"),
+            F.expr("shiftleft(1L, CAST(tid % 64 AS INT))").alias("wv"),
+        )
+        .groupBy("cls", "wi")
+        .agg(F.expr("bit_or(wv)").alias("w"))
+    )
+    masks = (
+        words.groupBy("cls")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("wi", "w"))).alias("wm")
+        )
+        .join(reps.select("cls", "sz"), "cls")
+        .select(
+            "cls",
+            "sz",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("wm", i.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("mask"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_cls = masks.count()
+    block_rows = 8192
+    n_blocks = max(1, -(-n_cls // block_rows))
+    blocked = masks.withColumn(
+        "blk", F.pmod(F.xxhash64("cls"), F.lit(n_blocks)).cast("int")
+    )
+    a_rep = blocked.select(
+        "cls", "sz", "mask", F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    b_rep = blocked.select(
+        "cls", "sz", "mask",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    # in-task prefilter with slack covering the final 6-decimal rounding:
+    # round(i/u, 6) >= t can hold when i/u is up to 5e-7 below t
+    t_eps = threshold - 1e-6
+
+    def _popjoin(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"ca": [], "cb": [], "i": []})
+        A = np.stack(a_pdf["mask"].to_numpy()).astype(np.uint64)
+        B = np.stack(b_pdf["mask"].to_numpy()).astype(np.uint64)
+        sa = a_pdf["sz"].to_numpy().astype(np.int64)
+        sb = b_pdf["sz"].to_numpy().astype(np.int64)
+        ids_a = a_pdf["cls"].to_numpy()
+        ids_b = b_pdf["cls"].to_numpy()
+        m, w = B.shape
+        strip = max(1, (1 << 22) // max(1, m * w))
+        out_a, out_b, out_i = [], [], []
+        for s in range(0, len(A), strip):
+            e = min(s + strip, len(A))
+            inter = (
+                _POP8[(A[s:e, None, :] & B[None, :, :]).view(np.uint8)]
+                .reshape(e - s, m, -1)
+                .sum(axis=2, dtype=np.int64)
+            )
+            # J = i/(sa+sb-i) >= t_eps  <=>  i*(1+t_eps) >= t_eps*(sa+sb)
+            ok = inter * (1.0 + t_eps) >= t_eps * (sa[s:e, None] + sb[None, :])
+            ia, ib = np.nonzero(ok)
+            out_a.append(ids_a[s + ia])
+            out_b.append(ids_b[ib])
+            out_i.append(inter[ia, ib])
+        ca = np.concatenate(out_a)
+        cb = np.concatenate(out_b)
+        ii = np.concatenate(out_i)
+        if key[0] == key[1]:
+            # diagonal block: every distinct pair appears in both orders
+            keep = ca < cb
+            ca, cb, ii = ca[keep], cb[keep], ii[keep]
+        else:
+            drop = ca == cb
+            if drop.any():
+                ca, cb, ii = ca[~drop], cb[~drop], ii[~drop]
+        return pd.DataFrame(
+            {"ca": np.minimum(ca, cb), "cb": np.maximum(ca, cb), "i": ii}
+        )
+
+    pairs = (
+        a_rep.groupby("bi", "bj")
+        .cogroup(b_rep.groupby("bi", "bj"))
+        .applyInPandas(_popjoin, schema="ca bigint, cb bigint, i bigint")
+    )
+    s1 = reps.select(F.col("cls").alias("ca"), F.col("sz").alias("sza"))
+    s2 = reps.select(F.col("cls").alias("cb"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(s1, "ca")
+        .join(s2, "cb")
+        .select(
+            "ca",
+            "cb",
+            F.round(
+                F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_class_pairs(
+    docs: DataFrame,
+    *,
+    n: int,
+    threshold: float,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Class-level core of :func:`ngram_jaccard_pairs`: collapse
+    exact-duplicate token sets into classes, then AllPairs/PPJoin
+    prefix-filtered exact Jaccard over class representatives only.
+
+    Returns ``(classes, cls_pairs)``: per-doc class membership
+    ``(doc_id, cls, sz)`` and qualifying distinct-class pairs
+    ``(ca, cb, jaccard)`` with ``ca < cb`` — everything BEFORE the
+    quadratic member-pair expansion, so consumers that only need
+    connectivity (:func:`dedup_keep_list`) can stay linear in corpus
+    size while :func:`ngram_jaccard_pairs` keeps its all-pairs output
+    contract."""
     # eager checkpoints: toks feeds 4 consumers and classes/rtoks feed
     # 2-3 each — leaving them lazy replicates the whole upstream chain
     # into one giant plan (measured 3x slower from planning + recompute)
@@ -134,6 +330,22 @@ def ngram_jaccard_pairs(
 
     # --- prefix-filtered candidate generation over class reps -----------
     dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    # Regime switch: prefix filtering is powerless on a dense (tiny)
+    # vocabulary — with V token types shared by most documents, even the
+    # rarest prefix token appears in a large fraction of all classes and
+    # the candidate join degenerates toward all-pairs (measured at sf1:
+    # V=40, 127.5M candidates from 35k classes, 560s in the join +
+    # verify; 2-prefix pair keys are no better, 2.1B evaluations).  When
+    # V is small enough that a class's whole token set fits a fixed
+    # W-word bitset, exact Jaccard over ALL class pairs by blocked
+    # popcount-AND is cheaper than any filter: O(C^2/2) single-word AND+
+    # popcounts, embarrassingly parallel, no candidate relation at all.
+    # Web-scale vocabularies (V in the millions) take the sparse path
+    # below, where prefix selectivity is real.
+    vocab = dfreq.count()
+    if vocab > 0 and vocab <= _BITSET_VOCAB_MAX:
+        return classes, _bitset_cls_pairs(rtoks, reps, vocab, threshold)
 
     from pyspark.sql import Window
 
@@ -202,35 +414,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-
-    # --- expand class pairs back to doc pairs ---------------------------
-    m = classes.select("doc_id", "cls")
-    inter_docs = (
-        cls_pairs.join(
-            m.select(F.col("cls").alias("ca"), F.col("doc_id").alias("da")), "ca"
-        )
-        .join(m.select(F.col("cls").alias("cb"), F.col("doc_id").alias("db")), "cb")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    m1 = m.alias("m1")
-    m2 = m.alias("m2")
-    intra_docs = (
-        m1.join(
-            m2,
-            (F.col("m1.cls") == F.col("m2.cls"))
-            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
-        )
-        .select(
-            F.col("m1.doc_id").alias("doc_a"),
-            F.col("m2.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return inter_docs.unionByName(intra_docs)
+    return classes, cls_pairs
 
 
 # ----------------------------------------------------------- MinHash + LSH
@@ -523,19 +707,52 @@ def dedup_keep_list(
     (DuckDB unrolls the same fixed iteration count, so engine and
     oracle agree even on a hypothetical cluster chain longer than the
     budget).
+
+    The convergence path never materializes the quadratic all-pairs
+    dup graph: CC only needs connectivity, so it runs over the compact
+    connectivity-equivalent graph — a star from each exact-dup class
+    member to its class-min plus ONE rep-rep edge per qualifying class
+    pair.  Components (and hence keep_id = component min) are identical
+    to CC over the expanded member-pair clique graph, but the edge
+    count is O(docs + class pairs) instead of O(sum class_size^2) —
+    the expanded graph at sf1 is 93.5M edges for 50k docs and OOMs the
+    no-op gate budget long before 100x.  The fixed-iters parity mode
+    keeps the expanded graph: hash-min flooding depth depends on the
+    graph SHAPE, and the oracle unrolls its rounds over the expanded
+    pair graph.
     """
     spark = docs.sparkSession
-    pairs = ngram_jaccard_pairs(
-        docs, n=n, threshold=threshold, text_col=text_col
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     from graphjet_spark.plans.components import (
         connected_components,
         connected_components_star,
     )
 
     if cc_fixed_iters is None:
-        comp = connected_components_star(spark, pairs)
+        classes, cls_pairs = _ngram_jaccard_class_pairs(
+            docs, n=n, threshold=threshold, text_col=text_col
+        )
+        roots = classes.groupBy("cls").agg(F.min("doc_id").alias("root"))
+        star = (
+            classes.join(roots, "cls")
+            .filter(F.col("doc_id") != F.col("root"))
+            .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+        )
+        cross = (
+            cls_pairs.join(
+                roots.select(F.col("cls").alias("ca"), F.col("root").alias("src")),
+                "ca",
+            )
+            .join(
+                roots.select(F.col("cls").alias("cb"), F.col("root").alias("dst")),
+                "cb",
+            )
+            .select("src", "dst")
+        )
+        comp = connected_components_star(spark, star.unionByName(cross))
     else:
+        pairs = ngram_jaccard_pairs(
+            docs, n=n, threshold=threshold, text_col=text_col
+        ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         comp = connected_components(spark, pairs, fixed_iters=cc_fixed_iters)
     return (
         docs.select("doc_id")
@@ -999,56 +1216,148 @@ def containment_pairs(
     suffixes and never fan out, which is the whole scale control: the
     candidate join is prefix x inverted-index, never doc x doc.
     Exact intersections are then counted on candidates only.
+
+    Like :func:`ngram_jaccard_pairs`, exact-duplicate token SETS are
+    collapsed into classes first — near-dup corpora are dominated by
+    exact-dup clusters, and every member of a class has identical
+    containment against everything else, so the candidate join and the
+    intersection count run once per (contained-class, container-class)
+    ordered pair and expand back to member doc pairs by joins.  Without
+    the collapse the intersection fan-out is quadratic in class size
+    (measured: AGGREGATE_OUT_OF_MEMORY at sf1, where dup classes hold
+    hundreds of docs).  Candidates are pruned by a size filter
+    (|B| >= t*|A|, since the overlap can't exceed |B|) and a
+    containment-adapted PPJoin positional filter: with BOTH sides'
+    grams in the same global (df, tok) order, a shared gram at
+    positions (pa, pb) bounds the overlap by 1 + min(|A|-pa, |B|-pb),
+    which must reach ceil(t*|A|).  Intra-class ordered pairs are
+    emitted directly with containment exactly 1.0.
+
+    Verification is a row-local JVM ``array_intersect`` over the two
+    classes' sorted gram arrays — never an exploded gram join + wide
+    aggregate (a containment prefix at t=0.6 is ~40% of each doc's
+    grams vs ~10% for Jaccard at t=0.9, so the exploded-intersection
+    shape that works there generates OOM-grade aggregate input here).
     """
     toks = token_sets(docs, text_col, n).localCheckpoint(eager=True)
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    # --- collapse exact-duplicate token sets into classes ---------------
+    # grams carried as the sorted array: the class key hashes it AND the
+    # verifier intersects it row-locally.
+    classes = (
+        toks.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tok")).alias("grams"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.concat_ws("\x1f", "grams")).alias("cls"),
+            F.size("grams").alias("sz"),
+            "grams",
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = classes.groupBy("cls").agg(
+        F.min("doc_id").alias("rep"), F.first("sz").alias("sz")
+    )
+    cgrams = (
+        classes.join(reps.select(F.col("rep").alias("doc_id"), "cls"), ["cls", "doc_id"])
+        .select("cls", "sz", "grams")
+        .localCheckpoint(eager=True)
+    )
+    rtoks = cgrams.select("cls", F.explode("grams").alias("tok"))
+
+    dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
-    plen = (
-        F.col("sz")
-        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-6))
-        + F.lit(1)
-    )
-    # eager checkpoints, same rationale as ngram_jaccard_pairs above:
-    # leaving prefix/cands lazy folds the df-order window and the
-    # inverted-index join into one giant downstream plan (measured
-    # 125s -> 22s at sf0.1 from checkpointing these two)
-    prefix = (
-        toks.join(dfreq, "tok")
-        .join(sizes, "doc_id")
+    w = Window.partitionBy("cls").orderBy(F.asc("df"), F.asc("tok"))
+    need = F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-6))
+    # eager checkpoint, same rationale as ngram_jaccard_pairs above:
+    # leaving posed lazy folds the df-order window and the inverted-index
+    # join into one giant downstream plan
+    posed = (
+        rtoks.join(dfreq, "tok")
+        .join(reps.select("cls", "sz"), "cls")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= plen)
-        .select(F.col("doc_id").alias("doc_a"), "tok")
         .localCheckpoint(eager=True)
     )
+    prefix = posed.filter(F.col("pos") <= F.col("sz") - need + 1).select(
+        F.col("cls").alias("ca"),
+        F.col("sz").alias("sza"),
+        F.col("pos").alias("pa"),
+        "tok",
+    )
+    index_b = posed.select(
+        F.col("cls").alias("cb"),
+        F.col("sz").alias("szb"),
+        F.col("pos").alias("pb"),
+        "tok",
+    )
+    need_a = F.ceil(F.lit(float(threshold)) * F.col("sza") - F.lit(1e-6))
     cands = (
-        prefix.join(
-            toks.select(F.col("doc_id").alias("doc_b"), "tok"), "tok"
+        prefix.join(index_b, "tok")
+        .filter(
+            (F.col("ca") != F.col("cb"))
+            # overlap <= |B|, so C(a in b) >= t forces |B| >= t*|A|
+            & (F.col("szb") >= F.lit(float(threshold)) * F.col("sza") - 1e-6)
+            # positional: overlap <= 1 + min(|A|-pa, |B|-pb) must reach
+            # ceil(t*|A|) for SOME shared gram; any candidate pair's
+            # rarest shared prefix gram gives the tightest such bound,
+            # and a pair qualifying on overlap always has a generating
+            # (pa, pb) satisfying it (the PPJoin argument, one-sided)
+            & (
+                1 + F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb"))
+                >= need_a
+            )
         )
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("ca", "cb")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # --- row-local exact verification over sorted gram arrays -----------
+    ga = cgrams.select(
+        F.col("cls").alias("ca"), F.col("sz").alias("sza"), F.col("grams").alias("ga")
     )
+    gb = cgrams.select(F.col("cls").alias("cb"), F.col("grams").alias("gb"))
     contain = F.round(
-        F.col("i").cast("double") / F.col("sz").cast("double"), round_to
+        F.size(F.array_intersect("ga", "gb")).cast("double")
+        / F.col("sza").cast("double"),
+        round_to,
     )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), "sz"), "doc_a")
-        .select("doc_a", "doc_b", contain.alias("containment"))
+    cls_pairs = (
+        cands.join(ga, "ca")
+        .join(gb, "cb")
+        .select("ca", "cb", contain.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+    # --- expand class pairs back to ordered doc pairs --------------------
+    m = classes.select("doc_id", "cls")
+    cross_docs = (
+        cls_pairs.join(
+            m.select(F.col("cls").alias("ca"), F.col("doc_id").alias("doc_a")),
+            "ca",
+        )
+        .join(
+            m.select(F.col("cls").alias("cb"), F.col("doc_id").alias("doc_b")),
+            "cb",
+        )
+        .select("doc_a", "doc_b", "containment")
+    )
+    m1 = m.alias("m1")
+    m2 = m.alias("m2")
+    intra_docs = (
+        m1.join(
+            m2,
+            (F.col("m1.cls") == F.col("m2.cls"))
+            & (F.col("m1.doc_id") != F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross_docs.unionByName(intra_docs)
 
 
 # ------------------------------------------------------- semantic dedup

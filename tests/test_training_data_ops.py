@@ -174,6 +174,69 @@ def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
         assert got == pytest.approx(want)
 
 
+def test_ngram_jaccard_sparse_and_dense_paths_agree(spark):
+    """The two regime plans — dense-vocab bitset popcount (V <= 256)
+    and sparse-vocab AllPairs/PPJoin prefix filtering — produce
+    identical pairs and values.  The sparse corpus draws from 400 token
+    types (forcing the prefix path); the same documents re-tokenized
+    into a <=256-type alias vocabulary take the bitset path; both are
+    checked against the brute-force oracle."""
+    from graphjet_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    for i in range(50):
+        words = list(rng.choice(vocab, size=rng.integers(5, 15), replace=False))
+        rows.append((i, " ".join(words)))
+    # plant near-dups: doc 100+i = doc i plus one extra token
+    for i in range(8):
+        rows.append((100 + i, rows[i][1] + " tok399"))
+    rows.append((200, rows[0][1]))  # exact dup
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sets = {i: set(t.split()) for i, t in rows}
+    t = 0.8
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if round(j, 6) >= t:
+                    want[(a, b)] = round(j, 6)
+
+    # 400 token types > _BITSET_VOCAB_MAX: the sparse prefix path runs
+    assert len(vocab) > dd._BITSET_VOCAB_MAX
+    got_sparse = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=t).collect()
+    }
+    assert got_sparse == pytest.approx(want)
+
+    # alias every token into a 250-type vocabulary (preserving set
+    # semantics per doc is NOT guaranteed by aliasing in general, so
+    # recompute the oracle on the aliased docs) — bitset path runs
+    alias = {w: f"a{int(w[3:]) % 250}" for w in vocab}
+    arows = [
+        (i, " ".join(dict.fromkeys(alias[w] for w in t.split())))
+        for i, t in rows
+    ]
+    adocs = spark.createDataFrame(arows, "doc_id bigint, text string")
+    asets = {i: set(t.split()) for i, t in arows}
+    awant = {}
+    for a in asets:
+        for b in asets:
+            if a < b and asets[a] and asets[b]:
+                j = len(asets[a] & asets[b]) / len(asets[a] | asets[b])
+                if round(j, 6) >= t:
+                    awant[(a, b)] = round(j, 6)
+    got_dense = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(adocs, n=1, threshold=t).collect()
+    }
+    assert got_dense == pytest.approx(awant)
+
+
 def test_dedup_keep_list_matches_union_find(spark):
     """Keep-list pipeline vs a pure-Python mirror: brute-force Jaccard
     pairs >= t, union-find clustering, min id per group — both CC modes
