@@ -73,13 +73,18 @@ def main() -> int:
 
     print("# Scale soak: sf0.1 -> sf1 (10x data)")
     print()
+    ro = [d for d in big.values() if d["status"] == "rows-only"]
+    ro_timeout = sum(1 for d in ro if "timeout" in d.get("note", ""))
     print(
         f"Full gate (`tools/check_correctness.py`, Spark vs DuckDB oracle)"
         f" run at BOTH scales on the same VM, sequentially (never"
         f" concurrent).  {len(big)} queries at sf1:"
         f" {sum(1 for d in big.values() if d['status'] == 'OK')} value-matched,"
-        f" {sum(1 for d in big.values() if d['status'] == 'rows-only')} rows-only"
-        f" (by contract), {len(mism)} mismatches."
+        f" {len(ro) - ro_timeout} rows-only by contract"
+        f" (seeded/SQL-inexpressible), {ro_timeout} rows-only at sf1 only"
+        f" because the deliberately-naive quadratic DuckDB twin exceeds its"
+        f" 240s budget there (each is value-matched at sf0.001-sf0.1),"
+        f" {len(mism)} mismatches."
     )
     print()
     print(
