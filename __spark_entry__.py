@@ -1382,6 +1382,25 @@ def _q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _keep_list(spark, sf_dir)
 
 
+def _q_dedup_keep_list_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental keep-list maintenance (the continuous-crawl shape):
+    docs with doc_id % 10 == 9 play the newly ingested batch, the rest
+    the standing corpus with its maintained keep-list; the delta op
+    restricts quadratic pair work to new x all and warm-starts CC from
+    the old keep-list's star edges.  The oracle is the FULL-corpus
+    keep-list SQL — the gate thereby proves incremental == batch
+    row-for-row."""
+    from graphjet_spark.operators.dedup import dedup_keep_list_delta
+
+    docs = _docs(spark, sf_dir)
+    new_ids = docs.filter(F.pmod("doc_id", F.lit(10)) == 9).select("doc_id")
+    old_docs = docs.join(new_ids, "doc_id", "left_anti")
+    old_keeps = dedup_keep_list(old_docs, n=1, threshold=0.9)
+    return dedup_keep_list_delta(
+        docs, new_ids, old_keeps, n=1, threshold=0.9
+    )
+
+
 def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-provenance dedup leakage — which feeds are flooding the
     corpus with near-duplicates (drop a feed, not a document)."""
@@ -1952,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "exact_substring_dups": _q_exact_substring,
         "dedup_keep_list": _q_dedup_keep_list,
+        "dedup_keep_list_delta": _q_dedup_keep_list_delta,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
         "corpus_select": _q_corpus_select,
         "corpus_sample": _q_corpus_sample,
@@ -2248,6 +2268,9 @@ GROUP BY s.seed ORDER BY s.seed
             SUBSTR_WINDOW, SUBSTR_DF_CAP
         ),
         "dedup_keep_list": oracles.dedup_keep_list_sql(0.9, iters=12),
+        # incremental == batch: the delta query must reproduce the
+        # full-corpus keep-list exactly, so it shares the batch twin
+        "dedup_keep_list_delta": oracles.dedup_keep_list_sql(0.9, iters=12),
         "corpus_select": oracles.corpus_select_sql(
             _LANG_MARKERS, tuple(_STOPWORDS)
         ),

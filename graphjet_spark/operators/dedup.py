@@ -148,7 +148,11 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _bitset_cls_pairs(
-    rtoks: DataFrame, reps: DataFrame, vocab: int, threshold: float
+    rtoks: DataFrame,
+    reps: DataFrame,
+    vocab: int,
+    threshold: float,
+    new_cls: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over ALL distinct class pairs for dense (small)
     vocabularies: each class's token set becomes a W-word bitset
@@ -161,6 +165,12 @@ def _bitset_cls_pairs(
     Emits integer intersections; the final Jaccard and threshold are
     evaluated JVM-side on exact (i, sza, szb) ints, so values are
     byte-identical to the exploded-count path and to any SQL oracle.
+
+    ``new_cls`` (delta-ingest mode): a (cls) relation restricting the
+    output to pairs with at least one side in it.  The block scheme
+    then pits the new classes (one side, replicated to every block)
+    against all classes — quadratic work is |new| x |all| instead of
+    |all|^2/2; same exact values.
     """
     n_words = (vocab + 63) // 64
     from pyspark.sql import Window
@@ -206,15 +216,34 @@ def _bitset_cls_pairs(
     blocked = masks.withColumn(
         "blk", F.pmod(F.xxhash64("cls"), F.lit(n_blocks)).cast("int")
     )
-    a_rep = blocked.select(
-        "cls", "sz", "mask", F.col("blk").alias("bi"),
-        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
-    )
-    b_rep = blocked.select(
-        "cls", "sz", "mask",
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
-        F.col("blk").alias("bj"),
-    )
+    if new_cls is None:
+        # symmetric: triangular block-pair coverage
+        a_rep = blocked.select(
+            "cls", "sz", "mask", F.col("blk").alias("bi"),
+            F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+        )
+        b_rep = blocked.select(
+            "cls", "sz", "mask",
+            F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+            F.col("blk").alias("bj"),
+        )
+    else:
+        # delta: the new classes (a side) are replicated to every block
+        # of the full corpus (b side) — |new| x |all| coverage; a
+        # new-new pair is evaluated in both orders (two tasks), deduped
+        # after min/max normalization below.  The checkpoint both breaks
+        # the blocked-vs-blocked self-join lineage (cogroup rejects the
+        # ambiguity) and materializes the batch-sized side once.
+        new_masks = blocked.join(new_cls, "cls").localCheckpoint(eager=True)
+        a_rep = new_masks.select(
+            "cls", "sz", "mask", F.lit(0).alias("bi"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("bj"),
+        )
+        b_rep = blocked.select(
+            "cls", "sz", "mask",
+            F.lit(0).alias("bi"), F.col("blk").alias("bj"),
+        )
+    symmetric = new_cls is None
     # in-task prefilter with slack covering the final 6-decimal rounding:
     # round(i/u, 6) >= t can hold when i/u is up to 5e-7 below t
     t_eps = threshold - 1e-6
@@ -247,7 +276,7 @@ def _bitset_cls_pairs(
         ca = np.concatenate(out_a)
         cb = np.concatenate(out_b)
         ii = np.concatenate(out_i)
-        if key[0] == key[1]:
+        if symmetric and key[0] == key[1]:
             # diagonal block: every distinct pair appears in both orders
             keep = ca < cb
             ca, cb, ii = ca[keep], cb[keep], ii[keep]
@@ -264,6 +293,8 @@ def _bitset_cls_pairs(
         .cogroup(b_rep.groupby("bi", "bj"))
         .applyInPandas(_popjoin, schema="ca bigint, cb bigint, i bigint")
     )
+    if not symmetric:
+        pairs = pairs.dropDuplicates(["ca", "cb"])
     s1 = reps.select(F.col("cls").alias("ca"), F.col("sz").alias("sza"))
     s2 = reps.select(F.col("cls").alias("cb"), F.col("sz").alias("szb"))
     return (
@@ -280,35 +311,22 @@ def _bitset_cls_pairs(
     )
 
 
-def _ngram_jaccard_class_pairs(
-    docs: DataFrame,
-    *,
-    n: int,
-    threshold: float,
-    text_col: str,
-) -> tuple[DataFrame, DataFrame]:
-    """Class-level core of :func:`ngram_jaccard_pairs`: collapse
-    exact-duplicate token sets into classes, then AllPairs/PPJoin
-    prefix-filtered exact Jaccard over class representatives only.
+def _class_structures(
+    docs: DataFrame, *, n: int, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared exact-dup class collapse: (classes, reps, rtoks, dfreq).
 
-    Returns ``(classes, cls_pairs)``: per-doc class membership
-    ``(doc_id, cls, sz)`` and qualifying distinct-class pairs
-    ``(ca, cb, jaccard)`` with ``ca < cb`` — everything BEFORE the
-    quadratic member-pair expansion, so consumers that only need
-    connectivity (:func:`dedup_keep_list`) can stay linear in corpus
-    size while :func:`ngram_jaccard_pairs` keeps its all-pairs output
-    contract."""
-    # eager checkpoints: toks feeds 4 consumers and classes/rtoks feed
-    # 2-3 each — leaving them lazy replicates the whole upstream chain
-    # into one giant plan (measured 3x slower from planning + recompute)
+    Near-dup corpora are dominated by exact-dup classes; every member
+    of a class has identical Jaccard to everything else, so similarity
+    runs once per class (representative) and expands back to member
+    pairs by joins — the candidate join shrinks from (class size)^2 to
+    1 per class pair.  Class key = hash of the sorted token set, so
+    identical sets ingested at different times land in the SAME class
+    (what makes delta ingest exact).  Eager checkpoints: toks feeds 4
+    consumers and classes/rtoks feed 2-3 each — leaving them lazy
+    replicates the whole upstream chain into one giant plan (measured
+    3x slower from planning + recompute)."""
     toks = token_sets(docs, text_col, n).localCheckpoint(eager=True)
-
-    # --- collapse exact-duplicate token sets into classes ---------------
-    # Near-dup corpora are dominated by exact-dup classes; every member
-    # of a class has identical Jaccard to everything else, so similarity
-    # runs once per class (representative) and expands back to member
-    # pairs by joins — the candidate join shrinks from (class size)^2 to
-    # 1 per class pair.  Class key = hash of the sorted token set.
     classes = (
         toks.groupBy("doc_id")
         .agg(
@@ -327,25 +345,36 @@ def _ngram_jaccard_class_pairs(
         .select("cls", "tok")
         .localCheckpoint(eager=True)
     )
-
-    # --- prefix-filtered candidate generation over class reps -----------
     dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return classes, reps, rtoks, dfreq
 
-    # Regime switch: prefix filtering is powerless on a dense (tiny)
-    # vocabulary — with V token types shared by most documents, even the
-    # rarest prefix token appears in a large fraction of all classes and
-    # the candidate join degenerates toward all-pairs (measured at sf1:
-    # V=40, 127.5M candidates from 35k classes, 560s in the join +
-    # verify; 2-prefix pair keys are no better, 2.1B evaluations).  When
-    # V is small enough that a class's whole token set fits a fixed
-    # W-word bitset, exact Jaccard over ALL class pairs by blocked
-    # popcount-AND is cheaper than any filter: O(C^2/2) single-word AND+
-    # popcounts, embarrassingly parallel, no candidate relation at all.
-    # Web-scale vocabularies (V in the millions) take the sparse path
-    # below, where prefix selectivity is real.
+
+def _jaccard_cls_pairs(
+    reps: DataFrame,
+    rtoks: DataFrame,
+    dfreq: DataFrame,
+    threshold: float,
+    new_cls: DataFrame | None = None,
+) -> DataFrame:
+    """Qualifying distinct-class pairs ``(ca, cb, jaccard)`` with
+    ``ca < cb`` over the class structures — or, with ``new_cls``
+    (delta-ingest mode), only the pairs touching a new class.
+
+    Regime switch: prefix filtering is powerless on a dense (tiny)
+    vocabulary — with V token types shared by most documents, even the
+    rarest prefix token appears in a large fraction of all classes and
+    the candidate join degenerates toward all-pairs (measured at sf1:
+    V=40, 127.5M candidates from 35k classes, 560s in the join +
+    verify; 2-prefix pair keys are no better, 2.1B evaluations).  When
+    V is small enough that a class's whole token set fits a fixed
+    W-word bitset, exact Jaccard over ALL class pairs by blocked
+    popcount-AND is cheaper than any filter: O(C^2/2) single-word AND+
+    popcounts, embarrassingly parallel, no candidate relation at all.
+    Web-scale vocabularies (V in the millions) take the sparse path
+    below, where prefix selectivity is real."""
     vocab = dfreq.count()
     if vocab > 0 and vocab <= _BITSET_VOCAB_MAX:
-        return classes, _bitset_cls_pairs(rtoks, reps, vocab, threshold)
+        return _bitset_cls_pairs(rtoks, reps, vocab, threshold, new_cls=new_cls)
 
     from pyspark.sql import Window
 
@@ -360,7 +389,12 @@ def _ngram_jaccard_class_pairs(
         )
         .select("cls", "tok", "sz", "pos")
     )
-    p1 = prefix.alias("p1")
+    # delta mode: one side restricted to the new classes; a qualifying
+    # (new, old) or (new, new) pair still shares a token of BOTH
+    # prefixes (the symmetric prefix theorem), so joining the new-side
+    # prefix against the full prefix index keeps recall exactly 1.0
+    p1_src = prefix.join(new_cls, "cls") if new_cls is not None else prefix
+    p1 = p1_src.alias("p1")
     p2 = prefix.alias("p2")
     # positional filter (PPJoin, Xiao et al. WWW'08): a shared prefix
     # token at positions (pa, pb) bounds the overlap by
@@ -375,11 +409,16 @@ def _ngram_jaccard_class_pairs(
     overlap_bound = 1 + F.least(
         F.col("p1.sz") - F.col("p1.pos"), F.col("p2.sz") - F.col("p2.pos")
     )
+    pair_cond = (
+        F.col("p1.cls") < F.col("p2.cls")
+        if new_cls is None
+        else F.col("p1.cls") != F.col("p2.cls")
+    )
     cand = (
         p1.join(
             p2,
             (F.col("p1.tok") == F.col("p2.tok"))
-            & (F.col("p1.cls") < F.col("p2.cls"))
+            & pair_cond
             # size filter: J >= t implies min >= t * max
             & (
                 F.least("p1.sz", "p2.sz")
@@ -387,7 +426,10 @@ def _ngram_jaccard_class_pairs(
             )
             & (overlap_bound >= overlap_need),
         )
-        .select(F.col("p1.cls").alias("ca"), F.col("p2.cls").alias("cb"))
+        .select(
+            F.least(F.col("p1.cls"), F.col("p2.cls")).alias("ca"),
+            F.greatest(F.col("p1.cls"), F.col("p2.cls")).alias("cb"),
+        )
         .distinct()
     )
 
@@ -402,7 +444,7 @@ def _ngram_jaccard_class_pairs(
     )
     s1 = reps.select(F.col("cls").alias("ca"), F.col("sz").alias("sza"))
     s2 = reps.select(F.col("cls").alias("cb"), F.col("sz").alias("szb"))
-    cls_pairs = (
+    return (
         inter.join(s1, "ca")
         .join(s2, "cb")
         .select(
@@ -414,7 +456,29 @@ def _ngram_jaccard_class_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return classes, cls_pairs
+
+
+def _ngram_jaccard_class_pairs(
+    docs: DataFrame,
+    *,
+    n: int,
+    threshold: float,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Class-level core of :func:`ngram_jaccard_pairs`: collapse
+    exact-duplicate token sets into classes, then exact Jaccard over
+    class representatives only (bitset or prefix regime — see
+    :func:`_jaccard_cls_pairs`).
+
+    Returns ``(classes, cls_pairs)``: per-doc class membership
+    ``(doc_id, cls, sz)`` and qualifying distinct-class pairs
+    ``(ca, cb, jaccard)`` with ``ca < cb`` — everything BEFORE the
+    quadratic member-pair expansion, so consumers that only need
+    connectivity (:func:`dedup_keep_list`) can stay linear in corpus
+    size while :func:`ngram_jaccard_pairs` keeps its all-pairs output
+    contract."""
+    classes, reps, rtoks, dfreq = _class_structures(docs, n=n, text_col=text_col)
+    return classes, _jaccard_cls_pairs(reps, rtoks, dfreq, threshold)
 
 
 # ----------------------------------------------------------- MinHash + LSH
@@ -754,6 +818,82 @@ def dedup_keep_list(
             docs, n=n, threshold=threshold, text_col=text_col
         ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         comp = connected_components(spark, pairs, fixed_iters=cc_fixed_iters)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("keep_id")
+        )
+    )
+
+
+def dedup_keep_list_delta(
+    docs: DataFrame,
+    new_ids: DataFrame,
+    old_keeps: DataFrame,
+    *,
+    n: int = 1,
+    threshold: float = 0.9,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental keep-list maintenance — the continuous-crawl shape:
+    given the full corpus ``docs``, the newly ingested batch
+    ``new_ids`` (a (doc_id) relation) and the maintained keep-list
+    ``old_keeps`` (= :func:`dedup_keep_list` over docs minus the
+    batch), produce the keep-list of the FULL corpus while restricting
+    all quadratic pair work to pairs touching a new class.
+
+    Exactness argument: union components are the transitive closure of
+    (old qualifying pairs) ∪ (qualifying pairs touching a new doc).
+    ``old_keeps`` star edges (keep_id -> doc_id) encode the first set's
+    closure exactly; membership stars over the UNION classes cover
+    same-token-set pairs (a new exact dup joins its class by hash
+    equality, whatever batch it arrived in); delta class pairs
+    (:func:`_jaccard_cls_pairs` with ``new_cls``) cover every
+    cross-class pair with a new side — recall 1.0 in both regimes
+    (bitset: new x all blocks; prefix: symmetric prefix theorem).
+    keep_id = component min is unchanged, so the output is
+    row-identical to a full recompute (the gate oracles it against the
+    batch SQL twin).
+
+    Linear passes (tokenize/class-collapse) are recomputed over the
+    union here; a production deployment persists the class and gram
+    tables between batches (the `_KEEP_LIST_CACHE`/GraphTables
+    pattern) — the point of this operator is that the O(n^2) candidate
+    work, the part that matters at 100 TB, is |new| x |all|.
+    """
+    spark = docs.sparkSession
+    from graphjet_spark.plans.components import connected_components_star
+
+    classes, reps, rtoks, dfreq = _class_structures(docs, n=n, text_col=text_col)
+    new_cls = (
+        classes.join(new_ids.select("doc_id"), "doc_id")
+        .select("cls")
+        .distinct()
+    )
+    cls_pairs = _jaccard_cls_pairs(reps, rtoks, dfreq, threshold, new_cls=new_cls)
+
+    roots = classes.groupBy("cls").agg(F.min("doc_id").alias("root"))
+    star = (
+        classes.join(roots, "cls")
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    cross = (
+        cls_pairs.join(
+            roots.select(F.col("cls").alias("ca"), F.col("root").alias("src")), "ca"
+        )
+        .join(
+            roots.select(F.col("cls").alias("cb"), F.col("root").alias("dst")), "cb"
+        )
+        .select("src", "dst")
+    )
+    old_edges = old_keeps.filter(F.col("doc_id") != F.col("keep_id")).select(
+        F.col("keep_id").alias("src"), F.col("doc_id").alias("dst")
+    )
+    comp = connected_components_star(
+        spark, star.unionByName(cross).unionByName(old_edges)
+    )
     return (
         docs.select("doc_id")
         .join(comp, docs.doc_id == comp.id, "left")

@@ -288,6 +288,53 @@ def test_dedup_keep_list_matches_union_find(spark):
         assert got == want
 
 
+def test_dedup_keep_list_delta_matches_full_recompute(spark):
+    """Incremental keep-list maintenance (delta-ingest: quadratic pair
+    work restricted to new x all) is row-identical to a full batch
+    recompute, in BOTH similarity regimes (dense-vocab bitset and
+    sparse-vocab prefix) and across several random batch splits —
+    including batches that bridge two previously separate clusters and
+    batches of exact dups of old docs."""
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.operators import dedup as dd
+    from graphjet_spark.operators.dedup import dedup_keep_list_delta
+
+    for regime, nvocab in (("dense", 30), ("sparse", 400)):
+        rng = np.random.default_rng(7 if regime == "dense" else 8)
+        vocab = [f"w{i}" for i in range(nvocab)]
+        assert (nvocab <= dd._BITSET_VOCAB_MAX) == (regime == "dense")
+        base = [
+            " ".join(
+                rng.choice(vocab, size=rng.integers(6, 14), replace=False)
+            )
+            for _ in range(10)
+        ]
+        rows = []
+        for i in range(40):
+            rows.append((i, base[i % len(base)]))
+        rows += [(100, ""), (101, base[0] + " " + vocab[0])]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        full = {
+            r["doc_id"]: r["keep_id"]
+            for r in dedup_keep_list(docs, n=1, threshold=0.8).collect()
+        }
+        for mod in (3, 7):
+            new_ids = docs.filter(F.pmod("doc_id", F.lit(mod)) == 0).select(
+                "doc_id"
+            )
+            old_docs = docs.join(new_ids, "doc_id", "left_anti")
+            old_keeps = dedup_keep_list(old_docs, n=1, threshold=0.8)
+            got = {
+                r["doc_id"]: r["keep_id"]
+                for r in dedup_keep_list_delta(
+                    docs, new_ids, old_keeps, n=1, threshold=0.8
+                ).collect()
+            }
+            assert got == full, (regime, mod)
+
+
 def test_embedding_near_dups_lsh_planted_recall(spark):
     """The sublinear LSH near-dup path finds every planted near-dup at a
     true near-dup threshold (0.9): recall 1.0 vs a numpy exact oracle,
