@@ -60,18 +60,36 @@ def gram_expr(text_col: str, n: int):
     with a descending index throws)."""
     if n == 1:
         return F.split(F.col(text_col), r"\s+")
+    # bind the split ONCE per row via a 1-element-array lambda: inlining
+    # the split inside the window lambda re-tokenizes the whole text per
+    # gram index (O(len^2) per doc); same output byte-for-byte.
     toks = f"split({text_col}, '\\\\s+')"
     return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
-        f"ELSE array() END"
+        f"element_at(transform(array({toks}), a -> "
+        f"CASE WHEN size(a) >= {n} THEN "
+        f"transform(sequence(0, size(a) - {n}), "
+        f"i -> concat_ws(' ', slice(a, i + 1, {n}))) "
+        f"ELSE array() END), 1)"
     )
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to defaultParallelism when it
+    arrives as fewer splits.  A small corpus lands in one parquet split
+    and would pin a compute-heavy scan stage (gram explode, md5 per
+    shingle) to one core — the reason exact_substring_pairs ran 12.5x
+    on 10x data in the sf1 soak.  At scale the file splits already
+    provide the parallelism and this is a no-op."""
+    spark = docs.sparkSession
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return docs
 
 
 def token_sets(docs: DataFrame, text_col: str = "text", n: int = 1) -> DataFrame:
     """(doc_id, tok) distinct token n-grams, built JVM-side: split +
     transform/slice for n>1 (no UDF)."""
+    docs = _spread(docs)
     return (
         docs.select("doc_id", F.explode(gram_expr(text_col, n)).alias("tok"))
         .filter(F.col("tok") != "")
@@ -514,14 +532,7 @@ def shingle_hashes(
     n-grams built over the *non-empty* whitespace tokens — all JVM
     column expressions, no Python kernel.  ``mod`` optionally reduces
     each hash mod a prime (MinHash wants values < 2^31)."""
-    # Shingle hashing is embarrassingly parallel but compute-heavy
-    # (md5 per shingle, then 128 modular permutations downstream); a
-    # small corpus arriving as one parquet split would pin the whole
-    # stage to one core, so spread it.  At scale the file splits
-    # already provide the parallelism and this is a no-op.
-    spark = docs.sparkSession
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = _spread(docs)
     w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     staged = docs.select("doc_id", w.alias("w"))
     if n == 1:
@@ -1188,15 +1199,19 @@ def exact_substring_pairs(
     Output ``(doc_a, doc_b, shared_windows)`` with doc_a < doc_b —
     pure integers, fully cross-engine oracle-able.
     """
+    # bind filter(split(...)) ONCE per row (see gram_expr): the inlined
+    # form re-tokenized the doc per window index — O(len^2) per doc, the
+    # reason this query ran 12.5x on 10x data in the sf1 soak.
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     wins_arr = F.expr(
-        f"CASE WHEN size({toks}) >= {window} THEN "
-        f"transform(sequence(0, size({toks}) - {window}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {window}))) "
-        f"ELSE array() END"
+        f"element_at(transform(array({toks}), a -> "
+        f"CASE WHEN size(a) >= {window} THEN "
+        f"transform(sequence(0, size(a) - {window}), "
+        f"i -> concat_ws(' ', slice(a, i + 1, {window}))) "
+        f"ELSE array() END), 1)"
     )
     wins = (
-        docs.select("doc_id", F.explode(wins_arr).alias("s"))
+        _spread(docs).select("doc_id", F.explode(wins_arr).alias("s"))
         .select("doc_id", _hash60(F.col("s")).alias("h"))
         .distinct()
         .localCheckpoint(eager=True)
