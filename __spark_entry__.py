@@ -74,6 +74,27 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_table(_tables(spark, sf_dir, "graph_edges").pairs)
 
 
+def _q_edgelist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector round-trip gate: export the canonical graph as a
+    SNAP-style TAB edge list (sources/edgelist.py), read it back, and
+    compute the degree table.  Value-oracled against the SAME DuckDB
+    degrees SQL that gates ``degrees`` — a hash match proves the
+    write/read cycle is lossless edge-for-edge."""
+    import os
+    import tempfile
+
+    from graphjet_spark.sources.edgelist import read_edgelist, write_edgelist
+
+    pairs = _tables(spark, sf_dir, "graph_edges").pairs
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "graphjet_edgelist",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_edgelist(pairs, dest)
+    return degree_table(read_edgelist(spark, dest))
+
+
 ASOF_CUTOFF = "1998-01-01 00:00:00"
 
 
@@ -1878,6 +1899,7 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
+        "edgelist_roundtrip_degrees": _q_edgelist_roundtrip,
         "top_parts_by_engagement": _q_top_parts,
         "typed_degrees": _q_typed_degrees,
         "vocab_coverage": _q_vocab_coverage,
@@ -2019,7 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     cte = testdata.oracle_cte()
-    return {
+    out = {
         "degrees": cte
         + """
 , e AS (SELECT DISTINCT src, dst FROM graph_edges),
@@ -2341,3 +2363,8 @@ GROUP BY d.lang, l.pred_lang
         # ivf_ann_topk: engine-defined (seeded-RNG) semantics —
         # pytest-oracled, rows-only here
     }
+    # the round-trip gate must land on byte-identical ground truth to
+    # `degrees`: same SQL twin, so a hash match proves the edge-list
+    # write/read cycle lost nothing.
+    out["edgelist_roundtrip_degrees"] = out["degrees"]
+    return out
