@@ -74,6 +74,32 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_table(_tables(spark, sf_dir, "graph_edges").pairs)
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector round-trip gate: export the documents table as JSONL
+    (sources/jsonl.py), read it back with the explicit schema, and
+    fingerprint EVERY column of every row (md5 over a \\x1f-joined
+    field concat).  Value-oracled against DuckDB computing the same
+    fingerprint on the parquet directly — a hash match proves the
+    JSONL write/read cycle is lossless field-for-field."""
+    import os
+    import tempfile
+
+    from graphjet_spark.sources.jsonl import read_jsonl_docs, write_jsonl_docs
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "graphjet_jsonl",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_jsonl_docs(_docs(spark, sf_dir), dest)
+    back = read_jsonl_docs(spark, dest)
+    row = F.concat_ws(
+        "\x1f",
+        *[F.col(c).cast("string") for c in ("doc_id", "text", "lang", "source", "n_chars")],
+    )
+    return back.select("doc_id", F.md5(row).alias("row_md5"))
+
+
 def _q_edgelist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connector round-trip gate: export the canonical graph as a
     SNAP-style TAB edge list (sources/edgelist.py), read it back, and
@@ -1900,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
         "edgelist_roundtrip_degrees": _q_edgelist_roundtrip,
+        "jsonl_roundtrip_fingerprint": _q_jsonl_roundtrip,
         "top_parts_by_engagement": _q_top_parts,
         "typed_degrees": _q_typed_degrees,
         "vocab_coverage": _q_vocab_coverage,
@@ -2367,4 +2394,12 @@ GROUP BY d.lang, l.pred_lang
     # `degrees`: same SQL twin, so a hash match proves the edge-list
     # write/read cycle lost nothing.
     out["edgelist_roundtrip_degrees"] = out["degrees"]
+    # full-row fidelity twin computed on the parquet directly — the
+    # Spark side computes it on the JSONL round-trip of the same table.
+    out["jsonl_roundtrip_fingerprint"] = """
+SELECT doc_id,
+       md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), text, lang,
+                     source, CAST(n_chars AS VARCHAR))) AS row_md5
+FROM documents
+"""
     return out
