@@ -356,3 +356,71 @@ def streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_keep_list(spark: SparkSession, state_dir: str):
+    """Latest committed ``(doc_id, keep_id)`` snapshot written by
+    :func:`streaming_keep_list`, or ``None`` before the first batch."""
+    return _latest_snapshot(spark, os.path.join(state_dir, "keeps"))
+
+
+def streaming_keep_list(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    *,
+    checkpoint_dir: str,
+    n: int = 1,
+    threshold: float = 0.9,
+):
+    """Live near-dup keep-list maintenance over a micro-batch document
+    stream — the streaming composition of
+    :func:`graphjet_spark.operators.dedup.dedup_keep_list_delta`: each
+    batch appends to the accumulated corpus, then folds into the
+    keep-list with quadratic pair work restricted to new x all (never a
+    full recompute).  This is the continuous-crawl dedup loop: GraphJet
+    ingests edges into a live segment while serving reads (reference:
+    bipartite/LeftIndexedMultiSegmentBipartiteGraph.java:144-158); here
+    the "live segment" is the newest corpus batch and the served state
+    is the keep-list.
+
+    Exactly-once on top of at-least-once foreachBatch, like
+    :func:`streaming_components`: the batch's corpus slice lands
+    idempotently at ``corpus/b=<batch_id>`` and the keep-list snapshot
+    at ``keeps/v=<batch_id>``; a replayed batch reads the snapshot
+    STRICTLY BEFORE its own id, so replay recomputes byte-identical
+    output and overwrites itself.  Readers pick the latest committed
+    snapshot (:func:`read_keep_list`) — equal, by
+    ``dedup_keep_list_delta``'s row-identity contract, to the batch
+    :func:`~graphjet_spark.operators.dedup.dedup_keep_list` over
+    everything ingested so far.
+    """
+    corpus_dir = os.path.join(state_dir, "corpus")
+    keeps_dir = os.path.join(state_dir, "keeps")
+    from graphjet_spark.operators.dedup import dedup_keep_list_delta
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"b={batch_id}")
+        )
+        corpus = spark.read.parquet(corpus_dir).drop("b")
+        old = _latest_snapshot(spark, keeps_dir, before=batch_id)
+        if old is None:
+            old = spark.createDataFrame([], "doc_id bigint, keep_id bigint")
+        keeps = dedup_keep_list_delta(
+            corpus,
+            batch.select("doc_id"),
+            old,
+            n=n,
+            threshold=threshold,
+        )
+        keeps.write.mode("overwrite").parquet(
+            os.path.join(keeps_dir, f"v={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -383,3 +383,67 @@ def test_streaming_cms_folds_match_batch_grid(spark, tmp_path):
     _run()
     _feed([2, 2, 9, 10])  # restart on the same checkpoint
     _run()
+
+
+def test_streaming_keep_list_matches_batch_dedup(spark, tmp_path):
+    """Live keep-list folded per micro-batch through
+    dedup_keep_list_delta must equal batch dedup_keep_list over every
+    document ingested so far — after each feed AND across a query
+    restart from the checkpoint."""
+    from graphjet_spark.operators.dedup import dedup_keep_list
+
+    docs_dir = str(tmp_path / "kl_docs_in")
+    ck = str(tmp_path / "kl_ck")
+    state = str(tmp_path / "kl_state")
+    schema = "doc_id bigint, text string"
+
+    def _feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(docs_dir)
+        q = ingest.streaming_keep_list(
+            spark, stream, state, checkpoint_dir=ck, n=1, threshold=0.6
+        )
+        q.awaitTermination()
+
+    def _want(all_rows):
+        df = spark.createDataFrame(all_rows, schema)
+        return {
+            r["doc_id"]: r["keep_id"]
+            for r in dedup_keep_list(df, n=1, threshold=0.6).collect()
+        }
+
+    # near-dup cluster {1,2}, exact-dup cluster {3,4}, singleton 5
+    batch1 = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "one two three"),
+        (4, "one two three"),
+        (5, "totally unrelated words here"),
+    ]
+    _feed(batch1)
+    _run()
+    got = {
+        r["doc_id"]: r["keep_id"]
+        for r in ingest.read_keep_list(spark, state).collect()
+    }
+    assert got == _want(batch1)
+
+    # batch 2: doc 6 bridges cluster {1,2} (near-dup of 1), doc 7 is an
+    # exact dup of 5, doc 8 is new and unique; restart from checkpoint
+    batch2 = [
+        (6, "alpha beta gamma delta epsilon"),
+        (7, "totally unrelated words here"),
+        (8, "fresh content never seen"),
+    ]
+    _feed(batch2)
+    _run()
+    got = {
+        r["doc_id"]: r["keep_id"]
+        for r in ingest.read_keep_list(spark, state).collect()
+    }
+    assert got == _want(batch1 + batch2)
+    assert got[6] == got[1] and got[7] == got[5] and got[8] == 8
