@@ -89,3 +89,14 @@ def test_writer_is_partition_parallel(spark, tmp_path):
     parts = [p for p in os.listdir(dest) if p.startswith("part-")]
     assert len(parts) == 3
     assert _edge_set(read_edgelist(spark, dest)) == set(PAIRS)
+
+
+def test_gzip_edgelist_read(spark, tmp_path):
+    """SNAP dumps ship as .txt.gz; the CSV scan reads them transparently."""
+    import gzip
+
+    d = str(tmp_path / "gz")
+    os.makedirs(d, exist_ok=True)
+    with gzip.open(os.path.join(d, "edges.txt.gz"), "wt") as f:
+        f.write("# header\n1\t2\n3\t4\n")
+    assert _edge_set(read_edgelist(spark, d)) == {(1, 2), (3, 4)}

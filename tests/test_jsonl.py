@@ -72,3 +72,17 @@ def test_extra_keys_ignored(spark, tmp_path):
     )
     back = read_jsonl_docs(spark, d)
     assert _rows(back) == {(7, "t", "en", "w", 1)}
+
+
+def test_gzip_jsonl_read(spark, tmp_path):
+    """Crawl dumps ship as .jsonl.gz; Spark's JSON scan must read them
+    transparently (gzip members parallelize per-file, not per-split)."""
+    import gzip
+
+    d = str(tmp_path / "gz")
+    os.makedirs(d, exist_ok=True)
+    line = '{"doc_id": 42, "text": "zipped", "lang": "en", "source": "w", "n_chars": 6}\n'
+    with gzip.open(os.path.join(d, "part-0.jsonl.gz"), "wt") as f:
+        f.write(line)
+    back = read_jsonl_docs(spark, d)
+    assert _rows(back) == {(42, "zipped", "en", "w", 6)}
