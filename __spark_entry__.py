@@ -1402,6 +1402,16 @@ def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring corpus rewrite (Lee et al. ACL'22 §4 output):
+    every duplicated 8-token window keeps only its globally-first
+    occurrence; later occurrences have their covered tokens dropped and
+    each document is re-assembled from the survivors."""
+    from graphjet_spark.operators.dedup import substring_dedup_rewrite
+
+    return substring_dedup_rewrite(_docs(spark, sf_dir), window=SUBSTR_WINDOW)
+
+
 # Engine-resident dedup keep-list (per sf_dir per process): at 100 TB
 # this is a table the ingest pipeline maintains and queries join — the
 # doc-side analogue of _GRAPH_TABLES.  First query to touch it pays the
@@ -2019,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "exact_substring_dups": _q_exact_substring,
+        "substring_dedup_rewrite": _q_substring_rewrite,
         "dedup_keep_list": _q_dedup_keep_list,
         "dedup_keep_list_delta": _q_dedup_keep_list_delta,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
@@ -2315,6 +2326,9 @@ GROUP BY s.seed ORDER BY s.seed
         "ngram_jaccard_dups": oracles.ngram_jaccard_sql(0.9),
         "exact_substring_dups": oracles.exact_substring_pairs_sql(
             SUBSTR_WINDOW, SUBSTR_DF_CAP
+        ),
+        "substring_dedup_rewrite": oracles.substring_dedup_rewrite_sql(
+            SUBSTR_WINDOW
         ),
         "dedup_keep_list": oracles.dedup_keep_list_sql(0.9, iters=12),
         # incremental == batch: the delta query must reproduce the

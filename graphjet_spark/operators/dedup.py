@@ -1235,6 +1235,102 @@ def exact_substring_pairs(
     )
 
 
+def substring_dedup_rewrite(
+    docs: DataFrame,
+    *,
+    window: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring corpus REWRITE (Lee et al. ACL'22 §4 — the
+    deliverable their suffix-array tool actually emits, not just the
+    pair evidence of :func:`exact_substring_pairs`): every verbatim run
+    of ``window`` whitespace tokens keeps exactly its globally-first
+    occurrence (lexicographic min over (doc_id, start position), so the
+    rule is a total order and the output is ingest-order deterministic);
+    every later occurrence — in another document OR later in the same
+    document — has all of its covered token positions dropped, and each
+    document is re-assembled from its surviving tokens.
+
+    A fully-duplicated document therefore rewrites to the empty string
+    (its every window is a later occurrence), the first copy survives
+    verbatim, and in-document repetition collapses to its first span —
+    the MassiveText in-doc dedupe for free.
+
+    Output ``(doc_id, kept_text, n_tokens, n_dropped)``, one row per
+    input document (short docs with < ``window`` tokens pass through
+    unchanged).
+
+    Scale shape (100-TB audit): windows are one posexplode (linear in
+    token volume); the first-occurrence table is one map-side-combined
+    ``min`` groupBy on the 60-bit window hash; later-occurrence
+    detection is a linear equi-join back on the hash (each window row
+    meets exactly one ``firsts`` row — NO pair fan-out, so unlike the
+    pair query there is no df-cap and boilerplate spans are handled at
+    full df); coverage expansion is a bounded ``sequence`` explode
+    (``window`` rows per dup instance); the rewrite joins one
+    doc-id-keyed dropped-positions array per document and filters
+    row-locally (shuffle volume is document-count-, not token-, sized).
+    First-occurrence keys pack as ``doc_id * 2^20 + pos`` (documents up
+    to 1M tokens; a corpus with longer docs or >2^43 doc ids would
+    switch the min to a struct ordering).
+    """
+    w = int(window)
+    pos_pack = 1 << 20
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    base = (
+        _spread(docs)
+        .select("doc_id", F.expr(toks).alias("toks"))
+        # consumed twice (window scan + final rewrite join): checkpoint
+        # so the tokenizing scan runs once
+        .localCheckpoint(eager=True)
+    )
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {w} THEN "
+                f"transform(sequence(1, size(toks) - {w} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {w}))) "
+                f"ELSE array() END"
+            )
+        ).alias("i0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).cast("bigint").alias("pos"),
+        _hash60(F.col("s")).alias("h"),
+    )
+    firsts = wins.groupBy("h").agg(
+        F.min(F.col("doc_id") * pos_pack + F.col("pos")).alias("first_key")
+    )
+    dup_instances = (
+        wins.join(firsts, "h")
+        .where(F.col("doc_id") * pos_pack + F.col("pos") > F.col("first_key"))
+        .select("doc_id", "pos")
+    )
+    dropped = (
+        dup_instances.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("dropped"))
+    )
+    return base.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        F.expr(
+            "array_join(filter(transform(toks, (t, i) -> "
+            "IF(array_contains(coalesce(dropped, array()), "
+            "CAST(i + 1 AS BIGINT)), NULL, t)), t -> t IS NOT NULL), ' ')"
+        ).alias("kept_text"),
+        F.expr("size(toks)").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.expr("size(dropped)"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
 def crossdoc_dup_fraction(
     docs: DataFrame,
     *,

@@ -2783,6 +2783,57 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}"""
 
 
+def substring_dedup_rewrite_sql(window: int = 8) -> str:
+    """Exact-substring corpus rewrite (operators/dedup.py::
+    substring_dedup_rewrite twin): keep each window's lexicographically
+    first (doc_id, pos) occurrence, drop every token position covered by
+    a later occurrence, re-assemble surviving tokens in position order.
+    First-occurrence keys pack as doc_id * 2^20 + pos, identical to the
+    Spark side."""
+    w = int(window)
+    return rf"""WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+  FROM documents),
+wins AS MATERIALIZED (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= {w} THEN range(1, len(w) - {w} + 2)
+                  ELSE [] END)::BIGINT AS pos,
+           unnest(CASE WHEN len(w) >= {w} THEN
+             list_transform(range(len(w) - {w} + 1),
+               i -> array_to_string(list_slice(w, i + 1, i + {w}), ' '))
+             ELSE [] END) AS s
+    FROM toks)),
+firsts AS MATERIALIZED (
+  SELECT h, MIN(doc_id * 1048576 + pos) AS first_key FROM wins GROUP BY h),
+dropped AS MATERIALIZED (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT wi.doc_id, wi.pos + unnest(range({w})) AS p
+    FROM wins wi JOIN firsts f USING (h)
+    WHERE wi.doc_id * 1048576 + wi.pos > f.first_key)),
+tokrows AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(w) AS tok,
+         unnest(range(1, len(w) + 1))::BIGINT AS p
+  FROM toks),
+kept AS MATERIALIZED (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS kept_text
+  FROM tokrows t LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.p = d.p
+  WHERE d.doc_id IS NULL
+  GROUP BY t.doc_id)
+SELECT b.doc_id,
+       COALESCE(k.kept_text, '') AS kept_text,
+       len(b.w)::BIGINT AS n_tokens,
+       COALESCE(nd.nd, 0)::BIGINT AS n_dropped
+FROM toks b
+LEFT JOIN kept k ON b.doc_id = k.doc_id
+LEFT JOIN (SELECT doc_id, COUNT(*) AS nd FROM dropped GROUP BY doc_id) nd
+  ON b.doc_id = nd.doc_id"""
+
+
 def spam_mass_sql(
     iters: int,
     seeds: dict[int, float],

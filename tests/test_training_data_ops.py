@@ -1074,6 +1074,60 @@ def test_exact_substring_pairs_matches_mirror(spark, docs):
     assert got[(0, 1)] == 7 and got[(0, 2)] == 5  # full dup vs prefix run
 
 
+def test_substring_dedup_rewrite_matches_mirror(spark):
+    """The corpus rewrite (keep the globally-first occurrence of every
+    duplicated window, drop covered tokens elsewhere) equals a literal
+    per-document mirror; exact dups empty out, the first copy survives
+    verbatim, in-doc repetition collapses, short docs pass through."""
+    from graphjet_spark.operators.dedup import substring_dedup_rewrite
+
+    window = 4
+    corpus = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        # shares the 5-token run "gamma delta epsilon zeta eta" with 0
+        (2, "intro words gamma delta epsilon zeta eta outro words"),
+        # in-doc repetition: "one two three four" appears twice
+        (3, "one two three four filler one two three four"),
+        (4, "too short here"),  # < window tokens: untouched
+        (5, ""),
+    ]
+
+    firsts: dict[str, tuple[int, int]] = {}
+    for doc_id, text in corpus:
+        toks = [t for t in text.split() if t]
+        for i in range(len(toks) - window + 1):
+            s = " ".join(toks[i : i + window])
+            key = (doc_id, i + 1)
+            if s not in firsts or key < firsts[s]:
+                firsts[s] = key
+    want = {}
+    for doc_id, text in corpus:
+        toks = [t for t in text.split() if t]
+        dropped: set[int] = set()
+        for i in range(len(toks) - window + 1):
+            s = " ".join(toks[i : i + window])
+            if firsts[s] != (doc_id, i + 1):
+                dropped.update(range(i + 1, i + 1 + window))
+        kept = [t for j, t in enumerate(toks, 1) if j not in dropped]
+        want[doc_id] = (" ".join(kept), len(toks), len(dropped))
+
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_tokens"], r["n_dropped"])
+        for r in substring_dedup_rewrite(
+            spark.createDataFrame(corpus, "doc_id bigint, text string"),
+            window=window,
+        ).collect()
+    }
+    assert got == want
+    assert got[0][0] == corpus[0][1]  # first copy survives verbatim
+    assert got[1] == ("", 8, 8)  # exact dup rewrites to empty
+    assert got[2][0] == "intro words outro words"  # shared run excised
+    assert got[3][0] == "one two three four filler"  # in-doc repeat collapses
+    assert got[4] == ("too short here", 3, 0)
+    assert got[5] == ("", 0, 0)
+
+
 def test_crossdoc_dup_fraction_mirror(spark, docs):
     """Inter-document duplicated-n-gram fraction vs a literal mirror
     over the fixture corpus (exact dup pair, a near dup, an island,
