@@ -259,3 +259,52 @@ def host_graph(edges: DataFrame) -> DataFrame:
             F.countDistinct("src_url").cast("bigint").alias("n_src_pages"),
         )
     )
+
+
+def canonical_url_expr(url):
+    """JVM Column twin of :func:`graphjet_spark.functions.webtext.
+    canonicalize_url` (kept in lockstep by
+    ``tests/test_pages_pipeline.py::test_canonical_url_expr_parity``):
+    strip fragment + surrounding whitespace, lowercase the
+    ``scheme://host`` origin while preserving path/query case, drop the
+    trailing slash on non-root paths.  Pure regexp projection — runs at
+    scan rate inside whole-stage codegen, so URL-keyed operators never
+    pay an Arrow round trip for canonicalization."""
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    origin = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)"
+    u = F.concat(
+        F.lower(F.regexp_extract(u, origin, 1)),
+        F.regexp_replace(u, origin, ""),
+    )
+    return F.regexp_replace(u, r"(?<=[^/])/$", "")
+
+
+def latest_capture(pages: DataFrame) -> DataFrame:
+    """One row per canonical URL: the newest capture wins — the
+    Common-Crawl ingest dedup (the same page is re-captured across
+    monthly snapshots; the graph/corpus build must see exactly one).
+
+    Winner = max ``warc_ts``; ties break deterministically on
+    ``(md5(html), url)`` so re-runs and engine versions agree.  Output
+    carries every page column plus ``canonical_url`` and ``n_captures``
+    (the capture multiplicity — a crawl-health signal).
+
+    Scale shape: ONE ``max_by`` aggregation keyed on the canonical URL.
+    Partial aggregation keeps at most one candidate row per URL per map
+    partition, so the shuffle moves ~one page row per distinct URL —
+    the minimum any selection must move — and never builds a window
+    over hub keys or a self-join.
+    """
+    row = F.struct(*[F.col(c) for c in pages.columns])
+    order = F.struct(
+        F.col("warc_ts"), F.md5(F.col("html")).alias("tb"), F.col("url")
+    )
+    return (
+        pages.withColumn("canonical_url", canonical_url_expr(F.col("url")))
+        .groupBy("canonical_url")
+        .agg(
+            F.max_by(row, order).alias("_r"),
+            F.count(F.lit(1)).cast("bigint").alias("n_captures"),
+        )
+        .select("canonical_url", "_r.*", "n_captures")
+    )

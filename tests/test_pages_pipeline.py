@@ -217,3 +217,78 @@ def test_host_graph_matches_ground_truth_fold(corpus):
         agg[key][1].add(src_url)
     want = {k: (n, len(s)) for k, (n, s) in agg.items()}
     assert got == want
+
+
+def test_canonical_url_expr_parity(spark):
+    """The JVM Column canonicalizer must stay byte-identical to the
+    pandas/Arrow one used inside the extraction UDFs — a drift here
+    would silently split a URL's captures across two canonical keys."""
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.functions.webtext import canonicalize_url
+    from graphjet_spark.plans.build_edges import canonical_url_expr
+
+    battery = [
+        "http://Example.COM/Path/Page.html",
+        "https://site.org/a/b/#frag",
+        "  http://ws.example.net/x  ",
+        "http://example.com/",
+        "http://example.com/dir/",
+        "http://example.com",
+        "HTTP://UPPER.example.com/MixedPath?Q=V#sec",
+        "ftp+ssh://Host.Net/file/",
+        "no-scheme/relative/path/",
+        "http://example.com/a//b//",
+        "http://example.com/#",
+    ]
+    want = canonicalize_url(pd.Series(battery)).tolist()
+    got = [
+        r["c"]
+        for r in spark.createDataFrame([(u,) for u in battery], "url string")
+        .select(canonical_url_expr(F.col("url")).alias("c"))
+        .collect()
+    ]
+    assert got == want
+
+
+def test_latest_capture_newest_wins(spark, corpus):
+    """Re-captures of the same canonical URL collapse to the newest
+    warc_ts row; fragment/case variants of the URL collapse too; the
+    tie-break on (md5(html), url) is deterministic."""
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.plans.build_edges import latest_capture
+
+    pdf, _, pages = corpus
+    n_urls = pages.count()
+
+    # older re-capture (must lose) + newer re-capture (must win) of the
+    # first page, under fragment/host-case URL variants
+    first = pages.orderBy("url").limit(1)
+    older = first.select(
+        F.concat(F.col("url"), F.lit("#frag")).alias("url"),
+        (F.col("warc_ts") - F.expr("INTERVAL 400 DAYS")).alias("warc_ts"),
+        F.col("html"),
+        F.col("text"),
+        F.lit("xx").alias("lang"),
+    )
+    newer = first.select(
+        F.col("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 400 DAYS")).alias("warc_ts"),
+        F.col("html"),
+        F.concat(F.lit("RECRAWL "), F.col("text")).alias("text"),
+        F.col("lang"),
+    )
+    got = latest_capture(pages.unionByName(older).unionByName(newer))
+    assert got.count() == n_urls  # variants collapsed, nothing else lost
+
+    target = first.collect()[0]
+    win = got.where(F.col("url") == target["url"]).collect()
+    assert len(win) == 1
+    assert win[0]["n_captures"] == 3
+    assert win[0]["text"].startswith("RECRAWL ")
+    assert win[0]["warc_ts"] > target["warc_ts"]
+
+    # everything untouched passes through verbatim (single capture)
+    untouched = got.where(F.col("n_captures") == 1)
+    assert untouched.count() == n_urls - 1
