@@ -1675,6 +1675,95 @@ def _q_pii_scrub_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(plant_pii(_docs(spark, sf_dir)))
 
 
+def _q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-ingest dedup: newest capture per canonical URL over a
+    deterministic multi-capture pages fixture (three URL spellings per
+    document that all canonicalize to one URL — fragment, trailing
+    slash, uppercase origin).  Output is the kept raw URL, its epoch,
+    lang, and the capture multiplicity per canonical URL."""
+    from graphjet_spark.plans.build_edges import latest_capture
+    from graphjet_spark.sources.pages import synth_captures
+
+    out = latest_capture(synth_captures(_docs(spark, sf_dir)))
+    return out.select(
+        "canonical_url",
+        F.col("url").alias("kept_url"),
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        "lang",
+        "n_captures",
+    )
+
+
+REDIRECT_ROUNDS = 3
+
+
+def _q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling over a functional
+    redirect map derived from the canonical graph (every 4th node
+    redirects to its MIN out-neighbor — min walks down the layer
+    namespaces, so customer -> order -> part -> supplier chains of
+    length 3 occur; the layering makes the map a DAG).  Output: final
+    landing node, hop count, and an honest resolved/overflow flag per
+    redirecting node (cycle handling is pinned by the planted-cycle
+    pytest — the canonical graph has none)."""
+    from graphjet_spark.plans.build_edges import resolve_redirects
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    redirects = (
+        edges.where(F.col("src") % 4 == 0)
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+    return resolve_redirects(redirects, rounds=REDIRECT_ROUNDS)
+
+
+def _q_host_graph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level webgraph fold (the Common-Crawl "host graph"
+    artifact) over a URL-shaped projection of the canonical graph:
+    node -> https://h{id%8}.example.org/p{id}, then inter-host link
+    counts + distinct linking pages per host pair."""
+    from graphjet_spark.plans.build_edges import host_graph
+
+    def url(c: str):
+        return F.concat(
+            F.lit("https://h"),
+            (F.col(c) % 8).cast("string"),
+            F.lit(".example.org/p"),
+            F.col(c).cast("string"),
+        )
+
+    edges = testdata.graph_edges(spark, sf_dir)
+    return host_graph(
+        edges.select(url("src").alias("src_url"), url("dst").alias("dst_url"))
+    )
+
+
+def _q_anchor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile (what other pages call each url —
+    the web-search / LLM-pretraining anchor corpus) over a
+    SQL-expressible anchor-row fixture derived from the interaction
+    stream: anchor term = (src+dst) % 7, duplicates preserved, so
+    modal-anchor ties and multi-referrer targets both occur."""
+    from graphjet_spark.plans.build_edges import anchor_text_summary
+
+    inter = testdata.interactions(spark, sf_dir)
+    rows = inter.select(
+        F.concat(
+            F.lit("https://c"),
+            (F.col("src") % 8).cast("string"),
+            F.lit(".example.org/u"),
+            F.col("src").cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("https://p.example.org/t"), F.col("dst").cast("string")
+        ).alias("dst_url"),
+        F.concat(
+            F.lit("term"), ((F.col("src") + F.col("dst")) % 7).cast("string")
+        ).alias("anchor"),
+    )
+    return anchor_text_summary(rows)
+
+
 BPE_TOPK = 50
 
 
@@ -2047,6 +2136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "token_count": _q_token_count,
         "pii_scrub_planted": _q_pii_scrub_planted,
+        "latest_capture": _q_latest_capture,
+        "redirect_resolution": _q_redirect_resolution,
+        "host_graph_fold": _q_host_graph_fold,
+        "anchor_text_summary": _q_anchor_summary,
         "winnowing_fingerprints": _q_winnowing,
         "bpe_merge_stats": _q_bpe_merge_stats,
         "source_token_kl": _q_source_token_kl,
@@ -2358,6 +2451,12 @@ GROUP BY s.seed ORDER BY s.seed
         "embedding_cluster_stats": oracles.embedding_cluster_stats_sql(),
         "token_count": oracles.token_count_sql(),
         "pii_scrub_planted": oracles.pii_scrub_sql(),
+        "latest_capture": oracles.latest_capture_sql(),
+        "redirect_resolution": oracles.redirect_resolution_sql(
+            REDIRECT_ROUNDS
+        ),
+        "host_graph_fold": oracles.host_graph_fold_sql(),
+        "anchor_text_summary": oracles.anchor_text_summary_sql(),
         "winnowing_fingerprints": oracles.winnowing_sql(),
         "bpe_merge_stats": oracles.bpe_merge_stats_sql(BPE_TOPK),
         "source_token_kl": oracles.source_token_kl_sql(),

@@ -4053,6 +4053,145 @@ FROM i
 """
 
 
+def latest_capture_sql() -> str:
+    """Twin of plans/build_edges.py::latest_capture over the
+    sources/pages.py::synth_captures fixture (three SQL-expressible
+    capture spellings per document; see that docstring for the layout).
+
+    Canonicalization twin of build_edges.canonical_url_expr: the Spark
+    side drops a non-root trailing slash with a Java lookbehind
+    ``(?<=[^/])/$``, which DuckDB's RE2 cannot parse — the capture +
+    backreference form ``([^/])/$ -> \\1`` is the RE2-safe equivalent.
+    ``arg_max`` needs no tiebreak: warc_ts offsets (+0/+2/+5) are
+    distinct per canonical URL by construction."""
+    origin = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)"
+    return f"""
+WITH caps AS MATERIALIZED (
+  SELECT doc_id,
+         'https://h' || (doc_id % 16) || '.example.org/Docs/' || doc_id
+           || '#top' AS url,
+         1767225600 + doc_id * 10 AS ts, lang
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'HTTPS://H' || (doc_id % 16) || '.EXAMPLE.ORG/Docs/' || doc_id
+           || '/' AS url,
+         1767225600 + doc_id * 10 + 5, lang
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://h' || (doc_id % 16) || '.example.org/Docs/' || doc_id
+           || '/#frag' AS url,
+         1767225600 + doc_id * 10 + 2, lang
+  FROM documents WHERE doc_id % 3 = 0),
+stripped AS MATERIALIZED (
+  SELECT *, regexp_replace(trim(url), '#.*$', '') AS u FROM caps),
+canon AS MATERIALIZED (
+  SELECT *,
+         regexp_replace(
+           lower(regexp_extract(u, '{origin}', 1))
+             || regexp_replace(u, '{origin}', ''),
+           '([^/])/$', '\\1') AS canonical_url
+  FROM stripped)
+SELECT canonical_url,
+       arg_max(url, ts) AS kept_url,
+       CAST(max(ts) AS BIGINT) AS warc_epoch,
+       arg_max(lang, ts) AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_captures
+FROM canon GROUP BY canonical_url
+"""
+
+
+def redirect_resolution_sql(rounds: int = 3) -> str:
+    """Twin of plans/build_edges.py::resolve_redirects over the
+    min-out-neighbor functional map (src % 4 == 0): the identical
+    pointer-doubling recurrence unrolled — each round a LEFT self-join
+    on the current pointer, chain_len accumulating the absorbed hops —
+    then the terminal test against the redirecting-src set."""
+    parts = [
+        "r AS MATERIALIZED (SELECT src, MIN(dst) AS dst FROM graph_edges"
+        " WHERE src % 4 = 0 GROUP BY src)",
+        "p0 AS MATERIALIZED (SELECT src, dst,"
+        " CAST(1 AS BIGINT) AS chain_len FROM r)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"p{i + 1} AS MATERIALIZED (SELECT p.src,"
+            f" COALESCE(q.dst, p.dst) AS dst,"
+            f" CAST(p.chain_len + COALESCE(q.chain_len, 0) AS BIGINT)"
+            f" AS chain_len"
+            f" FROM p{i} p LEFT JOIN p{i} q ON p.dst = q.src)"
+        )
+    return (
+        oracle_cte()
+        + ", "
+        + ",\n".join(parts)
+        + f"""
+SELECT p.src, p.dst AS final_dst, p.chain_len,
+       CAST(CASE WHEN h.src IS NULL THEN 1 ELSE 0 END AS INT) AS resolved
+FROM p{rounds} p
+LEFT JOIN (SELECT DISTINCT src FROM r) h ON p.dst = h.src
+"""
+    )
+
+
+def host_graph_fold_sql() -> str:
+    """Twin of plans/build_edges.py::host_graph over the URL-shaped
+    projection of graph_edges (host = id % 8)."""
+    return (
+        oracle_cte()
+        + """
+, u AS MATERIALIZED (
+  SELECT 'https://h' || (src % 8) || '.example.org/p' || src AS src_url,
+         'https://h' || (dst % 8) || '.example.org/p' || dst AS dst_url
+  FROM graph_edges)
+SELECT regexp_extract(src_url, '^[a-z]+://([^/]+)', 1) AS src_host,
+       regexp_extract(dst_url, '^[a-z]+://([^/]+)', 1) AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_pages
+FROM u GROUP BY 1, 2
+"""
+    )
+
+
+def anchor_text_summary_sql() -> str:
+    """Twin of plans/build_edges.py::anchor_text_summary over the
+    interaction-derived anchor fixture (anchor = 'term' || (src+dst)%7,
+    duplicates preserved).  Modal-anchor tie-break = lexicographically
+    greatest anchor at max count, matching the engine's
+    max(struct(n, anchor))."""
+    return (
+        oracle_cte()
+        + """
+, a AS MATERIALIZED (
+  SELECT 'https://c' || (src % 8) || '.example.org/u' || src AS src_url,
+         'https://p.example.org/t' || dst AS dst_url,
+         'term' || ((src + dst) % 7) AS anchor
+  FROM interactions),
+counts AS MATERIALIZED (
+  SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a GROUP BY dst_url, anchor),
+agg AS MATERIALIZED (
+  SELECT dst_url, CAST(SUM(n) AS BIGINT) AS n_anchor_refs,
+         CAST(COUNT(*) AS BIGINT) AS n_anchor_terms,
+         MAX(n) AS top_n
+  FROM counts GROUP BY dst_url),
+pick AS MATERIALIZED (
+  SELECT c.dst_url, MAX(c.anchor) AS top_anchor, MAX(c.n) AS top_anchor_n
+  FROM counts c JOIN agg g ON c.dst_url = g.dst_url AND c.n = g.top_n
+  GROUP BY c.dst_url),
+ref AS MATERIALIZED (
+  SELECT dst_url, CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_referrers
+  FROM a GROUP BY dst_url)
+SELECT g.dst_url, g.n_anchor_refs, ref.n_referrers, g.n_anchor_terms,
+       pick.top_anchor, pick.top_anchor_n
+FROM agg g
+JOIN pick ON g.dst_url = pick.dst_url
+JOIN ref ON g.dst_url = ref.dst_url
+"""
+    )
+
+
 def winnowing_sql(k: int = 5, window: int = 4) -> str:
     """Twin of operators/textstats.py::winnowing_fingerprints (exploded
     to (doc_id, fingerprint) rows): the identical Horner k-gram hash

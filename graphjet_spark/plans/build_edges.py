@@ -308,3 +308,59 @@ def latest_capture(pages: DataFrame) -> DataFrame:
         )
         .select("canonical_url", "_r.*", "n_captures")
     )
+
+
+def resolve_redirects(redirects: DataFrame, rounds: int = 3) -> DataFrame:
+    """Transitive redirect-chain resolution by pointer doubling — the
+    Common-Crawl ingest step that collapses 301/302/canonical-link
+    chains so the graph/corpus build keys on final landing URLs
+    (the batch analogue of a crawler chasing ``Location:`` headers;
+    GraphJet never sees this layer because its ingest is pre-resolved
+    tweet ids — reference graphjet-core/src/main/java/com/twitter/
+    graphjet/bipartite/segment/LeftIndexedBipartiteGraphSegment.java:48
+    assumes resolved long ids on arrival).
+
+    Input: a functional redirect map ``(src, dst)`` — at most one
+    outgoing redirect per ``src``.  Output one row per redirecting
+    ``src``: ``(src, final_dst, chain_len, resolved)`` where
+    ``final_dst`` is the pointer after ``2**rounds`` hops,
+    ``chain_len`` counts hops actually taken, and ``resolved`` is 1
+    iff ``final_dst`` itself redirects no further (0 = cycle member or
+    a chain longer than ``2**rounds``, reported honestly rather than
+    looped forever).
+
+    Scale shape: pointer doubling is ``rounds`` self-joins on a table
+    that never grows (functional graphs have |rows| = |redirecting
+    urls|), so chains of length L cost ceil(log2 L) shuffles instead
+    of L — the only chain-chasing shape that survives 10^12 pages,
+    where vanilla iteration on a 30-hop chain would pay 30 full-table
+    shuffles.  Each round joins on the current pointer key; no
+    windows, no driver-side state.
+    """
+    p = redirects.select(
+        "src", "dst", F.lit(1).cast("bigint").alias("chain_len")
+    )
+    for _ in range(rounds):
+        q = p.select(
+            F.col("src").alias("q_src"),
+            F.col("dst").alias("q_dst"),
+            F.col("chain_len").alias("q_len"),
+        )
+        p = p.join(q, p["dst"] == q["q_src"], "left").select(
+            "src",
+            F.coalesce("q_dst", "dst").alias("dst"),
+            (F.col("chain_len") + F.coalesce("q_len", F.lit(0)))
+            .cast("bigint")
+            .alias("chain_len"),
+        )
+    heads = redirects.select(F.col("src").alias("dst")).distinct()
+    still = heads.withColumn("_h", F.lit(1))
+    return p.join(still, "dst", "left").select(
+        "src",
+        F.col("dst").alias("final_dst"),
+        "chain_len",
+        F.when(F.col("_h").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("resolved"),
+    )

@@ -187,3 +187,58 @@ def pages_df(spark, tier: str = "tiny", spec: CorpusSpec | None = None):
     spec = spec or CorpusSpec(TIERS[tier])
     pdf, _ = synthesize_pages(spec)
     return spark.createDataFrame(pdf)
+
+
+_CAPTURE_EPOCH = 1_767_225_600  # 2026-01-01T00:00:00Z, seconds
+
+
+def synth_captures(docs):
+    """Multi-capture ``pages``-shaped fixture derived from the
+    ``documents`` table by pure JVM column expressions — unlike
+    :func:`synthesize_pages` (numpy), every transform here is
+    SQL-expressible, so the DuckDB gate twin
+    (:func:`graphjet_spark.oracles.latest_capture_sql`) reproduces it
+    exactly and `plans/build_edges.py::latest_capture` gets a full
+    value oracle.
+
+    Per document (origin ``h{doc_id%16}.example.org``, path
+    ``/Docs/{doc_id}`` — capital D pins path-case preservation):
+
+    - capture 0 (oldest, ts+0): lowercase origin + ``#top`` fragment;
+    - capture 1 (newest, ts+5): UPPERCASE scheme+host + trailing slash;
+    - capture 2 (ts+2, only ``doc_id % 3 == 0``): trailing slash AND a
+      fragment after it (pins strip-fragment-then-strip-slash order).
+
+    All variants canonicalize to the same URL, so ``latest_capture``
+    must pick capture 1 everywhere and report ``n_captures`` of 3 or 2.
+    ``warc_ts`` values are distinct by construction — the md5 tiebreak
+    never fires here; tie semantics are pinned separately by
+    ``tests/test_pages_pipeline.py::test_latest_capture_newest_wins``.
+    """
+    from pyspark.sql import functions as F
+
+    d = docs.select("doc_id", "text", "lang")
+    k = (F.col("doc_id") % 16).cast("string")
+    did = F.col("doc_id").cast("string")
+    lower_u = F.concat(F.lit("https://h"), k, F.lit(".example.org/Docs/"), did)
+    upper_u = F.concat(F.lit("HTTPS://H"), k, F.lit(".EXAMPLE.ORG/Docs/"), did)
+
+    def cap(base, url_col, off):
+        return base.select(
+            url_col.alias("url"),
+            F.timestamp_seconds(
+                F.lit(_CAPTURE_EPOCH) + F.col("doc_id") * 10 + F.lit(off)
+            ).alias("warc_ts"),
+            F.col("text").cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
+
+    c0 = cap(d, F.concat(lower_u, F.lit("#top")), 0)
+    c1 = cap(d, F.concat(upper_u, F.lit("/")), 5)
+    c2 = cap(
+        d.where(F.col("doc_id") % 3 == 0),
+        F.concat(lower_u, F.lit("/#frag")),
+        2,
+    )
+    return c0.unionByName(c1).unionByName(c2)

@@ -292,3 +292,53 @@ def test_latest_capture_newest_wins(spark, corpus):
     # everything untouched passes through verbatim (single capture)
     untouched = got.where(F.col("n_captures") == 1)
     assert untouched.count() == n_urls - 1
+
+
+def test_resolve_redirects_chains_and_cycle(spark):
+    """Pointer doubling resolves straight chains to their terminal with
+    exact hop counts, flags cycle members as unresolved, and leaves
+    single-hop redirects untouched — the planted-cycle branch the DAG
+    gate fixture cannot exercise."""
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.plans.build_edges import resolve_redirects
+
+    # chain 1 -> 2 -> 3 -> 4 -> 10 (terminal), cycle 20 -> 21 -> 20,
+    # feeder 22 -> 20 (into the cycle), lone hop 30 -> 31
+    rows = [(1, 2), (2, 3), (3, 4), (4, 10), (20, 21), (21, 20), (22, 20), (30, 31)]
+    redirects = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["src"]: (r["final_dst"], r["chain_len"], r["resolved"])
+        for r in resolve_redirects(redirects, rounds=3).collect()
+    }
+    assert len(got) == len(rows)
+    assert got[1] == (10, 4, 1)
+    assert got[2] == (10, 3, 1)
+    assert got[3] == (10, 2, 1)
+    assert got[4] == (10, 1, 1)
+    assert got[30] == (31, 1, 1)
+    # cycle members and the feeder never resolve: final pointer still
+    # redirects after 2**rounds hops, flagged 0 rather than looped
+    assert got[20][2] == 0 and got[21][2] == 0 and got[22][2] == 0
+    assert got[20][0] in (20, 21) and got[22][0] in (20, 21)
+
+
+def test_resolve_redirects_long_chain_overflow_flag(spark):
+    """A chain longer than 2**rounds hops reports resolved=0 (honest
+    overflow) at low rounds and resolved=1 once rounds cover it."""
+    from graphjet_spark.plans.build_edges import resolve_redirects
+
+    # 0 -> 1 -> ... -> 6 (terminal 6): head needs 6 hops
+    rows = [(i, i + 1) for i in range(6)]
+    redirects = spark.createDataFrame(rows, "src long, dst long")
+    low = {
+        r["src"]: r
+        for r in resolve_redirects(redirects, rounds=2).collect()
+    }
+    assert low[0]["resolved"] == 0 and low[0]["chain_len"] == 4
+    high = {
+        r["src"]: r
+        for r in resolve_redirects(redirects, rounds=3).collect()
+    }
+    assert high[0]["resolved"] == 1
+    assert high[0]["final_dst"] == 6 and high[0]["chain_len"] == 6
