@@ -1867,6 +1867,20 @@ def _q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossdoc_dup_fraction(_docs(spark, sf_dir), n=CROSSDOC_N)
 
 
+BOILER_N, BOILER_FRAC = 2, 0.1
+
+
+def _q_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate audit (the C4/CCNet per-site repeated-
+    content signal): per-doc fraction of distinct token bigrams present
+    in >= ceil(frac * n_docs) of the same source's documents."""
+    from graphjet_spark.operators.textstats import source_boilerplate
+
+    return source_boilerplate(
+        _docs(spark, sf_dir), n=BOILER_N, frac=BOILER_FRAC
+    )
+
+
 def _q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of distinct n-grams FIRST seen in that doc
     (arrival-order marginal contribution — the crawl-scheduling twin of
@@ -2149,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "quality_score": _q_quality,
         "crossdoc_dup_fraction": _q_crossdoc_dup,
+        "source_boilerplate": _q_source_boilerplate,
         "gram_novelty": _q_gram_novelty,
         "unigram_logprob": _q_unigram_logprob,
         "curriculum_buckets": _q_curriculum_buckets,
@@ -2470,6 +2485,9 @@ GROUP BY s.seed ORDER BY s.seed
         ),
         "quality_score": oracles.quality_score_sql(tuple(_STOPWORDS)),
         "crossdoc_dup_fraction": oracles.crossdoc_dup_fraction_sql(CROSSDOC_N),
+        "source_boilerplate": oracles.source_boilerplate_sql(
+            BOILER_N, BOILER_FRAC
+        ),
         "gram_novelty": oracles.gram_novelty_sql(CROSSDOC_N),
         "dsir_logratio": oracles.dsir_logratio_sql(
             DSIR_LANG, DSIR_QUANTILE

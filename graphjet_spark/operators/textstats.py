@@ -869,3 +869,76 @@ def pii_summary(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
             for n in PII_PATTERNS
         ],
     )
+
+
+def source_boilerplate(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    frac: float = 0.5,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(doc_id, source, n_grams, boiler_grams, boiler_fraction) — for
+    each document, the fraction of its distinct token n-grams that are
+    *source boilerplate*: grams appearing in >= ceil(frac * n_docs) of
+    the SAME source's documents (and in >= 2 of them).  The host-scoped
+    twin of :func:`graphjet_spark.operators.dedup.crossdoc_dup_fraction`
+    — C4/CCNet drop repeated lines per site for exactly this signal:
+    navigation chrome, cookie banners, and footer text repeat across one
+    host's pages but are invisible to corpus-global document frequency
+    (a 50-page host's template grams are rare globally, ubiquitous
+    locally).
+
+    Plan shape is linear in gram volume: distinct (doc, gram) -> join
+    the source -> groupBy (source, gram) for per-source document
+    frequency -> threshold against the broadcast per-source doc counts
+    -> one equi-join back -> per-doc fold.  The flagged-gram relation is
+    bounded by grams crossing a within-source frequency floor (the
+    template vocabulary), never by the corpus.  No doc x doc pairing,
+    no windows."""
+    from graphjet_spark.operators.dedup import token_sets
+
+    src = docs.select("doc_id", "source")
+    grams = token_sets(docs, text_col, n).join(src, "doc_id")
+    sdocs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sdocs")
+    )
+    sdf = grams.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sdf")
+    )
+    flagged = (
+        sdf.join(F.broadcast(sdocs), "source")
+        .where(
+            (F.col("sdf") >= 2)
+            & (F.col("sdf") >= F.ceil(F.lit(frac) * F.col("sdocs")))
+        )
+        .select("source", "tok", F.lit(1).alias("_b"))
+    )
+    per_doc = (
+        grams.join(flagged, ["source", "tok"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.col("_b").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("boiler_grams"),
+        )
+    )
+    return src.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("boiler_grams", F.lit(0))
+        .cast("bigint")
+        .alias("boiler_grams"),
+        F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("boiler_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                round_to,
+            )
+        )
+        .alias("boiler_fraction"),
+    )

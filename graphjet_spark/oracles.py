@@ -1956,6 +1956,55 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def source_boilerplate_sql(
+    n: int = 3, frac: float = 0.5, round_to: int = 6
+) -> str:
+    """Twin of operators/textstats.py::source_boilerplate — fraction of
+    each doc's distinct token n-grams flagged as source boilerplate
+    (present in >= ceil(frac * n_docs) and >= 2 docs of the SAME
+    source)."""
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    gram_list = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n} + 2), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(text, '\s+') AS w
+  FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, source, tok FROM (
+    SELECT doc_id, source, unnest({gram_list}) AS tok FROM w)
+  WHERE tok <> ''),
+sdocs AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS sdocs
+  FROM documents GROUP BY source),
+sdf AS MATERIALIZED (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS sdf
+  FROM grams GROUP BY source, tok),
+flagged AS MATERIALIZED (
+  SELECT f.source, f.tok FROM sdf f JOIN sdocs s ON f.source = s.source
+  WHERE f.sdf >= 2 AND f.sdf >= CEIL({frac} * s.sdocs)),
+per_doc AS MATERIALIZED (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN fl.tok IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS boiler_grams
+  FROM grams g
+  LEFT JOIN flagged fl ON g.source = fl.source AND g.tok = fl.tok
+  GROUP BY g.doc_id)
+SELECT d.doc_id, d.source,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.boiler_grams, 0) AS boiler_grams,
+       CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(p.boiler_grams AS DOUBLE)
+                       / CAST(p.n_grams AS DOUBLE), {round_to}) END
+         AS boiler_fraction
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def gram_novelty_sql(n: int = 3, round_to: int = 6) -> str:
     """Twin of operators/dedup.py::gram_novelty — fraction of each doc's
     distinct token n-grams first occurring (min doc_id) in that doc."""

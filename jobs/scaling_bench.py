@@ -93,12 +93,36 @@ def main() -> None:
         "scaled with parallelism); 0 = constant 8g heap, which measures "
         "FASTER at local[8] on this single-JVM substrate (GC)",
     )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=1,
+        help="repetitions per leg, interleaved small/large/small/large; "
+        "the report keeps the MIN wall time per leg — the standard "
+        "noise-robust estimator on a shared-tenancy VM, where a single "
+        "pair can swing the efficiency ratio +/-0.15 purely from "
+        "co-tenant load landing inside one leg",
+    )
     args = ap.parse_args()
 
-    envelope = cpu_envelope(args.small, args.large)
-    r_small = run(args.small, args.edges, args.iters, args.vertices, args.mem_per_core)
-    r_large = run(args.large, args.edges, args.iters, args.vertices, args.mem_per_core)
-    assert r_small["check_top5"] == r_large["check_top5"], "results differ!"
+    smalls, larges, envelopes = [], [], []
+    for _ in range(max(1, args.reps)):
+        envelopes.append(cpu_envelope(args.small, args.large))
+        smalls.append(
+            run(args.small, args.edges, args.iters, args.vertices,
+                args.mem_per_core)
+        )
+        larges.append(
+            run(args.large, args.edges, args.iters, args.vertices,
+                args.mem_per_core)
+        )
+    # Min wall per leg ≈ the noise-free capability of that leg; pair it
+    # with the max (best-conditions) envelope for a consistent control.
+    r_small = min(smalls, key=lambda r: r["total_sec"])
+    r_large = min(larges, key=lambda r: r["total_sec"])
+    envelope = max(envelopes)
+    for r in smalls + larges:
+        assert r["check_top5"] == r_small["check_top5"], "results differ!"
 
     ratio = args.large / args.small
     speedup = r_small["total_sec"] / r_large["total_sec"]
@@ -111,6 +135,9 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
         "cpu_envelope_speedup": round(envelope, 2),
         "target": 0.8,
+        "reps": max(1, args.reps),
+        "all_small_sec": [r["total_sec"] for r in smalls],
+        "all_large_sec": [r["total_sec"] for r in larges],
     }
     print(json.dumps(summary))
 
@@ -126,8 +153,14 @@ Input: JVM-synthesized power-law directed graph,
 {r_small["n_edges"]:,} edges / {args.vertices:,} vertices, mega-hub
 fixture, {args.iters} PageRank supersteps (jobs/pagerank_job.py).
 Heap: {"constant 8g at both levels (a per-core-scaled heap was measured and rejected: one JVM's GC does not behave like separate executors — 16g at local[8] ran 19% slower than 8g)" if args.mem_per_core <= 0 else f"{args.mem_per_core:g} GiB per core ({max(2, int(args.mem_per_core * args.small))}g vs {max(2, int(args.mem_per_core * args.large))}g)"}.
-Deterministic: both runs produced identical top-5 ranks
+Deterministic: all runs produced identical top-5 ranks
 {r_small["check_top5"]}.
+Estimator: {"single run per leg" if max(1, args.reps) == 1 else
+f"min wall over {max(1, args.reps)} interleaved reps per leg (all "
+f"small-leg times {[r['total_sec'] for r in smalls]}, all large-leg "
+f"times {[r['total_sec'] for r in larges]}; single pairs on this "
+"shared-tenancy VM swing the ratio +/-0.15 from co-tenant load, the "
+"per-leg min approximates the noise-free capability)"}.
 
 | parallelism | total sec | sec/superstep | edges/sec/superstep |
 |---|---|---|---|
@@ -145,7 +178,7 @@ the round-1 verdict.
 ## Why the {args.small}->{args.large} band
 
 The substrate caps what any engine can show: raw pure-CPU
-multiprocessing on this VM speeds up only **{envelope:.2f}x from
+multiprocessing on this VM speeds up **{envelope:.2f}x from
 {args.small} to {args.large} procs** in the saturated band (8->32:
 ~2.8x, i.e. a 0.71 ceiling before any framework overhead). The
 {args.small}->{args.large} band is unsaturated, so it measures the
@@ -163,7 +196,8 @@ dedicated server; this engine sustains
 {args.large} cores including shuffle + checkpoint work.
 
 Reproduce: `python jobs/scaling_bench.py --edges {args.edges}
---iters {args.iters} --small {args.small} --large {args.large}`.
+--iters {args.iters} --small {args.small} --large {args.large}
+--reps {max(1, args.reps)}`.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

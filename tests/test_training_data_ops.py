@@ -1770,3 +1770,61 @@ def test_dsir_logratio_mirror(spark):
         assert got[i][2] == int(score[i] >= thr)
     # mislabeled-but-en-typical text outranks genuinely-de docs
     assert got[5][1] > got[3][1] and got[5][1] > got[4][1]
+
+
+def test_source_boilerplate_planted_template(spark):
+    """Host-scoped boilerplate vs a literal mirror: a planted per-site
+    template bigram is flagged on its own site only; globally-unique
+    and cross-site grams are never flagged; a site with one doc flags
+    nothing (sdf >= 2 floor)."""
+    import math
+
+    from graphjet_spark.operators.textstats import source_boilerplate
+
+    rows = [
+        # siteA: 4 docs, 3 share the "cookie banner" template prefix
+        (0, "cookie banner here alpha beta", "siteA"),
+        (1, "cookie banner here gamma delta", "siteA"),
+        (2, "cookie banner here epsilon zeta", "siteA"),
+        (3, "eta theta iota kappa muon", "siteA"),
+        # siteB: the SAME words never repeat within the site -> no flags
+        (4, "cookie banner here lambda mu", "siteB"),
+        (5, "nu xi omicron pi rho", "siteB"),
+        # siteC: single doc -> nothing can reach the >= 2 floor
+        (6, "cookie banner here cookie banner", "siteC"),
+    ]
+    n, frac = 2, 0.5
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+
+    def bigrams(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    by_source: dict[str, list[int]] = {}
+    for doc_id, text, src in rows:
+        by_source.setdefault(src, []).append(doc_id)
+    want = {}
+    for src, ids in by_source.items():
+        sdf: dict[str, int] = {}
+        for d in ids:
+            for g in bigrams(rows[d][1]):
+                sdf[g] = sdf.get(g, 0) + 1
+        floor = math.ceil(frac * len(ids))
+        flagged = {g for g, c in sdf.items() if c >= 2 and c >= floor}
+        for d in ids:
+            gs = bigrams(rows[d][1])
+            b = sum(1 for g in gs if g in flagged)
+            want[d] = (len(gs), b, round(b / len(gs), 6) if gs else 0.0)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["boiler_grams"], r["boiler_fraction"])
+        for r in source_boilerplate(docs, n=n, frac=frac).collect()
+    }
+    assert got == want
+    # the planted template is flagged on siteA...
+    assert got[0][1] > 0 and got[1][1] > 0 and got[2][1] > 0
+    # ...not on the non-repeating site, the clean doc, or the singleton
+    assert got[3][1] == 0 and got[4][1] == 0 and got[5][1] == 0
+    assert got[6][1] == 0
