@@ -1764,6 +1764,22 @@ def _q_anchor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_summary(rows)
 
 
+def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-host detection (Bharat & Broder WWW'99 content-
+    signature overlap) over a planted-mirror fixture: host = source,
+    plus a ``-m`` mirror host per source carrying the docs with
+    doc_id % 4 < 3 verbatim — so every (source, source-m) pair is a
+    75%-Jaccard / 1.0-overlap mirror and cross-source pairs are not."""
+    from graphjet_spark.operators.mirrors import mirror_hosts
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(F.col("source").alias("host"), "text")
+    mirr = docs.filter(F.col("doc_id") % 4 < 3).select(
+        F.concat(F.col("source"), F.lit("-m")).alias("host"), "text"
+    )
+    return mirror_hosts(base.unionByName(mirr))
+
+
 BPE_TOPK = 50
 
 
@@ -2154,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": _q_redirect_resolution,
         "host_graph_fold": _q_host_graph_fold,
         "anchor_text_summary": _q_anchor_summary,
+        "mirror_hosts": _q_mirror_hosts,
         "winnowing_fingerprints": _q_winnowing,
         "bpe_merge_stats": _q_bpe_merge_stats,
         "source_token_kl": _q_source_token_kl,
@@ -2472,6 +2489,7 @@ GROUP BY s.seed ORDER BY s.seed
         ),
         "host_graph_fold": oracles.host_graph_fold_sql(),
         "anchor_text_summary": oracles.anchor_text_summary_sql(),
+        "mirror_hosts": oracles.mirror_hosts_sql(),
         "winnowing_fingerprints": oracles.winnowing_sql(),
         "bpe_merge_stats": oracles.bpe_merge_stats_sql(BPE_TOPK),
         "source_token_kl": oracles.source_token_kl_sql(),

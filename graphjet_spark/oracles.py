@@ -4270,3 +4270,45 @@ SELECT DISTINCT wm.doc_id, fp AS fingerprint
 FROM wm JOIN n USING (doc_id)
 WHERE wm.i <= GREATEST(n.nk - {window} + 1, 1)
 """
+
+
+def mirror_hosts_sql(
+    max_hosts_per_fp: int = 16, min_shared: int = 2, min_overlap: float = 0.5
+) -> str:
+    """Twin of operators/mirrors.py::mirror_hosts over the planted-
+    mirror fixture (every source gets a ``-m`` mirror host carrying the
+    docs with doc_id % 4 < 3 verbatim).  Fingerprint = the cross-engine
+    md5-prefix BIGINT; the df-cap, pair join, and both ratio formulas
+    mirror the Spark plan exactly (DuckDB integer ``/`` is DOUBLE, same
+    as Spark's)."""
+    return f"""
+WITH hd AS MATERIALIZED (
+  SELECT source AS host,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+  FROM documents
+  UNION ALL
+  SELECT source || '-m',
+         ('0x' || substr(md5(text), 1, 15))::BIGINT
+  FROM documents WHERE doc_id % 4 < 3),
+hf AS MATERIALIZED (SELECT DISTINCT host, fp FROM hd),
+sizes AS MATERIALIZED (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs FROM hf GROUP BY host),
+ok AS MATERIALIZED (
+  SELECT fp FROM hf GROUP BY fp HAVING COUNT(*) <= {max_hosts_per_fp}),
+capped AS MATERIALIZED (SELECT hf.* FROM hf JOIN ok USING (fp)),
+pairs AS MATERIALIZED (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_docs
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2)
+SELECT p.host_a, p.host_b, p.shared_docs,
+       sa.n_docs AS size_a, sb.n_docs AS size_b,
+       ROUND(p.shared_docs / LEAST(sa.n_docs, sb.n_docs), 6) AS overlap,
+       ROUND(p.shared_docs / (sa.n_docs + sb.n_docs - p.shared_docs), 6)
+         AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.host_a = sa.host
+JOIN sizes sb ON p.host_b = sb.host
+WHERE p.shared_docs >= {min_shared}
+  AND p.shared_docs / LEAST(sa.n_docs, sb.n_docs) >= {min_overlap}
+"""

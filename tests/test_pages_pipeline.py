@@ -342,3 +342,39 @@ def test_resolve_redirects_long_chain_overflow_flag(spark):
     }
     assert high[0]["resolved"] == 1
     assert high[0]["final_dst"] == 6 and high[0]["chain_len"] == 6
+
+
+def test_mirror_hosts_planted_pairs(spark):
+    """Bharat-Broder duplicate-host detection on a hand-built corpus:
+    B fully mirrors A's smaller half (overlap 1.0), C is disjoint, and
+    a cross-site boilerplate page present on every host is excluded by
+    the df-cap (it must create no A-C evidence)."""
+    from graphjet_spark.operators.mirrors import mirror_hosts
+
+    rows = (
+        [("A", f"unique page {i}") for i in range(4)]
+        + [("B", f"unique page {i}") for i in range(3)]  # mirror of A
+        + [("C", "other one"), ("C", "other two")]
+        + [(h, "404 not found") for h in ("A", "B", "C")]  # boilerplate
+    )
+    docs = spark.createDataFrame(rows, "host string, text string")
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_hosts(docs, max_hosts_per_fp=2).collect()
+    }
+    assert set(out) == {("A", "B")}
+    ab = out[("A", "B")]
+    # boilerplate excluded: shared=3 not 4, sizes count it (it IS hosted)
+    assert ab["shared_docs"] == 3
+    assert (ab["size_a"], ab["size_b"]) == (5, 4)
+    assert ab["overlap"] == 0.75
+    assert ab["jaccard"] == 0.5
+
+    # raising the cap lets the boilerplate page vote: C now shares one
+    # doc with each, but stays below min_shared=2 — still only (A, B).
+    wide = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_hosts(docs, max_hosts_per_fp=16).collect()
+    }
+    assert set(wide) == {("A", "B")}
+    assert wide[("A", "B")]["shared_docs"] == 4
