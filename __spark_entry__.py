@@ -1780,6 +1780,19 @@ def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror_hosts(base.unionByName(mirr))
 
 
+def _q_page_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho-Garcia-Molina Poisson change-rate estimation per URL over a
+    regular-cadence revisit fixture (5 daily captures per document;
+    content version bumps exactly where ``(doc_id + i) % 3 == 0``, so
+    every URL sees 1 or 2 changes across its 4 intervals and the
+    estimator's two regimes both occur)."""
+    from graphjet_spark.operators.crawl import page_change_rate
+    from graphjet_spark.sources.pages import synth_change_captures
+
+    caps = synth_change_captures(_docs(spark, sf_dir), interval_s=86_400)
+    return page_change_rate(caps)
+
+
 BPE_TOPK = 50
 
 
@@ -2171,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph_fold": _q_host_graph_fold,
         "anchor_text_summary": _q_anchor_summary,
         "mirror_hosts": _q_mirror_hosts,
+        "page_change_rate": _q_page_change_rate,
         "winnowing_fingerprints": _q_winnowing,
         "bpe_merge_stats": _q_bpe_merge_stats,
         "source_token_kl": _q_source_token_kl,
@@ -2490,6 +2504,7 @@ GROUP BY s.seed ORDER BY s.seed
         "host_graph_fold": oracles.host_graph_fold_sql(),
         "anchor_text_summary": oracles.anchor_text_summary_sql(),
         "mirror_hosts": oracles.mirror_hosts_sql(),
+        "page_change_rate": oracles.page_change_rate_sql(),
         "winnowing_fingerprints": oracles.winnowing_sql(),
         "bpe_merge_stats": oracles.bpe_merge_stats_sql(BPE_TOPK),
         "source_token_kl": oracles.source_token_kl_sql(),

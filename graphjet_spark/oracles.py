@@ -4312,3 +4312,50 @@ JOIN sizes sb ON p.host_b = sb.host
 WHERE p.shared_docs >= {min_shared}
   AND p.shared_docs / LEAST(sa.n_docs, sb.n_docs) >= {min_overlap}
 """
+
+
+def page_change_rate_sql(
+    n_captures: int = 5, interval_s: int = 86_400, round_to: int = 6
+) -> str:
+    """Twin of operators/crawl.py::page_change_rate over the
+    sources/pages.py::synth_change_captures fixture (one URL per doc,
+    ``n_captures`` visits at a regular ``interval_s`` cadence, content
+    version = ``(doc_id + i) // 3 - doc_id // 3``).  Fingerprint is the
+    cross-engine md5-prefix BIGINT; the lag window, Cho-Garcia-Molina
+    estimator, and rounding mirror the Spark plan exactly."""
+    return f"""
+WITH caps AS MATERIALIZED (
+  SELECT 'https://h' || CAST(doc_id % 16 AS VARCHAR)
+           || '.example.org/Docs/' || CAST(doc_id AS VARCHAR) AS url,
+         1767225600 + doc_id * 1000 + i * {interval_s} AS ts,
+         ('0x' || substr(md5(
+            'doc ' || CAST(doc_id AS VARCHAR) || ' version '
+            || CAST((doc_id + i) // 3 - doc_id // 3 AS VARCHAR)
+          ), 1, 15))::BIGINT AS fp
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, {n_captures - 1})) AS i)),
+marked AS MATERIALIZED (
+  SELECT url, ts, fp,
+         lag(fp) OVER (PARTITION BY url ORDER BY ts) AS prev_fp
+  FROM caps),
+agg AS MATERIALIZED (
+  SELECT url,
+         CAST(COUNT(*) AS BIGINT) AS n_captures,
+         CAST(SUM(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(MAX(ts) - MIN(ts) AS BIGINT) AS span_s
+  FROM marked GROUP BY url)
+SELECT url, n_captures, n_changes, span_s,
+       ROUND(CAST(n_changes AS DOUBLE) / CAST(span_s AS DOUBLE) * 86400,
+             {round_to}) AS lambda_naive_day,
+       ROUND(-LN((CAST(n_captures - 1 AS DOUBLE) - n_changes + 0.5)
+                 / (CAST(n_captures - 1 AS DOUBLE) + 0.5))
+             / (CAST(span_s AS DOUBLE) / CAST(n_captures - 1 AS DOUBLE))
+             * 86400, {round_to}) AS lambda_cgm_day,
+       ROUND(1.0 - EXP(
+               LN((CAST(n_captures - 1 AS DOUBLE) - n_changes + 0.5)
+                  / (CAST(n_captures - 1 AS DOUBLE) + 0.5))
+               / (CAST(span_s AS DOUBLE) / CAST(n_captures - 1 AS DOUBLE))
+               * 86400), {round_to}) AS p_stale_1d
+FROM agg WHERE span_s > 0
+"""

@@ -242,3 +242,49 @@ def synth_captures(docs):
         2,
     )
     return c0.unionByName(c1).unionByName(c2)
+
+
+def synth_change_captures(docs, n_captures: int = 5, interval_s: int = 10):
+    """Revisit-history fixture for the change-rate estimator
+    (:func:`graphjet_spark.operators.crawl.page_change_rate`): every
+    document becomes one URL crawled ``n_captures`` times at a regular
+    ``interval_s`` cadence, and its content version bumps exactly at
+    the visits ``i`` (1-based intervals) where ``(doc_id + i) % 3 == 0``
+    — a closed-form change pattern (version at visit ``i`` is
+    ``(doc_id + i) // 3 - doc_id // 3``), so docs cycle through three
+    distinct change frequencies and the DuckDB twin reproduces the
+    fixture with pure integer arithmetic.  All column expressions are
+    JVM/SQL-expressible (same discipline as :func:`synth_captures`).
+
+    Output shape: ``(url, warc_epoch BIGINT, text)``.
+    """
+    from pyspark.sql import functions as F
+
+    i = F.col("i")
+    did = F.col("doc_id")
+    version = F.floor((did + i) / 3) - F.floor(did / 3)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_captures) - 1))).alias(
+                "i"
+            ),
+        )
+        .select(
+            F.concat(
+                F.lit("https://h"),
+                (did % 16).cast("string"),
+                F.lit(".example.org/Docs/"),
+                did.cast("string"),
+            ).alias("url"),
+            (
+                F.lit(_CAPTURE_EPOCH) + did * 1000 + i * int(interval_s)
+            ).cast("bigint").alias("warc_epoch"),
+            F.concat(
+                F.lit("doc "),
+                did.cast("string"),
+                F.lit(" version "),
+                version.cast("bigint").cast("string"),
+            ).alias("text"),
+        )
+    )

@@ -10,6 +10,8 @@ BipartiteGraphTestHelper.java:75-95).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 import pytest
 
@@ -378,3 +380,44 @@ def test_mirror_hosts_planted_pairs(spark):
     }
     assert set(wide) == {("A", "B")}
     assert wide[("A", "B")]["shared_docs"] == 4
+
+
+def test_page_change_rate_estimators(spark):
+    """Cho-Garcia-Molina change-rate estimation on a hand-built revisit
+    log: a never-changing URL (lambda 0), an always-changing URL (the
+    X = n regime where the naive estimator saturates but the +0.5
+    correction stays finite), a once-changed URL with the closed-form
+    p_stale 1 - (n-X+.5)/(n+.5) at daily cadence, and a single-capture
+    URL (no interval — must be dropped)."""
+    from graphjet_spark.operators.crawl import page_change_rate
+
+    day = 86_400
+    rows = []
+    for i in range(5):
+        rows.append(("static", i * day, "same"))
+        rows.append(("hot", i * day, f"v{i}"))
+        rows.append(("once", i * day, "old" if i < 2 else "new"))
+    rows.append(("lone", 0, "x"))
+    caps = spark.createDataFrame(
+        rows, "url string, warc_epoch long, text string"
+    )
+    out = {r["url"]: r for r in page_change_rate(caps).collect()}
+
+    assert set(out) == {"static", "hot", "once"}  # lone dropped
+    assert out["static"]["n_changes"] == 0
+    assert out["static"]["lambda_naive_day"] == 0.0
+    assert out["static"]["lambda_cgm_day"] == 0.0
+    assert out["static"]["p_stale_1d"] == 0.0
+
+    # X = n = 4: naive caps at the visit rate (1/day); CGM stays finite
+    hot = out["hot"]
+    assert hot["n_changes"] == 4
+    assert hot["lambda_naive_day"] == 1.0
+    assert hot["lambda_cgm_day"] == round(-math.log(0.5 / 4.5), 6)
+    assert hot["p_stale_1d"] == round(1 - 0.5 / 4.5, 6)
+
+    # X = 1 of n = 4 at exactly daily cadence: p_stale = 1 - 3.5/4.5
+    once = out["once"]
+    assert once["n_changes"] == 1
+    assert once["lambda_naive_day"] == round(1 / 4, 6)
+    assert once["p_stale_1d"] == round(1 - 3.5 / 4.5, 6)
