@@ -1793,6 +1793,26 @@ def _q_page_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_change_rate(caps)
 
 
+KN_TOPK = 50
+
+
+def _q_kn_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (Chen & Goodman TR-10-98
+    §2.7, D = 0.75) from exact distributed counts: the 50 most frequent
+    corpus bigrams with their smoothed probabilities."""
+    from graphjet_spark.operators.lm import kn_bigram_topk
+
+    return kn_bigram_topk(_docs(spark, sf_dir), k=KN_TOPK)
+
+
+def _q_kn_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own KN bigram model —
+    the CCNet (Wenzek LREC'20) quality-ranking signal."""
+    from graphjet_spark.operators.lm import kn_doc_perplexity
+
+    return kn_doc_perplexity(_docs(spark, sf_dir))
+
+
 BPE_TOPK = 50
 
 
@@ -2185,6 +2205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_summary": _q_anchor_summary,
         "mirror_hosts": _q_mirror_hosts,
         "page_change_rate": _q_page_change_rate,
+        "kn_bigram_topk": _q_kn_bigram_topk,
+        "kn_doc_perplexity": _q_kn_doc_perplexity,
         "winnowing_fingerprints": _q_winnowing,
         "bpe_merge_stats": _q_bpe_merge_stats,
         "source_token_kl": _q_source_token_kl,
@@ -2505,6 +2527,8 @@ GROUP BY s.seed ORDER BY s.seed
         "anchor_text_summary": oracles.anchor_text_summary_sql(),
         "mirror_hosts": oracles.mirror_hosts_sql(),
         "page_change_rate": oracles.page_change_rate_sql(),
+        "kn_bigram_topk": oracles.kn_bigram_topk_sql(KN_TOPK),
+        "kn_doc_perplexity": oracles.kn_doc_perplexity_sql(),
         "winnowing_fingerprints": oracles.winnowing_sql(),
         "bpe_merge_stats": oracles.bpe_merge_stats_sql(BPE_TOPK),
         "source_token_kl": oracles.source_token_kl_sql(),

@@ -4359,3 +4359,56 @@ SELECT url, n_captures, n_changes, span_s,
                * 86400), {round_to}) AS p_stale_1d
 FROM agg WHERE span_s > 0
 """
+
+
+def _kn_model_ctes() -> str:
+    """Shared CTE chain for the interpolated Kneser-Ney bigram model
+    (twin of operators/lm.py::kn_bigram_model, discount 0.75):
+    whitespace bigrams by 1-based list indexing, exact count tables,
+    and the probability with the identical parenthesization."""
+    return r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks
+  FROM documents),
+bi AS MATERIALIZED (
+  SELECT doc_id, tks[i] AS w1, tks[i + 1] AS w2
+  FROM (SELECT doc_id, tks,
+               CAST(unnest(range(1, len(tks))) AS BIGINT) AS i
+        FROM tk)),
+cbi AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY w1, w2),
+cw1 AS MATERIALIZED (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM cbi GROUP BY w1),
+cw2 AS MATERIALIZED (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n2b FROM cbi GROUP BY w2),
+tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM cbi),
+model AS MATERIALIZED (
+  SELECT cbi.w1, cbi.w2, cbi.c,
+         (cbi.c - 0.75) / cw1.c1
+           + (0.75 * cw1.n1f / cw1.c1) * (cw2.n2b / (SELECT t FROM tot))
+           AS p_kn
+  FROM cbi JOIN cw1 USING (w1) JOIN cw2 USING (w2))
+"""
+
+
+def kn_bigram_topk_sql(k: int = 50, round_to: int = 6) -> str:
+    """Twin of operators/lm.py::kn_bigram_topk — top-k corpus bigrams
+    by count with smoothed probabilities; (c, w1, w2) is a unique sort
+    key so the LIMIT boundary is cross-engine stable."""
+    return f"""{_kn_model_ctes()}
+SELECT w1, w2, c, ROUND(p_kn, {round_to}) AS p_kn
+FROM model ORDER BY c DESC, w1, w2 LIMIT {k}
+"""
+
+
+def kn_doc_perplexity_sql(round_to: int = 6) -> str:
+    """Twin of operators/lm.py::kn_doc_perplexity — per-doc perplexity
+    under the corpus KN bigram model."""
+    return f"""{_kn_model_ctes()}
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(EXP(-AVG(LN(m.p_kn))), {round_to}) AS perplexity
+FROM bi b JOIN model m USING (w1, w2)
+GROUP BY b.doc_id
+"""

@@ -53,6 +53,8 @@ SCALAR_CROSSJOIN_ALLOW = {
     "source_token_kl",  # operators/textstats.py:395 — 1-row corpus totals
     "bm25_topk",  # operators/textstats.py:480 — 1-row avgdl row
     "unigram_logprob",  # operators/textstats.py:533 — 1-row vocab stats
+    "kn_bigram_topk",  # operators/lm.py — 1-row distinct-bigram total
+    "kn_doc_perplexity",  # operators/lm.py — same 1-row model scalar
     "curriculum_buckets",  # operators/textstats.py:627 — 1-row thresholds
     "dsir_logratio",  # operators/textstats.py — 1-row smoothing scalars
     # + 1-row selection threshold

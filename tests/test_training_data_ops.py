@@ -1828,3 +1828,44 @@ def test_source_boilerplate_planted_template(spark):
     # ...not on the non-repeating site, the clean doc, or the singleton
     assert got[3][1] == 0 and got[4][1] == 0 and got[5][1] == 0
     assert got[6][1] == 0
+
+
+def test_kn_bigram_model_hand_computed(spark):
+    """Interpolated Kneser-Ney on a corpus small enough to smooth by
+    hand.  Bigrams: (a,b) x2, (b,a) x1, (b,c) x2 -> T = 3 types, every
+    continuation count is 1, so Pcont = 1/3 uniformly and
+
+      p(b|a) = (2-.75)/2 + .75*(1/2)*(1/3) = 3/4
+      p(a|b) = (1-.75)/3 + .75*(2/3)*(1/3) = 1/4
+      p(c|b) = (2-.75)/3 + .75*(2/3)*(1/3) = 7/12
+
+    Left-context mass stays < 1 (the discount reserve for unseen
+    continuations): sum p(.|a) = 3/4, sum p(.|b) = 5/6.
+    """
+    import math
+
+    from graphjet_spark.operators.lm import (
+        kn_bigram_model,
+        kn_doc_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c"), (3, "lonely"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    m = {(r["w1"], r["w2"]): r for r in kn_bigram_model(docs).collect()}
+    assert set(m) == {("a", "b"), ("b", "a"), ("b", "c")}
+    assert m[("a", "b")]["c"] == 2
+    assert abs(m[("a", "b")]["p_kn"] - 0.75) < 1e-12
+    assert abs(m[("b", "a")]["p_kn"] - 0.25) < 1e-12
+    assert abs(m[("b", "c")]["p_kn"] - 7 / 12) < 1e-12
+
+    ppl = {r["doc_id"]: r for r in kn_doc_perplexity(docs).collect()}
+    assert set(ppl) == {1, 2}  # 1-token and whitespace docs dropped
+    assert ppl[2]["n_bigrams"] == 1
+    assert ppl[2]["perplexity"] == round(12 / 7, 6)
+    want = math.exp(
+        -(2 * math.log(0.75) + math.log(0.25) + math.log(7 / 12)) / 4
+    )
+    assert ppl[1]["n_bigrams"] == 4
+    assert abs(ppl[1]["perplexity"] - want) < 1e-6
