@@ -1793,6 +1793,15 @@ def _q_page_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_change_rate(caps)
 
 
+def _q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seven Gopher A1 document-quality rules (Rae et al. 2021) as
+    per-doc 0/1 flags plus the combined keep decision — pure projection
+    at scan rate."""
+    from graphjet_spark.operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
 KN_TOPK = 50
 
 
@@ -2207,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_change_rate": _q_page_change_rate,
         "kn_bigram_topk": _q_kn_bigram_topk,
         "kn_doc_perplexity": _q_kn_doc_perplexity,
+        "gopher_quality_flags": _q_gopher_flags,
         "winnowing_fingerprints": _q_winnowing,
         "bpe_merge_stats": _q_bpe_merge_stats,
         "source_token_kl": _q_source_token_kl,
@@ -2529,6 +2539,7 @@ GROUP BY s.seed ORDER BY s.seed
         "page_change_rate": oracles.page_change_rate_sql(),
         "kn_bigram_topk": oracles.kn_bigram_topk_sql(KN_TOPK),
         "kn_doc_perplexity": oracles.kn_doc_perplexity_sql(),
+        "gopher_quality_flags": oracles.gopher_quality_flags_sql(),
         "winnowing_fingerprints": oracles.winnowing_sql(),
         "bpe_merge_stats": oracles.bpe_merge_stats_sql(BPE_TOPK),
         "source_token_kl": oracles.source_token_kl_sql(),

@@ -942,3 +942,77 @@ def source_boilerplate(
         )
         .alias("boiler_fraction"),
     )
+
+
+# ------------------------------------------------------------ Gopher rules
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """Per-document Gopher quality rules (Rae et al., "Scaling Language
+    Models: ... Gopher", arXiv:2112.11446 Appendix A1) as one JVM-only
+    projection — the full-rule sibling of :func:`quality_score`'s
+    blended heuristic, and with :func:`graphjet_spark.operators.lm.
+    kn_doc_perplexity` the second canonical pretraining filter
+    (MassiveWeb/RedPajama/FineWeb all apply this rule set).
+
+    One row per doc: ``n_words``, one 0/1 flag per rule, and ``keep`` =
+    AND of all seven —
+
+    - ``r_wordcount``: 50 <= words <= 100,000;
+    - ``r_meanlen``: mean word length in [3, 10];
+    - ``r_symbol``: (# or ellipsis) / words <= 0.1;
+    - ``r_bullet``: <= 90% of lines start with a bullet;
+    - ``r_ellipsis``: <= 30% of lines end with an ellipsis;
+    - ``r_alpha``: >= 80% of words contain an alphabetic character;
+    - ``r_stop``: >= 2 distinct Gopher stop words present.
+
+    Scale shape: pure column expressions (split / regexp_count / array
+    folds), whole-stage-codegen scan rate, no shuffle at all.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    # total word chars == text with all whitespace removed
+    chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    mean_len = chars / n_words
+    n_sym = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…"))
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.regexp_count(F.col(text_col), F.lit(r"(^|\n)\s*[-•*]"))
+    n_ell = F.regexp_count(F.col(text_col), F.lit(r"(\.\.\.|…)(\n|$)"))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lowered = F.transform(words, F.lower)
+    n_stop = sum(
+        F.array_contains(lowered, s).cast("int") for s in _GOPHER_STOPS
+    )
+    r_wordcount = (n_words >= 50) & (n_words <= 100_000)
+    r_meanlen = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_symbol = (n_sym / n_words) <= 0.1
+    r_bullet = (n_bullet / n_lines) <= 0.9
+    r_ellipsis = (n_ell / n_lines) <= 0.3
+    r_alpha = (n_alpha / n_words) >= 0.8
+    r_stop = n_stop >= 2
+    keep = (
+        r_wordcount
+        & r_meanlen
+        & r_symbol
+        & r_bullet
+        & r_ellipsis
+        & r_alpha
+        & r_stop
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        r_wordcount.cast("int").alias("r_wordcount"),
+        r_meanlen.cast("int").alias("r_meanlen"),
+        r_symbol.cast("int").alias("r_symbol"),
+        r_bullet.cast("int").alias("r_bullet"),
+        r_ellipsis.cast("int").alias("r_ellipsis"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stop.cast("int").alias("r_stop"),
+        keep.cast("int").alias("keep"),
+    )

@@ -4412,3 +4412,50 @@ SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM bi b JOIN model m USING (w1, w2)
 GROUP BY b.doc_id
 """
+
+
+def gopher_quality_flags_sql() -> str:
+    r"""Twin of operators/textstats.py::gopher_quality_flags — the
+    seven Gopher A1 rules as identical regex/array folds (RE2 and Java
+    regex agree on every pattern used: alternation, \n, \s, classes,
+    (^|\n) anchoring, ($|\n) line ends)."""
+    stops = " + ".join(
+        f"CAST(list_contains(lw, '{s}') AS INT)"
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return rf"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS w,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS chars,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+         len(string_split_regex(text, '\n')) AS n_lines,
+         len(regexp_extract_all(text, '(^|\n)\s*[-•*]')) AS n_bullet,
+         len(regexp_extract_all(text, '(\.\.\.|…)(\n|$)')) AS n_ell
+  FROM documents),
+ext AS MATERIALIZED (
+  SELECT doc_id, n_words, chars, n_sym, n_lines, n_bullet, n_ell,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         list_transform(w, x -> lower(x)) AS lw
+  FROM base),
+flags AS MATERIALIZED (
+  SELECT doc_id, n_words,
+         CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_wordcount,
+         CAST(CAST(chars AS DOUBLE) / n_words >= 3.0
+              AND CAST(chars AS DOUBLE) / n_words <= 10.0 AS INT)
+           AS r_meanlen,
+         CAST(CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS INT) AS r_symbol,
+         CAST(CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 AS INT) AS r_bullet,
+         CAST(CAST(n_ell AS DOUBLE) / n_lines <= 0.3 AS INT) AS r_ellipsis,
+         CAST(CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS INT) AS r_alpha,
+         CAST(({stops}) >= 2 AS INT) AS r_stop
+  FROM ext)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       r_wordcount, r_meanlen, r_symbol, r_bullet, r_ellipsis, r_alpha,
+       r_stop,
+       CAST(r_wordcount + r_meanlen + r_symbol + r_bullet + r_ellipsis
+            + r_alpha + r_stop = 7 AS INT) AS keep
+FROM flags
+"""

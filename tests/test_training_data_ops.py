@@ -1869,3 +1869,44 @@ def test_kn_bigram_model_hand_computed(spark):
     )
     assert ppl[1]["n_bigrams"] == 4
     assert abs(ppl[1]["perplexity"] - want) < 1e-6
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher A1 rule trips on exactly the doc built to violate it
+    (and only that rule is asserted tripped there); the well-formed doc
+    passes all seven."""
+    from graphjet_spark.operators.textstats import gopher_quality_flags
+
+    good = "the quick brown fox of note " * 10  # 60 words, mean len 3.67
+    short = "the of and"
+    bullets = "\n".join(f"- item {i} thing stuff more" for i in range(10))
+    symbols = "the of " + "# " * 8 + "word " * 45  # 8/55 symbols
+    digits = "42 " * 48 + "the of"  # 2/50 alpha words
+    ellipsis = "the of " + "word " * 28 + "\nthis line trails off..."
+    longwords = "abcdefghijkl " * 49 + "the of"  # mean len ~11.7
+
+    docs = spark.createDataFrame(
+        list(
+            enumerate(
+                [good, short, bullets, symbols, digits, ellipsis, longwords]
+            )
+        ),
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+
+    g = out[0]
+    assert g["n_words"] == 60 and g["keep"] == 1
+    assert all(
+        g[c] == 1
+        for c in (
+            "r_wordcount r_meanlen r_symbol r_bullet r_ellipsis "
+            "r_alpha r_stop".split()
+        )
+    )
+    assert out[1]["r_wordcount"] == 0 and out[1]["keep"] == 0
+    assert out[2]["r_bullet"] == 0
+    assert out[3]["r_symbol"] == 0
+    assert out[4]["r_alpha"] == 0
+    assert out[5]["r_ellipsis"] == 0
+    assert out[6]["r_meanlen"] == 0
