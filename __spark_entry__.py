@@ -121,6 +121,38 @@ def _q_edgelist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_table(read_edgelist(spark, dest))
 
 
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector round-trip gate: export the multi-capture pages
+    fixture as WARC response records (sources/warc.py), read it back
+    via the length-framed splitter, and report per-record url, epoch,
+    lang, payload md5, and byte length.  Value-oracled against DuckDB
+    reconstructing the same fixture straight from the documents table
+    — a hash match proves the WARC write/read cycle is lossless."""
+    import os
+    import tempfile
+
+    from graphjet_spark.sources.pages import synth_captures
+    from graphjet_spark.sources.warc import read_warc_pages, write_warc_pages
+
+    caps = synth_captures(_docs(spark, sf_dir)).select(
+        "url", "warc_ts", "html", "lang"
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "graphjet_warc",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_warc_pages(caps, dest)
+    back = read_warc_pages(spark, dest)
+    return back.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        "lang",
+        F.md5("html").alias("payload_md5"),
+        F.length("html").cast("bigint").alias("n_bytes"),
+    )
+
+
 ASOF_CUTOFF = "1998-01-01 00:00:00"
 
 
@@ -2217,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_topk": _q_kn_bigram_topk,
         "kn_doc_perplexity": _q_kn_doc_perplexity,
         "gopher_quality_flags": _q_gopher_flags,
+        "warc_roundtrip_fidelity": _q_warc_roundtrip,
         "winnowing_fingerprints": _q_winnowing,
         "bpe_merge_stats": _q_bpe_merge_stats,
         "source_token_kl": _q_source_token_kl,
@@ -2540,6 +2573,7 @@ GROUP BY s.seed ORDER BY s.seed
         "kn_bigram_topk": oracles.kn_bigram_topk_sql(KN_TOPK),
         "kn_doc_perplexity": oracles.kn_doc_perplexity_sql(),
         "gopher_quality_flags": oracles.gopher_quality_flags_sql(),
+        "warc_roundtrip_fidelity": oracles.warc_roundtrip_sql(),
         "winnowing_fingerprints": oracles.winnowing_sql(),
         "bpe_merge_stats": oracles.bpe_merge_stats_sql(BPE_TOPK),
         "source_token_kl": oracles.source_token_kl_sql(),

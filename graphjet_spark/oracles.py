@@ -4459,3 +4459,31 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
             + r_alpha + r_stop = 7 AS INT) AS keep
 FROM flags
 """
+
+
+def warc_roundtrip_sql() -> str:
+    """Twin of the WARC connector round-trip gate: reconstruct the
+    synth_captures fixture (same three spellings/offsets as
+    latest_capture_sql) straight from the documents table with
+    md5(text) payload fingerprints and byte lengths — matching rows
+    prove the WARC write/read cycle preserved every record exactly."""
+    return """
+SELECT 'https://h' || (doc_id % 16) || '.example.org/Docs/' || doc_id
+         || '#top' AS url,
+       1767225600 + doc_id * 10 AS warc_epoch, lang,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+UNION ALL
+SELECT 'HTTPS://H' || (doc_id % 16) || '.EXAMPLE.ORG/Docs/' || doc_id
+         || '/',
+       1767225600 + doc_id * 10 + 5, lang, md5(text),
+       CAST(octet_length(encode(text)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'https://h' || (doc_id % 16) || '.example.org/Docs/' || doc_id
+         || '/#frag',
+       1767225600 + doc_id * 10 + 2, lang, md5(text),
+       CAST(octet_length(encode(text)) AS BIGINT)
+FROM documents WHERE doc_id % 3 = 0
+"""
