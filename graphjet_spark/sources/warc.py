@@ -27,19 +27,26 @@ payloads are arbitrary bytes — framing is length-based, never
 delimiter-based, so payloads containing ``\\r\\n\\r\\n`` or invalid
 UTF-8 round-trip exactly (pinned by pytest).
 
-Honest caveats: the writer targets a shared filesystem path and does
+Compression: ``compress=True`` / ``.warc.gz`` files use Common
+Crawl's actual wire layout — each record its own gzip MEMBER,
+members concatenated — so any single record is decompressible
+without touching the rest of the file.  Member splitting uses
+streaming ``zlib`` decompression (each member's extent is discovered
+by decompressing it), never magic-byte scanning, which compressed
+payload bytes could spoof.
+
+Honest caveat: the writer targets a shared filesystem path and does
 not implement a Hadoop output-committer (a killed job can leave
 partial part files — production would stage + rename, the discipline
-``plans/checkpoints.py`` applies to engine state); per-record-gzipped
-``.warc.gz`` members (Common Crawl's wire layout) are a mechanical
-extension of the same splitter (each member is a gzip stream at a
-record boundary) and are not implemented here.
+``plans/checkpoints.py`` applies to engine state).
 """
 
 from __future__ import annotations
 
+import gzip
 import os
 import shutil
+import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -79,14 +86,21 @@ def _record(url: str, epoch: int, payload: bytes, lang: str) -> bytes:
 
 
 def write_warc_pages(
-    pages: DataFrame, path: str, *, mode: str = "overwrite"
+    pages: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compress: bool = False,
 ) -> None:
     """Export pages ``(url, warc_ts, html, lang)`` as WARC response
-    records, one ``.warc`` file per partition (partition-parallel; see
-    the module docstring for the committer caveat)."""
+    records, one ``.warc`` (or ``.warc.gz``, one gzip member per
+    record — Common Crawl's layout) file per partition
+    (partition-parallel; see the module docstring for the committer
+    caveat)."""
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
     sel = pages.select(
         F.col("url"),
         F.col("warc_ts").cast("long").alias("warc_epoch"),
@@ -95,17 +109,37 @@ def write_warc_pages(
     )
 
     def _write(idx: int, rows) -> Iterator[int]:
-        fn = os.path.join(path, f"part-{idx:05d}.warc")
+        fn = os.path.join(path, f"part-{idx:05d}{ext}")
         n = 0
         with open(fn, "wb") as f:
             for r in rows:
-                f.write(_record(r.url, r.warc_epoch, bytes(r.html), r.lang))
+                rec = _record(r.url, r.warc_epoch, bytes(r.html), r.lang)
+                # mtime=0 keeps members deterministic run-to-run
+                f.write(
+                    gzip.compress(rec, 6, mtime=0) if compress else rec
+                )
                 n += 1
         if n == 0:
             os.remove(fn)
         yield n
 
     sel.rdd.mapPartitionsWithIndex(_write).sum()
+
+
+def _gzip_members(buf: bytes) -> Iterator[bytes]:
+    """Decompress a concatenated-gzip-member file one member at a
+    time (streaming zlib; each member's extent falls out of its own
+    decompression — robust against payload bytes that look like gzip
+    magic)."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(buf[pos:])
+        yield out + d.flush()
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:  # trailing garbage that is not a member
+            raise ValueError(f"bad gzip member at byte {pos}")
+        pos += consumed
 
 
 def _split_records(buf: bytes) -> Iterator[tuple[str, int, bytes, str]]:
@@ -135,20 +169,27 @@ def _split_records(buf: bytes) -> Iterator[tuple[str, int, bytes, str]]:
         pos = body + clen + 4  # skip the record's trailing \r\n\r\n
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Read a directory of ``.warc`` files into the pages shape
+def read_warc_pages(
+    spark: SparkSession, path: str, *, compress: bool = False
+) -> DataFrame:
+    """Read a directory of ``.warc`` (or, with ``compress=True``,
+    member-gzipped ``.warc.gz``) files into the pages shape
     ``(url, warc_ts timestamp, html binary, lang)`` — one task per
     file (the format's natural parallel unit), record splitting via
     length-based framing so arbitrary payload bytes survive."""
-    files = spark.read.format("binaryFile").load(
-        os.path.join(path, "*.warc")
-    )
+    ext = "*.warc.gz" if compress else "*.warc"
+    files = spark.read.format("binaryFile").load(os.path.join(path, ext))
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple[str, int, bytes, str]] = []
             for buf in pdf["content"]:
-                out.extend(_split_records(bytes(buf)))
+                raw = bytes(buf)
+                if compress:
+                    for member in _gzip_members(raw):
+                        out.extend(_split_records(member))
+                else:
+                    out.extend(_split_records(raw))
             yield pd.DataFrame(
                 out, columns=["url", "warc_epoch", "html", "lang"]
             )

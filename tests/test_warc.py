@@ -70,3 +70,45 @@ def test_warc_write_read_roundtrip(spark, tmp_path):
         for r in back.collect()
     }
     assert got == {u: (e, h, lg) for u, e, h, lg in rows}
+
+
+def test_warc_gz_member_roundtrip(spark, tmp_path):
+    """Common-Crawl layout: one gzip MEMBER per record, members
+    concatenated.  The member splitter must recover every record even
+    when a compressed payload embeds gzip magic bytes."""
+    rows = [
+        ("https://h0.example.org/a", 1767225600, b"\x1f\x8b\x08 fake magic inside", "en"),
+        ("https://h1.example.org/b", 1767225605, b"x" * 5000, "fr"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_epoch long, html binary, lang string"
+    ).select(
+        "url",
+        F.timestamp_seconds("warc_epoch").alias("warc_ts"),
+        "html",
+        "lang",
+    )
+    dest = str(tmp_path / "warcgz_out")
+    write_warc_pages(pages, dest, compress=True)
+    assert any(f.endswith(".warc.gz") for f in os.listdir(dest))
+
+    back = read_warc_pages(spark, dest, compress=True).withColumn(
+        "epoch", F.col("warc_ts").cast("long")
+    )
+    got = {
+        r["url"]: (r["epoch"], bytes(r["html"]), r["lang"])
+        for r in back.collect()
+    }
+    assert got == {u: (e, h, lg) for u, e, h, lg in rows}
+
+    # each record is its own member: decompressing the first member of
+    # some part file yields exactly one whole record
+    from graphjet_spark.sources.warc import _gzip_members
+
+    part = sorted(
+        f for f in os.listdir(dest) if f.endswith(".warc.gz")
+    )[0]
+    buf = open(os.path.join(dest, part), "rb").read()
+    first = next(iter(_gzip_members(buf)))
+    recs = list(_split_records(first))
+    assert len(recs) == 1
