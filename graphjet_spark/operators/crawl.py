@@ -79,13 +79,24 @@ def page_change_rate(
         .alias("n_changes"),
         (F.max("ts") - F.min("ts")).cast("bigint").alias("span_s"),
     )
+    return change_rate_from_stats(agg, round_to=round_to)
+
+
+def change_rate_from_stats(
+    stats: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """The estimator half of :func:`page_change_rate`, over already
+    reduced per-URL sufficient statistics ``(url, n_captures,
+    n_changes, span_s)`` — shared with the streaming fold
+    (:func:`graphjet_spark.streaming.ingest.read_change_rates`), whose
+    state is exactly these mergeable statistics."""
     n = (F.col("n_captures") - 1).cast("double")
     x = F.col("n_changes").cast("double")
     span = F.col("span_s").cast("double")
     ibar = span / n
     lam_cgm = -F.log((n - x + 0.5) / (n + 0.5)) / ibar
     return (
-        agg.filter(F.col("span_s") > 0)
+        stats.filter(F.col("span_s") > 0)
         .select(
             "url",
             "n_captures",

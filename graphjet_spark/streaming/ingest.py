@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphjet_spark.plans.build_edges import extract_link_rows
@@ -423,4 +423,129 @@ def streaming_keep_list(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_change_rates(
+    spark: SparkSession,
+    captures: DataFrame,
+    state_dir: str,
+    *,
+    checkpoint_dir: str,
+):
+    """Live Cho-Garcia-Molina change-rate maintenance over a capture
+    stream ``(url, warc_epoch, text)`` — the streaming twin of
+    :func:`graphjet_spark.operators.crawl.page_change_rate`.  The
+    crawl scheduler's revisit priorities stay fresh without ever
+    re-reading the capture log: state is one row of MERGEABLE
+    sufficient statistics per URL ``(n_captures, n_changes, first_ts,
+    last_ts, last_fp)``, and each micro-batch folds in as batch-local
+    stats plus one boundary comparison (did the first fetch of this
+    batch differ from the last known fingerprint?).
+
+    Arrival contract: per-URL time-ordered batches (a live fetch log
+    appends captures as they happen) — the same in-order contract the
+    running-degree and CC folds assume.  Within a batch, rows may be
+    unordered (the fold sorts by ``warc_epoch``).
+
+    Exactly-once on top of at-least-once foreachBatch, like
+    :func:`streaming_components`: the merged snapshot lands at
+    ``caprates/v=<batch_id>``; a replayed batch re-reads the snapshot
+    STRICTLY BEFORE its own id and overwrites itself byte-identically.
+    Readers (:func:`read_change_rates`) apply the closed-form
+    estimator to the latest snapshot — equal, by the merge identity,
+    to the batch operator over every capture ingested so far (pinned
+    by pytest).
+    """
+    from graphjet_spark.functions.hashing import md5_prefix_bigint
+
+    stats_dir = os.path.join(state_dir, "caprates")
+    empty_schema = (
+        "url string, n_captures bigint, n_changes bigint, "
+        "first_ts bigint, last_ts bigint, last_fp bigint"
+    )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("url").orderBy("ts")
+        marked = (
+            batch.select(
+                "url",
+                F.col("warc_epoch").cast("long").alias("ts"),
+                md5_prefix_bigint(F.col("text")).alias("fp"),
+            )
+            .withColumn("prev_fp", F.lag("fp").over(w))
+        )
+        b = marked.groupBy("url").agg(
+            F.count(F.lit(1)).cast("bigint").alias("b_n"),
+            F.sum(
+                F.when(
+                    F.col("prev_fp").isNotNull()
+                    & (F.col("fp") != F.col("prev_fp")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b_x"),
+            F.min("ts").alias("b_first_ts"),
+            F.max("ts").alias("b_last_ts"),
+            F.expr("min_by(fp, ts)").alias("b_first_fp"),
+            F.expr("max_by(fp, ts)").alias("b_last_fp"),
+        )
+        old = _latest_snapshot(spark, stats_dir, before=batch_id)
+        if old is None:
+            old = spark.createDataFrame([], empty_schema)
+        boundary = (
+            F.col("n_captures").isNotNull()
+            & F.col("b_n").isNotNull()
+            & (F.col("last_fp") != F.col("b_first_fp"))
+        ).cast("bigint")
+        merged = (
+            old.join(b, "url", "full_outer")
+            .select(
+                "url",
+                (
+                    F.coalesce("n_captures", F.lit(0))
+                    + F.coalesce("b_n", F.lit(0))
+                ).alias("n_captures"),
+                (
+                    F.coalesce("n_changes", F.lit(0))
+                    + F.coalesce("b_x", F.lit(0))
+                    + F.coalesce(boundary, F.lit(0))
+                ).alias("n_changes"),
+                F.coalesce("first_ts", "b_first_ts").alias("first_ts"),
+                F.coalesce("b_last_ts", "last_ts").alias("last_ts"),
+                F.coalesce("b_last_fp", "last_fp").alias("last_fp"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(stats_dir, f"v={batch_id}")
+        )
+
+    return (
+        captures.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_change_rates(spark: SparkSession, state_dir: str):
+    """Latest committed change-rate estimates from the streaming
+    fold's state — same output shape and values as the batch
+    :func:`graphjet_spark.operators.crawl.page_change_rate` over all
+    captures folded so far, or ``None`` before the first commit."""
+    from graphjet_spark.operators.crawl import change_rate_from_stats
+
+    snap = _latest_snapshot(spark, os.path.join(state_dir, "caprates"))
+    if snap is None:
+        return None
+    return change_rate_from_stats(
+        snap.select(
+            "url",
+            "n_captures",
+            "n_changes",
+            (F.col("last_ts") - F.col("first_ts"))
+            .cast("bigint")
+            .alias("span_s"),
+        )
     )

@@ -447,3 +447,74 @@ def test_streaming_keep_list_matches_batch_dedup(spark, tmp_path):
     }
     assert got == _want(batch1 + batch2)
     assert got[6] == got[1] and got[7] == got[5] and got[8] == 8
+
+
+def test_streaming_change_rates_match_batch(spark, tmp_path):
+    """Live change-rate stats folded per micro-batch must equal the
+    batch estimator over every capture ingested so far — including
+    the cross-batch boundary change (a URL whose content flips BETWEEN
+    batches, which only the boundary fingerprint comparison can see) —
+    after each feed AND across a restart from the checkpoint."""
+    from graphjet_spark.operators.crawl import page_change_rate
+
+    caps_dir = str(tmp_path / "cr_caps_in")
+    ck = str(tmp_path / "cr_ck")
+    state = str(tmp_path / "cr_state")
+    schema = "url string, warc_epoch long, text string"
+
+    def _feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(caps_dir)
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(caps_dir)
+        q = ingest.streaming_change_rates(
+            spark, stream, state, checkpoint_dir=ck
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def _want(all_rows):
+        df = spark.createDataFrame(all_rows, schema)
+        return {
+            r["url"]: r.asDict() for r in page_change_rate(df).collect()
+        }
+
+    day = 86_400
+    # hot flips every visit; cold never changes; flip changes only at
+    # the batch-1 -> batch-2 boundary (first capture of batch 2)
+    batch1 = [
+        ("hot", 0 * day, "h0"),
+        ("hot", 1 * day, "h1"),
+        ("cold", 0 * day, "same"),
+        ("cold", 1 * day, "same"),
+        ("flip", 0 * day, "old"),
+        ("flip", 1 * day, "old"),
+    ]
+    batch2 = [
+        ("hot", 2 * day, "h2"),
+        ("cold", 2 * day, "same"),
+        ("flip", 2 * day, "new"),
+        ("fresh", 2 * day, "x"),  # single capture: dropped (no span)
+    ]
+
+    _feed(batch1)
+    _run()
+    got1 = {
+        r["url"]: r.asDict()
+        for r in ingest.read_change_rates(spark, state).collect()
+    }
+    assert got1 == _want(batch1)
+
+    _feed(batch2)
+    _run()  # restart from checkpoint, folds only batch 2
+    got2 = {
+        r["url"]: r.asDict()
+        for r in ingest.read_change_rates(spark, state).collect()
+    }
+    assert got2 == _want(batch1 + batch2)
+    assert "fresh" not in got2
+    assert got2["flip"]["n_changes"] == 1  # boundary-only change seen
+    assert got2["cold"]["n_changes"] == 0
+    assert got2["hot"]["n_changes"] == 2
