@@ -71,8 +71,15 @@ def kn_bigram_model(
     every emitted row, so the ``max(c - D, 0)`` clamp never binds.
     """
     bi = _bigrams(docs, text_col, id_col)
-    cbi = bi.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # cbi feeds four consumers (cw1, cw2, tot, the model join); without
+    # a cut each re-derives it from the raw corpus scan — 4 full passes
+    # at 100 TB.  One lazy checkpoint bounds the corpus to a single
+    # scan; everything downstream runs on the distinct-bigram relation
+    # (sublinear in corpus size).
+    cbi = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
     cw1 = cbi.groupBy("w1").agg(
         F.sum("c").cast("bigint").alias("c1"),
