@@ -56,10 +56,18 @@ def mirror_hosts(
     symmetric view.  Fingerprint = the cross-engine md5-prefix hash of
     the document text, so the gate twin reproduces values exactly.
     """
-    hf = docs.select(
-        F.col(host_col).alias("host"),
-        md5_prefix_bigint(F.col(text_col)).alias("fp"),
-    ).distinct()
+    # hf feeds four consumers (sizes, the df-cap, both self-join
+    # sides); without a cut each re-derives it from the raw corpus
+    # scan.  One lazy checkpoint bounds the corpus to a single pass —
+    # everything downstream runs on the distinct (host, fp) relation.
+    hf = (
+        docs.select(
+            F.col(host_col).alias("host"),
+            md5_prefix_bigint(F.col(text_col)).alias("fp"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = hf.groupBy("host").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
