@@ -337,21 +337,29 @@ def resolve_redirects(redirects: DataFrame, rounds: int = 3) -> DataFrame:
     shuffles.  Each round joins on the current pointer key; no
     windows, no driver-side state.
     """
+    # each round consumes the previous pointer table TWICE (both sides
+    # of the self-join) — uncut, the recompute tree doubles per round
+    # (2**rounds re-derivations of the input).  A lazy checkpoint per
+    # round makes every round one scan of the previous round's blocks.
     p = redirects.select(
         "src", "dst", F.lit(1).cast("bigint").alias("chain_len")
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         q = p.select(
             F.col("src").alias("q_src"),
             F.col("dst").alias("q_dst"),
             F.col("chain_len").alias("q_len"),
         )
-        p = p.join(q, p["dst"] == q["q_src"], "left").select(
-            "src",
-            F.coalesce("q_dst", "dst").alias("dst"),
-            (F.col("chain_len") + F.coalesce("q_len", F.lit(0)))
-            .cast("bigint")
-            .alias("chain_len"),
+        p = (
+            p.join(q, p["dst"] == q["q_src"], "left")
+            .select(
+                "src",
+                F.coalesce("q_dst", "dst").alias("dst"),
+                (F.col("chain_len") + F.coalesce("q_len", F.lit(0)))
+                .cast("bigint")
+                .alias("chain_len"),
+            )
+            .localCheckpoint(eager=False)
         )
     heads = redirects.select(F.col("src").alias("dst")).distinct()
     still = heads.withColumn("_h", F.lit(1))
