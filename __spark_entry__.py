@@ -2053,6 +2053,29 @@ def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontamination_flags(docs, bench, n=DECON_N)
 
 
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+PARA_TOKENS = 16
+
+
+def _q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.dedup import bloom_decontamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_MOD == 0).select("doc_id")
+    return bloom_decontamination_flags(
+        docs, bench, n=DECON_N, m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphjet_spark.operators.dedup import paragraph_dedup_rewrite
+
+    return paragraph_dedup_rewrite(
+        _docs(spark, sf_dir), para_tokens=PARA_TOKENS
+    )
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphjet_spark.operators.textstats import tfidf_top_terms
 
@@ -2271,6 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": _q_collocations,
         "tfidf_cosine_pairs": _q_tfidf_cosine,
         "decontamination_flags": _q_decontamination,
+        "bloom_decontamination": _q_bloom_decontamination,
+        "paragraph_dedup_rewrite": _q_paragraph_dedup,
         "content_fingerprint": _q_fingerprint,
         "language_id": _q_language_id,
         "langid_confusion": _q_langid_confusion,
@@ -2605,6 +2630,10 @@ GROUP BY s.seed ORDER BY s.seed
         "decontamination_flags": oracles.decontamination_sql(
             DECON_N, DECON_MOD
         ),
+        "bloom_decontamination": oracles.bloom_decontamination_sql(
+            DECON_N, DECON_MOD, BLOOM_M_BITS, BLOOM_K
+        ),
+        "paragraph_dedup_rewrite": oracles.paragraph_dedup_sql(PARA_TOKENS),
         "content_fingerprint": oracles.content_fingerprint_sql(),
         "language_id": oracles.language_id_sql(_LANG_MARKERS),
         "langid_confusion": f"""

@@ -1764,3 +1764,130 @@ def semdedup_keep_list(
         mcs.alias("max_cos_smaller"),
         (mcs < F.lit(threshold)).alias("keep"),
     )
+
+
+def bloom_decontamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, bloom_grams)`` — the Bloom-filter form of
+    :func:`decontamination_flags`: training documents whose token
+    n-grams test positive against a Bloom filter built from the
+    benchmark set's grams.  ``bloom_grams`` counts the doc's distinct
+    grams passing the filter — a SUPERSET of the exact ``shared_grams``
+    (no false negatives; overcount ~ fill_ratio**k per clean gram,
+    property-tested against the exact join).
+
+    This is the decontamination shape that survives 100 TB: the exact
+    version ships every distinct benchmark gram into an equi-join
+    against the full training gram volume; here the benchmark collapses
+    to a <= m_bits-row bit set (``sketches.bloom_bits``) that BROADCASTS,
+    so the training side streams at scan rate with no gram-key shuffle
+    at all — the standard first-pass filter before an exact confirm on
+    the (tiny) flagged remainder.  Deterministic md5-prefix probes keep
+    it value-oracle-able against a DuckDB twin computing the identical
+    bit set."""
+    from graphjet_spark.operators.sketches import bloom_bits, bloom_member_flags
+
+    grams = token_sets(docs, text_col, n)
+    bench_ids = benchmark.select("doc_id")
+    bits = bloom_bits(
+        grams.join(bench_ids, "doc_id", "left_semi").select("tok").distinct(),
+        "tok",
+        m_bits=m_bits,
+        k=k,
+    )
+    train = grams.join(bench_ids, "doc_id", "left_anti")
+    passing = bloom_member_flags(train, bits, "tok", m_bits=m_bits, k=k)
+    return passing.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bloom_grams")
+    )
+
+
+def paragraph_dedup_rewrite(
+    docs: DataFrame,
+    *,
+    para_tokens: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_paras, kept_paras, text)`` — paragraph-level exact
+    dedup with corpus rewrite (the Dolma / RefinedWeb paragraph pass):
+    each document splits into fixed-``para_tokens`` non-overlapping
+    token windows ("paragraphs" — the synthetic corpus carries no
+    newline structure, so the window IS the paragraph unit), every
+    paragraph whose content already appeared at a smaller
+    (doc_id, para_idx) is DROPPED, and the survivors reassemble in
+    order into the rewritten text.  First occurrence wins globally —
+    an order-free min, no window function.
+
+    Scale shape: paragraphs are a narrow JVM projection (split +
+    sequence + slice, scan rate); ownership is ONE map-side-combined
+    min-groupBy on the 60-bit paragraph hash plus one equi-join back —
+    linear in paragraph volume, never doc x doc.  Reassembly groups by
+    doc_id with a sort_array over (para_idx, text) structs, the same
+    bounded-state shape as chunk/pack.  All doc_ids survive (empty or
+    fully-dropped docs emit text '')."""
+    docs = _spread(docs)
+    toks = (
+        f"CASE WHEN trim({text_col}) = '' THEN array() "
+        f"ELSE split(trim({text_col}), '\\\\s+') END"
+    )
+    starts = (
+        f"CASE WHEN size({toks}) = 0 THEN array() "
+        f"ELSE sequence(0, size({toks}) - 1, {para_tokens}) END"
+    )
+    paras = (
+        docs.select(
+            "doc_id",
+            F.expr(toks).alias("_w"),
+            F.posexplode_outer(F.expr(starts)).alias("para_idx", "_s"),
+        )
+        .where(F.col("_s").isNotNull())
+        .select(
+            "doc_id",
+            F.col("para_idx").cast("bigint").alias("para_idx"),
+            F.concat_ws(
+                " ", F.expr(f"slice(_w, _s + 1, {para_tokens})")
+            ).alias("ptext"),
+        )
+    )
+    # packed first-occurrence key: para_idx < 1e6 at any realistic doc
+    # length (1e6 paragraphs x para_tokens tokens >> one document)
+    key = (F.col("doc_id") * F.lit(1000000) + F.col("para_idx")).cast(
+        "bigint"
+    )
+    hashed = paras.select(
+        "doc_id", "para_idx", "ptext", _hash60(F.col("ptext")).alias("h"),
+        key.alias("okey"),
+    )
+    owner = hashed.groupBy("h").agg(F.min("okey").alias("first_key"))
+    kept = hashed.join(owner, "h").where(
+        F.col("okey") == F.col("first_key")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_paras"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(sort_array(collect_list(struct(para_idx, ptext))), x -> x.ptext)"),
+        ).alias("new_text"),
+    )
+    n_paras = F.expr(
+        f"CAST(CEIL(size({toks}) / CAST({para_tokens} AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        docs.select("doc_id", n_paras.alias("n_paras"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("kept_paras", F.lit(0)).cast("bigint").alias(
+                "kept_paras"
+            ),
+            F.coalesce("new_text", F.lit("")).alias("text"),
+        )
+    )

@@ -177,3 +177,68 @@ def hll_estimate(
     return agg.select(
         *group_cols, F.round(est, round_to).alias("hll_est")
     )
+
+
+# -------------------------------------------------------------- Bloom
+
+def _bloom_bit(key_str: F.Column, i: F.Column, m_bits: int) -> F.Column:
+    """Bit position of hash function ``i`` for ``key_str``: md5-prefix
+    of ``key || ':' || i`` mod m.  60-bit positive hash, so plain ``%``
+    is identical in Spark and DuckDB."""
+    return _h(F.concat(key_str, F.lit(":"), i.cast("string"))) % F.lit(
+        m_bits
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """``(bit)`` — the DISTINCT set-bit positions of a Bloom filter
+    (Bloom, CACM 1970) over ``df[key_col]``: k md5-prefix hash probes
+    per key, each mod ``m_bits``.  At most ``m_bits`` rows regardless
+    of input size, so the built filter always broadcasts.  Filters are
+    MERGEABLE by construction: the bit set of a union of slices is the
+    distinct-union of the slices' bit sets (one more ``.distinct()``),
+    the membership analogue of CMS cell-sums / HLL cell-maxes above.
+
+    Scale shape: one narrow k-way explode + a distinct whose reduced
+    state is <= m_bits rows — the fixed-size membership summary that
+    replaces shipping the full key set to every probe site at 100 TB."""
+    i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
+    return (
+        df.select(F.col(key_col).cast("string").alias("s"))
+        .select("s", i)
+        .select(_bloom_bit(F.col("s"), F.col("i"), m_bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_member_flags(
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Rows of ``probes`` whose ``key_col`` tests POSITIVE against the
+    Bloom bit set (all k probe bits present).  One-sided error: every
+    true member passes (no false negatives, tested); non-members pass
+    with probability ~ fill_ratio**k.  The bit set joins broadcast
+    (<= m_bits rows); membership is a per-row k-probe lookup, so the
+    probe side streams at scan rate with no key-set shuffle."""
+    i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
+    cols = probes.columns
+    probed = probes.select(
+        *cols, F.col(key_col).cast("string").alias("_s")
+    ).select(*cols, i, F.col("_s"))
+    probed = probed.select(
+        *cols, _bloom_bit(F.col("_s"), F.col("i"), m_bits).alias("bit")
+    )
+    return (
+        probed.join(F.broadcast(bits), "bit")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == k)
+        .drop("_hits")
+    )

@@ -4487,3 +4487,84 @@ SELECT 'https://h' || (doc_id % 16) || '.example.org/Docs/' || doc_id
        CAST(octet_length(encode(text)) AS BIGINT)
 FROM documents WHERE doc_id % 3 = 0
 """
+
+
+def bloom_decontamination_sql(
+    n: int = 3, mod: int = 97, m_bits: int = 1 << 16, k: int = 4
+) -> str:
+    """Twin of operators/dedup.py::bloom_decontamination_flags — the
+    identical Bloom construction (k md5-prefix probes mod m over the
+    benchmark grams' distinct bit set), so estimates VALUE-match."""
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    gram_list = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n} + 2), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    bit = (
+        "((('0x' || substr(md5(tok || ':' || CAST(i AS VARCHAR)), 1, 15))"
+        f"::BIGINT) % {m_bits})"
+    )
+    return rf"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({gram_list}) AS tok FROM w)
+  WHERE tok <> ''),
+bits AS MATERIALIZED (
+  SELECT DISTINCT {bit} AS bit
+  FROM (SELECT DISTINCT tok FROM grams WHERE doc_id % {mod} = 0)
+  CROSS JOIN range(0, {k}) t(i)),
+probe AS MATERIALIZED (
+  SELECT g.doc_id, g.tok, {bit} AS bit
+  FROM grams g CROSS JOIN range(0, {k}) t(i)
+  WHERE g.doc_id % {mod} <> 0),
+pass AS MATERIALIZED (
+  SELECT doc_id, tok FROM probe JOIN bits USING (bit)
+  GROUP BY doc_id, tok HAVING COUNT(*) = {k})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_grams
+FROM pass GROUP BY doc_id
+"""
+
+
+def paragraph_dedup_sql(para_tokens: int = 16) -> str:
+    """Twin of operators/dedup.py::paragraph_dedup_rewrite — same
+    fixed-window paragraphs, same 60-bit md5-prefix content hash, same
+    packed (doc_id * 1e6 + para_idx) first-occurrence key."""
+    return rf"""
+WITH wd AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents),
+st AS MATERIALIZED (
+  SELECT doc_id, w,
+         unnest(CASE WHEN len(w) = 0 THEN []::BIGINT[]
+                ELSE range(0, len(w), {para_tokens}) END) AS s,
+         generate_subscripts(CASE WHEN len(w) = 0 THEN []::BIGINT[]
+                ELSE range(0, len(w), {para_tokens}) END, 1) - 1 AS para_idx
+  FROM wd),
+paras AS MATERIALIZED (
+  SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
+         array_to_string(w[s + 1 : s + {para_tokens}], ' ') AS ptext,
+         doc_id * 1000000 + para_idx AS okey
+  FROM st),
+hashed AS MATERIALIZED (
+  SELECT *, ('0x' || substr(md5(ptext), 1, 15))::BIGINT AS h FROM paras),
+own AS MATERIALIZED (
+  SELECT h, MIN(okey) AS first_key FROM hashed GROUP BY h),
+kept AS MATERIALIZED (
+  SELECT p.doc_id, p.para_idx, p.ptext
+  FROM hashed p JOIN own USING (h) WHERE p.okey = own.first_key),
+agg AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_paras,
+         string_agg(ptext, ' ' ORDER BY para_idx) AS new_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(ceil(len(d.w) / CAST({para_tokens} AS DOUBLE)) AS BIGINT)
+         AS n_paras,
+       COALESCE(a.kept_paras, 0) AS kept_paras,
+       COALESCE(a.new_text, '') AS text
+FROM wd d LEFT JOIN agg a USING (doc_id)
+"""

@@ -1910,3 +1910,159 @@ def test_gopher_quality_flags_rules(spark):
     assert out[4]["r_alpha"] == 0
     assert out[5]["r_ellipsis"] == 0
     assert out[6]["r_meanlen"] == 0
+
+
+# ---------------------------------------------------------- Bloom decon
+
+
+def _bloom_mirror_bits(keys, m_bits, k):
+    import hashlib
+
+    bits = set()
+    for s in keys:
+        for i in range(k):
+            h = hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:15]
+            bits.add(int(h, 16) % m_bits)
+    return bits
+
+
+def test_bloom_decontamination_superset_and_mirror(spark):
+    from pyspark.sql import functions as F
+
+    from graphjet_spark.operators.dedup import (
+        bloom_decontamination_flags,
+        decontamination_flags,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta other words here now"),   # shares grams w/ 0
+        (2, "totally disjoint content nothing in common at all"),
+        (3, "more unrelated text that should stay clean mostly"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of benchmark
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = docs.where(F.col("doc_id") == 0).select("doc_id")
+
+    exact = {
+        r.doc_id: r.shared_grams
+        for r in decontamination_flags(docs, bench, n=3).collect()
+    }
+    # tiny filter (m=64, k=2): high fill ratio forces false positives,
+    # exercising the one-sided-error contract, not just the happy path
+    bloom = {
+        r.doc_id: r.bloom_grams
+        for r in bloom_decontamination_flags(
+            docs, bench, n=3, m_bits=64, k=2
+        ).collect()
+    }
+    # no false negatives: every exact-flagged doc is bloom-flagged with
+    # at least as many grams
+    for d, cnt in exact.items():
+        assert bloom.get(d, 0) >= cnt
+
+    # literal mirror: recompute each doc's passing grams in Python with
+    # the same md5 bit set
+    bench_grams = set()
+    texts = dict(rows)
+    def grams_of(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    bench_grams = grams_of(texts[0])
+    bits = _bloom_mirror_bits(bench_grams, 64, 2)
+    import hashlib
+
+    def passes(g):
+        return all(
+            int(hashlib.md5(f"{g}:{i}".encode()).hexdigest()[:15], 16) % 64
+            in bits
+            for i in range(2)
+        )
+
+    expect = {}
+    for d, t in texts.items():
+        if d == 0:
+            continue
+        n_pass = sum(1 for g in grams_of(t) if passes(g))
+        if n_pass:
+            expect[d] = n_pass
+    assert bloom == expect
+
+
+def test_bloom_member_flags_no_false_negatives(spark):
+    from graphjet_spark.operators.sketches import bloom_bits, bloom_member_flags
+
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], "k string"
+    )
+    bits = bloom_bits(members, "k", m_bits=256, k=3)
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(80)], "k string"
+    )
+    got = {r.k for r in bloom_member_flags(probe, bits, "k", m_bits=256, k=3).collect()}
+    assert {f"key{i}" for i in range(50)} <= got  # every member passes
+
+
+def test_bloom_bits_mergeable(spark):
+    from graphjet_spark.operators.sketches import bloom_bits
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], "k string")
+    whole = bloom_bits(a.union(b), "k", m_bits=128, k=3)
+    merged = (
+        bloom_bits(a, "k", m_bits=128, k=3)
+        .union(bloom_bits(b, "k", m_bits=128, k=3))
+        .distinct()
+    )
+    assert {r.bit for r in whole.collect()} == {r.bit for r in merged.collect()}
+
+
+# ------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_rewrite(spark):
+    from graphjet_spark.operators.dedup import paragraph_dedup_rewrite
+
+    p0 = "a b c d"        # 4-token paragraphs below
+    p1 = "e f g h"
+    p2 = "i j k l"
+    rows = [
+        (0, f"{p0} {p1}"),          # both novel -> kept
+        (1, f"{p0} {p2}"),          # first para duplicates doc 0 -> dropped
+        (2, f"{p2} {p2}"),          # second para duplicates its own first
+        (3, ""),                     # empty doc
+        (4, "m n"),                  # short tail paragraph, novel
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.kept_paras, r.text)
+        for r in paragraph_dedup_rewrite(docs, para_tokens=4).collect()
+    }
+    assert got[0] == (2, 2, f"{p0} {p1}")
+    assert got[1] == (2, 1, p2)      # p0 already owned by doc 0
+    # p2's first global occurrence is doc 1 idx 1 (key 1000001), which
+    # beats doc 2 idx 0 (key 2000000): doc 2's copies both drop
+    assert got[2] == (2, 0, "")
+    assert got[3] == (0, 0, "")
+    assert got[4] == (1, 1, "m n")
+
+
+def test_paragraph_dedup_idempotent(spark):
+    from graphjet_spark.operators.dedup import paragraph_dedup_rewrite
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d x y z w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    first = paragraph_dedup_rewrite(docs, para_tokens=4)
+    again = paragraph_dedup_rewrite(
+        first.select("doc_id", "text"), para_tokens=4
+    )
+    a = {r.doc_id: (r.kept_paras, r.text) for r in first.collect()}
+    b = {r.doc_id: (r.kept_paras, r.text) for r in again.collect()}
+    # second pass keeps everything the first pass kept
+    assert {d: t for d, (_, t) in a.items()} == {
+        d: t for d, (_, t) in b.items()
+    }
+    assert all(b[d][0] == len(b[d][1].split()) // 4 + (1 if len(b[d][1].split()) % 4 else 0) or b[d][1] == "" for d in b)
