@@ -52,6 +52,8 @@ def parse(path: str) -> dict[str, dict]:
 
 def main() -> int:
     small_log, big_log = sys.argv[1], sys.argv[2]
+    lo = sys.argv[3] if len(sys.argv) > 3 else "sf0.1"
+    hi = sys.argv[4] if len(sys.argv) > 4 else "sf1"
     small, big = parse(small_log), parse(big_log)
     names = [n for n in big if n in small]
     missing = [n for n in small if n not in big] + [
@@ -71,30 +73,31 @@ def main() -> int:
     total_b = sum(r[2]["spark"] for r in rows)
     mism = [n for n, d in big.items() if d["status"] == "MISMATCH"]
 
-    print("# Scale soak: sf0.1 -> sf1 (10x data)")
+    print(f"# Scale soak: {lo} -> {hi} (10x data)")
     print()
     ro = [d for d in big.values() if d["status"] == "rows-only"]
     ro_timeout = sum(1 for d in ro if "timeout" in d.get("note", ""))
     print(
         f"Full gate (`tools/check_correctness.py`, Spark vs DuckDB oracle)"
         f" run at BOTH scales on the same VM, sequentially (never"
-        f" concurrent).  {len(big)} queries at sf1:"
+        f" concurrent).  {len(big)} queries at {hi}:"
         f" {sum(1 for d in big.values() if d['status'] == 'OK')} value-matched,"
         f" {len(ro) - ro_timeout} rows-only by contract"
-        f" (seeded/SQL-inexpressible), {ro_timeout} rows-only at sf1 only"
+        f" (seeded/SQL-inexpressible), {ro_timeout} rows-only at {hi} only"
         f" because the deliberately-naive quadratic DuckDB twin exceeds its"
-        f" 240s budget there (each is value-matched at sf0.001-sf0.1),"
+        f" 240s budget there (each is value-matched at the scales where"
+        f" the twin is tractable),"
         f" {len(mism)} mismatches."
     )
     print()
     print(
-        f"Aggregate Spark wall: {total_s:.1f}s at sf0.1 -> {total_b:.1f}s at"
-        f" sf1 = **{total_b / total_s:.1f}x on 10x data** across"
+        f"Aggregate Spark wall: {total_s:.1f}s at {lo} -> {total_b:.1f}s at"
+        f" {hi} = **{total_b / total_s:.1f}x on 10x data** across"
         f" {len(rows)} timed queries."
     )
     print()
     if mism:
-        print(f"**MISMATCHES at sf1: {', '.join(mism)}**")
+        print(f"**MISMATCHES at {hi}: {', '.join(mism)}**")
         print()
     if missing:
         print(f"Queries present in only one log: {', '.join(missing)}")
@@ -105,7 +108,7 @@ def main() -> int:
         + (", ".join(f"`{r[0]}` ({r[3]:.1f}x)" for r in flagged) or "none")
     )
     print()
-    print("| query | sf0.1 spark (s) | sf1 spark (s) | ratio | sf1 duck (s) | sf1 rows |")
+    print(f"| query | {lo} spark (s) | {hi} spark (s) | ratio | {hi} duck (s) | {hi} rows |")
     print("|---|---|---|---|---|---|")
     for n, s, b, ratio in rows:
         duck = f"{b['duck']:.1f}" if "duck" in b else "—"
