@@ -50,6 +50,14 @@ def get_spark(
         # local runs with GC (64s -> 26s on a 15M-edge superstep batch
         # just by dropping 48g -> 8g). 12g covers every sf tier here.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # Iterative supersteps churn localCheckpoint blocks: a dropped
+        # round's blocks are only released after a full GC lets the
+        # ContextCleaner enqueue the dead RDD, and Spark's default
+        # periodic-GC interval is 30min — long superstep loops allocate
+        # round-state faster than that at web scale (measured: star-CC
+        # at 195M edges OOM'd a 48g heap on accumulated round
+        # snapshots; the same fix GraphFrames documents for its CC).
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
