@@ -1926,11 +1926,27 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment near-dups (quote/subset leaks
-    Jaccard misses), prefix-filtered candidate generation."""
+    Jaccard misses); dense-vocab corpora take the blocked in-task
+    intersection path, sparse ones the prefix-filtered candidates."""
     from graphjet_spark.operators.dedup import containment_pairs
 
     return containment_pairs(
         _docs(spark, sf_dir), n=CONTAIN_N, threshold=CONTAIN_T
+    )
+
+
+CONTAIN_K = 10
+
+
+def _q_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded containment: per-doc top-k containers by (containment
+    DESC, doc_b ASC) — exact equal to the census ranked+sliced, but
+    with in-task top-k retention so it completes on dense-vocab
+    corpora where the census output is quadratic by construction."""
+    from graphjet_spark.operators.dedup import containment_topk
+
+    return containment_topk(
+        _docs(spark, sf_dir), n=CONTAIN_N, threshold=CONTAIN_T, k=CONTAIN_K
     )
 
 
@@ -2278,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_kl": _q_source_token_kl,
         "bm25_topk": _q_bm25_topk,
         "containment_pairs": _q_containment_pairs,
+        "containment_topk": _q_containment_topk,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "quality_score": _q_quality,
@@ -2605,6 +2622,9 @@ GROUP BY s.seed ORDER BY s.seed
         "bm25_topk": oracles.bm25_topk_sql(BM25_TERMS),
         "containment_pairs": oracles.containment_pairs_sql(
             CONTAIN_N, CONTAIN_T
+        ),
+        "containment_topk": oracles.containment_topk_sql(
+            CONTAIN_N, CONTAIN_T, CONTAIN_K
         ),
         "pack_sequences": oracles.pack_sequences_sql(PACK_SEQ_LEN),
         "chunk_documents": oracles.chunk_documents_sql(

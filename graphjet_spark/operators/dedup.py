@@ -1441,6 +1441,195 @@ def gram_novelty(
     )
 
 
+# Vocabulary bound for the blocked-intersection containment path: with
+# V distinct grams at most this, gram df is high enough that prefix
+# filtering degenerates toward all-pairs (measured: the sf10 dense-vocab
+# census spilled 127.5M+ candidates past a 78 GB disk), while per-class
+# posting arrays stay small enough that every block pair is one
+# in-task numpy intersection with NO materialized candidate relation.
+# Above it, real-web sparse vocabularies make the AllPairs/PPJoin
+# prefix filter actually prune, and the inverted-index path wins.
+_CONTAIN_BLOCK_VOCAB_MAX = 1 << 17
+
+
+def _gather_ragged(
+    vals: np.ndarray, starts: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Concatenate vals[starts[r] : starts[r]+counts[r]] over all r
+    without a Python loop (exclusive-cumsum index arithmetic)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=vals.dtype)
+    excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    idx = np.arange(total, dtype=np.int64) + np.repeat(starts - excl, counts)
+    return vals[idx]
+
+
+def _containment_cls_pairs_blocked(
+    cids: DataFrame,
+    reps: DataFrame,
+    threshold: float,
+    *,
+    k: int | None = None,
+    block_rows: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ordered qualifying class pairs ``(ca, cb, containment)`` —
+    ``ca`` contained in ``cb`` with round(|A n B| / |A|) >= threshold —
+    for the dense-vocabulary regime where prefix filtering is powerless
+    (every gram's df is a large fraction of all classes, so the
+    candidate join degenerates to ~all-pairs and its materialization is
+    the scale killer, not the arithmetic).
+
+    Classes are hashed into ceil(n_cls / block_rows) blocks; every
+    unordered block pair is ONE cogrouped-Arrow task that computes
+    exact intersection counts with a vectorized inverted-index run
+    match (sort both sides' gram postings, cartesian-expand matching
+    gram runs in bounded chunks, ``bincount`` into a dense
+    nA x nB int32 matrix) — the set analogue of
+    :func:`embedding_near_dups`' blocked GEMM.  NO candidate relation
+    is ever shuffled or spilled; per-task memory is bounded by
+    block_rows^2 cells + the two blocks' postings.  Both containment
+    directions are read off the one matrix (rows/sza and cols/szb).
+
+    ``k``: per-CONTAINED-class in-task top-k retention (containment
+    descending, with a 1.1e-6 slack so candidates tied at the k-th
+    value after the final 6-decimal ROUND are never dropped before the
+    exact JVM ranking) — the bounded-output regime that keeps the
+    emitted stream ~n_cls * n_blocks * k instead of the full census.
+    With ``k=None`` every qualifying pair is emitted (exact census,
+    same values as the prefix path — intersections are exact ints and
+    the threshold is re-applied JVM-side on ROUND'ed doubles).
+
+    Gram identity in-task is xxhash64 of the gram string (no global id
+    assignment, no single-partition window); a 64-bit collision between
+    distinct grams of one corpus is ~V^2 / 2^65 and would only ever
+    INFLATE one intersection count by 1."""
+    cids = cids.localCheckpoint(eager=True)
+    n_cls = cids.count()
+    n_blocks = max(1, -(-n_cls // block_rows))
+    blocked = cids.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("cls").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    a_rep = blocked.select(
+        "cls", "sz", "gids", F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    b_rep = blocked.select(
+        "cls", "sz", "gids",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    t_eps = threshold - 1e-6
+    kk = k
+
+    def _postings(pdf: pd.DataFrame):
+        counts = np.fromiter(
+            (len(x) for x in pdf["gids"]), dtype=np.int64, count=len(pdf)
+        )
+        if counts.sum() == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+            )
+        grams = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["gids"]]
+        )
+        rows = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
+        order = np.argsort(grams, kind="stable")
+        return grams[order], rows[order]
+
+    def _task(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "ca": np.empty(0, np.int64),
+                "cb": np.empty(0, np.int64),
+                "i": np.empty(0, np.int64),
+            }
+        )
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        ids_a = a_pdf["cls"].to_numpy()
+        ids_b = b_pdf["cls"].to_numpy()
+        sa = a_pdf["sz"].to_numpy().astype(np.int64)
+        sb = b_pdf["sz"].to_numpy().astype(np.int64)
+        nA, nB = len(a_pdf), len(b_pdf)
+        ga, ra = _postings(a_pdf)
+        gb, rb = _postings(b_pdf)
+        if len(ga) == 0 or len(gb) == 0:
+            return empty
+        ua, a_st, a_ct = np.unique(ga, return_index=True, return_counts=True)
+        ub, b_st, b_ct = np.unique(gb, return_index=True, return_counts=True)
+        common, ia, ib = np.intersect1d(
+            ua, ub, assume_unique=True, return_indices=True
+        )
+        if len(common) == 0:
+            return empty
+        a_st, a_ct = a_st[ia], a_ct[ia]
+        b_st, b_ct = b_st[ib], b_ct[ib]
+        M = np.zeros(nA * nB, dtype=np.int64)
+        pair_cnt = a_ct * b_ct
+        csum = np.cumsum(pair_cnt)
+        chunk = 1 << 22
+        lo = 0
+        while lo < len(common):
+            hi = int(np.searchsorted(csum, (csum[lo - 1] if lo else 0) + chunk)) + 1
+            hi = min(max(hi, lo + 1), len(common))
+            act, bst, bct = a_ct[lo:hi], b_st[lo:hi], b_ct[lo:hi]
+            # A elems of these runs, each repeated its run's b-count
+            a_elems = _gather_ragged(ra, a_st[lo:hi], act)
+            A_idx = np.repeat(a_elems, np.repeat(bct, act))
+            # B slices per (run, a-elem): same order as A expansion
+            B_idx = _gather_ragged(rb, np.repeat(bst, act), np.repeat(bct, act))
+            M += np.bincount(A_idx * nB + B_idx, minlength=nA * nB)
+            lo = hi
+        M = M.reshape(nA, nB)
+        diag = key[0] == key[1]
+
+        def _emit(Mm, ids_r, ids_c, s_r):
+            cont = Mm / s_r[:, None]
+            ok = (cont >= t_eps) & (ids_r[:, None] != ids_c[None, :])
+            if kk is not None and ok.any():
+                contm = np.where(ok, cont, -1.0)
+                take = min(kk, contm.shape[1])
+                kth = np.partition(contm, contm.shape[1] - take, axis=1)[
+                    :, contm.shape[1] - take
+                ]
+                ok &= cont >= np.maximum(kth[:, None] - 1.1e-6, t_eps)
+            rr, cc = np.nonzero(ok)
+            return ids_r[rr], ids_c[cc], Mm[rr, cc]
+        outs = [_emit(M, ids_a, ids_b, sa)]
+        if not diag:
+            # the transpose is the other containment direction; on the
+            # diagonal block A==B so M already holds every ordered pair
+            outs.append(_emit(M.T, ids_b, ids_a, sb))
+        ca = np.concatenate([o[0] for o in outs])
+        cb = np.concatenate([o[1] for o in outs])
+        ii = np.concatenate([o[2] for o in outs])
+        return pd.DataFrame(
+            {"ca": ca, "cb": cb, "i": ii.astype(np.int64)}
+        )
+
+    pairs = (
+        a_rep.groupby("bi", "bj")
+        .cogroup(b_rep.groupby("bi", "bj"))
+        .applyInPandas(_task, schema="ca bigint, cb bigint, i bigint")
+    )
+    s1 = reps.select(F.col("cls").alias("ca"), F.col("sz").alias("sza"))
+    return (
+        pairs.join(s1, "ca")
+        .select(
+            "ca",
+            "cb",
+            F.round(
+                F.col("i").cast("double") / F.col("sza").cast("double"),
+                round_to,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     *,
@@ -1490,11 +1679,33 @@ def containment_pairs(
     grams vs ~10% for Jaccard at t=0.9, so the exploded-intersection
     shape that works there generates OOM-grade aggregate input here).
     """
-    toks = token_sets(docs, text_col, n).localCheckpoint(eager=True)
+    classes, reps, cgrams, rtoks, dfreq = _containment_structures(
+        docs, n=n, text_col=text_col
+    )
+    vocab = dfreq.count()
+    if 0 < vocab <= _CONTAIN_BLOCK_VOCAB_MAX:
+        cids = cgrams.select(
+            "cls", "sz",
+            F.expr("transform(grams, g -> xxhash64(g))").alias("gids"),
+        )
+        cls_pairs = _containment_cls_pairs_blocked(
+            cids, reps, threshold, round_to=round_to
+        )
+    else:
+        cls_pairs = _containment_cls_pairs_prefix(
+            cgrams, reps, rtoks, dfreq, threshold, round_to=round_to
+        )
+    return _containment_expand_census(cls_pairs, classes)
 
-    # --- collapse exact-duplicate token sets into classes ---------------
-    # grams carried as the sorted array: the class key hashes it AND the
-    # verifier intersects it row-locally.
+
+def _containment_structures(
+    docs: DataFrame, *, n: int, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Exact-dup class collapse for the containment family:
+    (classes, reps, cgrams, rtoks, dfreq).  Grams carried as the sorted
+    array: the class key hashes it AND the sparse-path verifier
+    intersects it row-locally."""
+    toks = token_sets(docs, text_col, n).localCheckpoint(eager=True)
     classes = (
         toks.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("tok")).alias("grams"))
@@ -1515,9 +1726,23 @@ def containment_pairs(
         .localCheckpoint(eager=True)
     )
     rtoks = cgrams.select("cls", F.explode("grams").alias("tok"))
-
     dfreq = rtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return classes, reps, cgrams, rtoks, dfreq
 
+
+def _containment_cls_pairs_prefix(
+    cgrams: DataFrame,
+    reps: DataFrame,
+    rtoks: DataFrame,
+    dfreq: DataFrame,
+    threshold: float,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sparse-vocabulary census path: AllPairs/SSJoin prefix-filtered
+    candidates (recall exactly 1.0 on the contained side) + row-local
+    ``array_intersect`` verification over the classes' sorted gram
+    arrays.  See :func:`containment_pairs` for the full argument."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("cls").orderBy(F.asc("df"), F.asc("tok"))
@@ -1574,14 +1799,20 @@ def containment_pairs(
         / F.col("sza").cast("double"),
         round_to,
     )
-    cls_pairs = (
+    return (
         cands.join(ga, "ca")
         .join(gb, "cb")
         .select("ca", "cb", contain.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
 
-    # --- expand class pairs back to ordered doc pairs --------------------
+
+def _containment_expand_census(
+    cls_pairs: DataFrame, classes: DataFrame
+) -> DataFrame:
+    """Expand qualifying ordered class pairs back to ordered doc pairs
+    (full census): cross-class pairs by member joins, intra-class
+    ordered pairs at containment exactly 1.0."""
     m = classes.select("doc_id", "cls")
     cross_docs = (
         cls_pairs.join(
@@ -1609,6 +1840,117 @@ def containment_pairs(
         )
     )
     return cross_docs.unionByName(intra_docs)
+
+
+def containment_topk(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    k: int = 10,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """``(doc_a, doc_b, containment, rank)`` — for each document, its
+    top-``k`` containers among the qualifying census pairs of
+    :func:`containment_pairs`, ranked by (rounded containment DESC,
+    doc_b ASC); ``rank`` is 1-based.  EXACTLY equal to the full census
+    ranked and sliced per doc — but with a bounded execution footprint,
+    so it completes on dense-vocabulary corpora where the census output
+    itself is quadratic by construction (the r3 sf10 casualty: the
+    census spilled its candidate relation past the 78 GB disk).
+
+    Boundedness, stage by stage:
+
+    1. Class pairs come from :func:`_containment_cls_pairs_blocked`
+       with in-task per-contained top-k retention — the emitted stream
+       is ~n_cls * n_blocks * k rows, never the quadratic census.
+       (Sparse-vocab corpora take the prefix-filtered census path,
+       which prunes by assumption there.)
+    2. Per contained class, the top-k container CLASSES by (containment
+       DESC, rep ASC) — rep = the class's minimum member doc_id.
+    3. Expansion emits only each selected class's k smallest members
+       (cross) and each doc's k+1 smallest class-mates (intra, all at
+       containment exactly 1.0), then one final per-doc window takes k.
+
+    Exactness of the class-level cut (stage 2+3 vs the doc-level
+    definition): docs of one class share one containment value, and a
+    class's members are all >= its rep.  For any tie group of classes
+    at containment c, keeping the k classes with smallest reps keeps k
+    member docs smaller than every member of any dropped class, so no
+    dropped class can reach the per-doc top-k under (containment DESC,
+    doc_b ASC); classes with strictly smaller containment than k kept
+    classes are likewise unreachable.  Within a kept class only the k
+    smallest members can place.  The in-task retention of stage 1
+    carries a 1.1e-6 slack past the k-th unrounded value, covering
+    every candidate that could tie after the final 6-decimal ROUND.
+    The oracle twin is therefore just the census SQL + one QUALIFY
+    row_number() — no engine trick leaks into the semantics."""
+    from pyspark.sql import Window
+
+    classes, reps, cgrams, rtoks, dfreq = _containment_structures(
+        docs, n=n, text_col=text_col
+    )
+    vocab = dfreq.count()
+    if 0 < vocab <= _CONTAIN_BLOCK_VOCAB_MAX:
+        cids = cgrams.select(
+            "cls", "sz",
+            F.expr("transform(grams, g -> xxhash64(g))").alias("gids"),
+        )
+        cls_pairs = _containment_cls_pairs_blocked(
+            cids, reps, threshold, k=k, round_to=round_to
+        )
+    else:
+        cls_pairs = _containment_cls_pairs_prefix(
+            cgrams, reps, rtoks, dfreq, threshold, round_to=round_to
+        )
+    # stage 2: top-k container classes per contained class
+    repb = reps.select(F.col("cls").alias("cb"), F.col("rep").alias("rep_b"))
+    w1 = Window.partitionBy("ca").orderBy(
+        F.desc("containment"), F.asc("rep_b")
+    )
+    top_cls = (
+        cls_pairs.join(repb, "cb")
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .select("ca", "cb", "containment")
+    )
+    # stage 3: k-sliced member expansion + final per-doc window
+    wm = Window.partitionBy("cls").orderBy("doc_id")
+    memk = (
+        classes.select("cls", "doc_id")
+        .withColumn("_mrn", F.row_number().over(wm))
+        .filter(F.col("_mrn") <= k + 1)
+    )
+    m = classes.select("doc_id", "cls")
+    cross = (
+        top_cls.join(
+            m.select(F.col("cls").alias("ca"), F.col("doc_id").alias("doc_a")),
+            "ca",
+        )
+        .join(
+            memk.filter(F.col("_mrn") <= k).select(
+                F.col("cls").alias("cb"), F.col("doc_id").alias("doc_b")
+            ),
+            "cb",
+        )
+        .select("doc_a", "doc_b", "containment")
+    )
+    intra = (
+        m.select("cls", F.col("doc_id").alias("doc_a"))
+        .join(memk.select("cls", F.col("doc_id").alias("doc_b")), "cls")
+        .filter(F.col("doc_b") != F.col("doc_a"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("containment"))
+    )
+    w2 = Window.partitionBy("doc_a").orderBy(
+        F.desc("containment"), F.asc("doc_b")
+    )
+    return (
+        cross.unionByName(intra)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("doc_a", "doc_b", "containment", "rank")
+    )
 
 
 # ------------------------------------------------------- semantic dedup
@@ -1856,18 +2198,20 @@ def paragraph_dedup_rewrite(
             ).alias("ptext"),
         )
     )
-    # packed first-occurrence key: para_idx < 1e6 at any realistic doc
-    # length (1e6 paragraphs x para_tokens tokens >> one document)
-    key = (F.col("doc_id") * F.lit(1000000) + F.col("para_idx")).cast(
-        "bigint"
-    )
+    # first occurrence = lexicographic min over (doc_id, para_idx) as a
+    # struct — overflow-free at any doc_id/para_idx (no packed-key
+    # arithmetic).  Ownership groups on (h, ptext), not the hash alone,
+    # so a 60-bit birthday collision between DISTINCT paragraph texts
+    # can never drop a paragraph — h only narrows the shuffle key.
     hashed = paras.select(
-        "doc_id", "para_idx", "ptext", _hash60(F.col("ptext")).alias("h"),
-        key.alias("okey"),
+        "doc_id", "para_idx", "ptext", _hash60(F.col("ptext")).alias("h")
     )
-    owner = hashed.groupBy("h").agg(F.min("okey").alias("first_key"))
-    kept = hashed.join(owner, "h").where(
-        F.col("okey") == F.col("first_key")
+    owner = hashed.groupBy("h", "ptext").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("_first")
+    )
+    kept = hashed.join(owner, ["h", "ptext"]).where(
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("para_idx") == F.col("_first.para_idx"))
     )
     agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("kept_paras"),

@@ -226,19 +226,26 @@ def bloom_member_flags(
     true member passes (no false negatives, tested); non-members pass
     with probability ~ fill_ratio**k.  The bit set joins broadcast
     (<= m_bits rows); membership is a per-row k-probe lookup, so the
-    probe side streams at scan rate with no key-set shuffle."""
+    probe side streams at scan rate with no key-set shuffle.  Rows are
+    tagged with a per-row id before the k-way explode so duplicate
+    probe rows count their k hits independently (a naive groupBy over
+    the payload columns would merge duplicates into dup_count*k hits
+    and reject true members); output multiplicity matches the input."""
     i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
     cols = probes.columns
-    probed = probes.select(
-        *cols, F.col(key_col).cast("string").alias("_s")
-    ).select(*cols, i, F.col("_s"))
+    tagged = probes.withColumn("_rid", F.monotonically_increasing_id())
+    probed = tagged.select(
+        "_rid", *cols, F.col(key_col).cast("string").alias("_s")
+    ).select("_rid", *cols, i, F.col("_s"))
     probed = probed.select(
-        *cols, _bloom_bit(F.col("_s"), F.col("i"), m_bits).alias("bit")
+        "_rid",
+        *cols,
+        _bloom_bit(F.col("_s"), F.col("i"), m_bits).alias("bit"),
     )
     return (
         probed.join(F.broadcast(bits), "bit")
-        .groupBy(*cols)
+        .groupBy("_rid", *cols)
         .agg(F.count(F.lit(1)).alias("_hits"))
         .where(F.col("_hits") == k)
-        .drop("_hits")
+        .drop("_hits", "_rid")
     )

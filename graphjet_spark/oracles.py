@@ -3295,6 +3295,28 @@ WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE), {round_to})
 """
 
 
+def containment_topk_sql(
+    n: int = 3, threshold: float = 0.6, k: int = 10, round_to: int = 6
+) -> str:
+    """Twin of operators/dedup.py::containment_topk — the census twin
+    ranked and sliced per contained doc.  The engine's two-stage
+    class-level cut is provably equal to this doc-level definition
+    (see the operator docstring), so no class machinery appears here:
+    the oracle IS the semantics."""
+    census = containment_pairs_sql(n, threshold, round_to)
+    return rf"""
+WITH census AS MATERIALIZED ({census})
+SELECT doc_a, doc_b, containment,
+       CAST(row_number() OVER (
+         PARTITION BY doc_a ORDER BY containment DESC, doc_b ASC
+       ) AS INT) AS rank
+FROM census
+QUALIFY row_number() OVER (
+  PARTITION BY doc_a ORDER BY containment DESC, doc_b ASC
+) <= {k}
+"""
+
+
 def bm25_topk_sql(
     query_terms: tuple[str, ...],
     k1: float = 1.2,
@@ -4531,7 +4553,8 @@ FROM pass GROUP BY doc_id
 def paragraph_dedup_sql(para_tokens: int = 16) -> str:
     """Twin of operators/dedup.py::paragraph_dedup_rewrite — same
     fixed-window paragraphs, same 60-bit md5-prefix content hash, same
-    packed (doc_id * 1e6 + para_idx) first-occurrence key."""
+    struct-min (doc_id, para_idx) first-occurrence key grouped on
+    (h, ptext) so hash collisions cannot drop distinct paragraphs."""
     return rf"""
 WITH wd AS MATERIALIZED (
   SELECT doc_id,
@@ -4547,16 +4570,19 @@ st AS MATERIALIZED (
   FROM wd),
 paras AS MATERIALIZED (
   SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
-         array_to_string(w[s + 1 : s + {para_tokens}], ' ') AS ptext,
-         doc_id * 1000000 + para_idx AS okey
+         array_to_string(w[s + 1 : s + {para_tokens}], ' ') AS ptext
   FROM st),
 hashed AS MATERIALIZED (
   SELECT *, ('0x' || substr(md5(ptext), 1, 15))::BIGINT AS h FROM paras),
 own AS MATERIALIZED (
-  SELECT h, MIN(okey) AS first_key FROM hashed GROUP BY h),
+  SELECT h, ptext,
+         (MIN({{'d': doc_id, 'p': para_idx}})).d AS fdoc,
+         (MIN({{'d': doc_id, 'p': para_idx}})).p AS fpar
+  FROM hashed GROUP BY h, ptext),
 kept AS MATERIALIZED (
   SELECT p.doc_id, p.para_idx, p.ptext
-  FROM hashed p JOIN own USING (h) WHERE p.okey = own.first_key),
+  FROM hashed p JOIN own USING (h, ptext)
+  WHERE p.doc_id = own.fdoc AND p.para_idx = own.fpar),
 agg AS MATERIALIZED (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_paras,
          string_agg(ptext, ' ' ORDER BY para_idx) AS new_text

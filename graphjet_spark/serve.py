@@ -22,6 +22,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -77,8 +78,12 @@ class QueryServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *args):  # quiet test runs
-                pass
+            def log_message(self, fmt, *args):
+                # route access/error lines to the logging module (debug
+                # level, so test runs stay quiet) instead of discarding
+                logging.getLogger("graphjet_spark.serve").debug(
+                    "%s %s", self.address_string(), fmt % args
+                )
 
             def _send(self, code: int, payload: dict):
                 body = json.dumps(payload).encode()

@@ -107,7 +107,12 @@ def write_edgelist(
     """Write ``(src, dst[, weight])`` as delimited text, one edge per
     line — the SNAP interchange shape.  Partition-parallel (one file
     per task, no coalesce: a 100 TB export must not funnel through one
-    writer)."""
+    writer), published stage-and-rename via
+    :func:`graphjet_spark.sources.committer.commit_staged` so a killed
+    job leaves the output path untouched."""
+    from graphjet_spark.sources.committer import commit_staged
+
     cols = ["src", "dst"] + (["weight"] if weighted else [])
     line = F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
-    edges.select(line.alias("value")).write.mode(mode).text(path)
+    sel = edges.select(line.alias("value"))
+    commit_staged(path, mode, lambda stage: sel.write.text(stage))

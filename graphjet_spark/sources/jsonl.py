@@ -80,5 +80,9 @@ def write_jsonl_docs(
 ) -> None:
     """Write a document corpus as JSONL — one JSON object per line,
     partition-parallel (the export of a 100 TB keep-listed corpus must
-    not funnel through one writer)."""
-    docs.write.mode(mode).json(path)
+    not funnel through one writer), published stage-and-rename via
+    :func:`graphjet_spark.sources.committer.commit_staged` so a killed
+    job leaves the output path untouched."""
+    from graphjet_spark.sources.committer import commit_staged
+
+    commit_staged(path, mode, lambda stage: docs.write.json(stage))

@@ -35,17 +35,17 @@ streaming ``zlib`` decompression (each member's extent is discovered
 by decompressing it), never magic-byte scanning, which compressed
 payload bytes could spoof.
 
-Honest caveat: the writer targets a shared filesystem path and does
-not implement a Hadoop output-committer (a killed job can leave
-partial part files — production would stage + rename, the discipline
-``plans/checkpoints.py`` applies to engine state).
+Commit discipline: the writer stages all part files and publishes the
+output with one atomic rename (:mod:`graphjet_spark.sources.
+committer`) — a killed job leaves the target path untouched, the
+same stage-and-rename contract ``plans/checkpoints.py`` applies to
+engine state (kill-mid-write pinned by pytest).
 """
 
 from __future__ import annotations
 
 import gzip
 import os
-import shutil
 import zlib
 from datetime import datetime, timezone
 from typing import Iterator
@@ -54,6 +54,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from graphjet_spark.sources.committer import commit_staged
 
 _READ_SCHEMA = T.StructType(
     [
@@ -95,11 +97,9 @@ def write_warc_pages(
     """Export pages ``(url, warc_ts, html, lang)`` as WARC response
     records, one ``.warc`` (or ``.warc.gz``, one gzip member per
     record — Common Crawl's layout) file per partition
-    (partition-parallel; see the module docstring for the committer
-    caveat)."""
-    if mode == "overwrite":
-        shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    (partition-parallel), published with the stage-and-rename commit
+    of :func:`graphjet_spark.sources.committer.commit_staged` — a
+    killed job leaves the output path untouched."""
     ext = ".warc.gz" if compress else ".warc"
     sel = pages.select(
         F.col("url"),
@@ -108,22 +108,29 @@ def write_warc_pages(
         F.col("lang"),
     )
 
-    def _write(idx: int, rows) -> Iterator[int]:
-        fn = os.path.join(path, f"part-{idx:05d}{ext}")
-        n = 0
-        with open(fn, "wb") as f:
-            for r in rows:
-                rec = _record(r.url, r.warc_epoch, bytes(r.html), r.lang)
-                # mtime=0 keeps members deterministic run-to-run
-                f.write(
-                    gzip.compress(rec, 6, mtime=0) if compress else rec
-                )
-                n += 1
-        if n == 0:
-            os.remove(fn)
-        yield n
+    def _job(stage: str) -> None:
+        os.makedirs(stage, exist_ok=True)
 
-    sel.rdd.mapPartitionsWithIndex(_write).sum()
+        def _write(idx: int, rows) -> Iterator[int]:
+            fn = os.path.join(stage, f"part-{idx:05d}{ext}")
+            n = 0
+            with open(fn, "wb") as f:
+                for r in rows:
+                    rec = _record(r.url, r.warc_epoch, bytes(r.html), r.lang)
+                    # mtime=0 keeps members deterministic run-to-run
+                    f.write(
+                        gzip.compress(rec, 6, mtime=0) if compress else rec
+                    )
+                    n += 1
+            if n == 0:
+                os.remove(fn)
+            yield n
+
+        sel.rdd.mapPartitionsWithIndex(_write).sum()
+        # job-level success marker, the Hadoop-committer convention
+        open(os.path.join(stage, "_SUCCESS"), "wb").close()
+
+    commit_staged(path, mode, _job)
 
 
 def _gzip_members(buf: bytes) -> Iterator[bytes]:

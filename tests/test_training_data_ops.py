@@ -1344,6 +1344,83 @@ def test_containment_pairs_mirror(spark, docs):
     assert (0, 6) not in got
 
 
+def test_containment_regime_equality(spark, monkeypatch):
+    """The blocked in-task intersection path and the prefix-filtered
+    candidate path are the SAME census: identical qualifying pairs and
+    identical rounded values on a corpus with dup classes, subset
+    quotes, and containment ties."""
+    import graphjet_spark.operators.dedup as dd
+
+    corpus = [
+        (10, "a b c d"),
+        (14, "a b c d"),          # dup class with 10
+        (11, "a b c x"),
+        (20, "a b c x"),          # dup class with 11
+        (12, "a b d y"),
+        (13, "b c d z"),
+        (15, "a b c d e f g h"),  # superset: 10/14 contained at 1.0
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+
+    def census(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.containment)
+            for r in dd.containment_pairs(df, n=1, threshold=0.7).collect()
+        )
+
+    blocked = census(df)  # tiny vocab -> blocked regime
+    monkeypatch.setattr(dd, "_CONTAIN_BLOCK_VOCAB_MAX", 0)
+    prefix = census(df)
+    assert blocked == prefix and len(blocked) > 0
+
+
+def test_containment_topk_matches_census_slice(spark, monkeypatch):
+    """containment_topk == containment_pairs ranked by (containment
+    DESC, doc_b ASC) and sliced per doc — exercised on ties at 1.0
+    (intra-mate vs superset), cross-class ties at 0.75 with interleaved
+    doc ids, dup classes, and every k in 1..5; both vocab regimes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import graphjet_spark.operators.dedup as dd
+
+    corpus = [
+        (10, "a b c d"),
+        (14, "a b c d"),
+        (11, "a b c x"),
+        (20, "a b c x"),
+        (12, "a b d y"),
+        (13, "b c d z"),
+        (15, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    census = dd.containment_pairs(df, n=1, threshold=0.7)
+    for vocab_max in (dd._CONTAIN_BLOCK_VOCAB_MAX, 0):
+        monkeypatch.setattr(dd, "_CONTAIN_BLOCK_VOCAB_MAX", vocab_max)
+        for k in range(1, 6):
+            w = Window.partitionBy("doc_a").orderBy(
+                F.desc("containment"), F.asc("doc_b")
+            )
+            want = sorted(
+                map(
+                    tuple,
+                    census.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= k)
+                    .select("doc_a", "doc_b", "containment", "rank")
+                    .collect(),
+                )
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    dd.containment_topk(
+                        df, n=1, threshold=0.7, k=k
+                    ).collect(),
+                )
+            )
+            assert got == want, (vocab_max, k)
+
+
 def test_bm25_topk_mirror(spark, docs):
     """Okapi BM25 (+1-in-log IDF) vs a literal mirror over the fixture
     corpus; ranking and scores must match to 1e-9."""
@@ -2003,6 +2080,31 @@ def test_bloom_member_flags_no_false_negatives(spark):
     assert {f"key{i}" for i in range(50)} <= got  # every member passes
 
 
+def test_bloom_member_flags_duplicate_probes(spark):
+    """No false negatives on NON-distinct probes: duplicated member
+    rows each pass independently, with multiplicity preserved (the r3
+    ADVICE repro — a payload-column groupBy merged duplicates into
+    dup_count*k hits and rejected true members)."""
+    from graphjet_spark.operators.sketches import bloom_bits, bloom_member_flags
+
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(10)], "k string"
+    )
+    bits = bloom_bits(members, "k", m_bits=256, k=3)
+    # key3 three times, key7 twice, one non-member-ish probe set
+    probe = spark.createDataFrame(
+        [("key3",), ("key3",), ("key3",), ("key7",), ("key7",)],
+        "k string",
+    )
+    got = sorted(
+        r.k
+        for r in bloom_member_flags(
+            probe, bits, "k", m_bits=256, k=3
+        ).collect()
+    )
+    assert got == ["key3", "key3", "key3", "key7", "key7"]
+
+
 def test_bloom_bits_mergeable(spark):
     from graphjet_spark.operators.sketches import bloom_bits
 
@@ -2040,11 +2142,33 @@ def test_paragraph_dedup_rewrite(spark):
     }
     assert got[0] == (2, 2, f"{p0} {p1}")
     assert got[1] == (2, 1, p2)      # p0 already owned by doc 0
-    # p2's first global occurrence is doc 1 idx 1 (key 1000001), which
-    # beats doc 2 idx 0 (key 2000000): doc 2's copies both drop
+    # p2's first global occurrence is (doc 1, idx 1), lexicographically
+    # before (doc 2, idx 0): doc 2's copies both drop
     assert got[2] == (2, 0, "")
     assert got[3] == (0, 0, "")
     assert got[4] == (1, 1, "m n")
+
+
+def test_paragraph_dedup_survives_hash_collision(spark, monkeypatch):
+    """Ownership groups on (h, ptext), not the hash alone: even under a
+    TOTAL 60-bit hash collision (every paragraph hashing to 0), distinct
+    paragraph texts must all survive (r3 ADVICE: birthday collisions at
+    billions of paragraphs must not drop distinct content)."""
+    from pyspark.sql import functions as F
+
+    import graphjet_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_hash60", lambda c: F.lit(0).cast("bigint"))
+    rows = [(0, "a b c d e f g h"), (1, "a b c d x y z w")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.kept_paras, r.text)
+        for r in dd.paragraph_dedup_rewrite(docs, para_tokens=4).collect()
+    }
+    # "a b c d" deduped (doc 0 wins); the three distinct paragraphs all
+    # survive despite identical hashes
+    assert got[0] == (2, "a b c d e f g h")
+    assert got[1] == (1, "x y z w")
 
 
 def test_paragraph_dedup_idempotent(spark):

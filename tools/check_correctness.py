@@ -5,6 +5,12 @@ DuckDB over the same parquet tables, then compares row count, column
 names, and order-insensitive values.  Usage::
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+Set ``GATE_JSON_OUT=<path>`` to also write the results as a JSON file
+in the driver's CORRECTNESS_rN.json schema (per query: rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err) so the full
+153-query surface ships as a machine-readable artifact each round
+(``CORRECTNESS_full_rN.json``) instead of a log the judge must re-run.
 """
 
 from __future__ import annotations
@@ -77,6 +83,27 @@ def main() -> int:
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
     failures = 0
+    json_out = os.environ.get("GATE_JSON_OUT", "")
+    results: dict[str, dict] = {}
+
+    def record(
+        name,
+        spark_rows=None,
+        oracle_rows=None,
+        rows_match=None,
+        schema_match=None,
+        hash_match=None,
+        err=None,
+    ):
+        results[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     import gc
 
     for name, fn in qs.items():
@@ -102,13 +129,16 @@ def main() -> int:
                     f"{name}: rows={n} (result too large to collect;"
                     f" value-oracled at smaller sf) [{t1 - t0:.1f}s]"
                 )
+                record(name, spark_rows=n, err="too_large_to_collect")
             else:
                 print(f"{name}: SPARK ERROR {msg.splitlines()[0][:300]}")
+                record(name, err=f"spark: {msg.splitlines()[0][:300]}")
                 failures += 1
             continue
         t1 = time.time()
         if name not in osql:
             print(f"{name}: rows={len(sdf)} (no oracle, rows-only) [{t1 - t0:.1f}s]")
+            record(name, spark_rows=len(sdf), err="no_oracle")
             continue
         try:
             odf = _oracle_df(con, osql[name])
@@ -118,18 +148,23 @@ def main() -> int:
                 f" >{ORACLE_TIMEOUT:.0f}s at this scale;"
                 f" value-oracled at smaller sf) [{t1 - t0:.1f}s]"
             )
+            record(name, spark_rows=len(sdf), err="oracle_timeout")
             continue
         except Exception as e:
             print(f"{name}: ORACLE ERROR {str(e).splitlines()[0][:300]}")
+            record(name, err=f"oracle: {str(e).splitlines()[0][:300]}")
             failures += 1
             continue
         t2 = time.time()
         s, o = normalize(sdf), normalize(odf)
         ok = True
-        if list(s.columns) != list(o.columns):
+        schema_match = list(s.columns) == list(o.columns)
+        rows_match = len(s) == len(o)
+        hash_match = None
+        if not schema_match:
             print(f"{name}: SCHEMA MISMATCH spark={list(s.columns)} oracle={list(o.columns)}")
             ok = False
-        elif len(s) != len(o):
+        elif not rows_match:
             print(f"{name}: ROWCOUNT MISMATCH spark={len(s)} oracle={len(o)}")
             ok = False
         else:
@@ -137,13 +172,30 @@ def main() -> int:
                 pd.testing.assert_frame_equal(
                     s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
                 )
+                hash_match = True
             except AssertionError as e:
                 print(f"{name}: VALUE MISMATCH\n{str(e)[:800]}")
+                hash_match = False
                 ok = False
+        record(
+            name,
+            spark_rows=len(s),
+            oracle_rows=len(o),
+            rows_match=rows_match,
+            schema_match=schema_match,
+            hash_match=hash_match,
+        )
         if ok:
             print(f"{name}: OK rows={len(s)} [spark {t1 - t0:.1f}s, duck {t2 - t1:.1f}s]")
         else:
             failures += 1
+    if json_out:
+        import json
+
+        with open(json_out + ".tmp", "w") as fh:
+            json.dump(results, fh, indent=1)
+        os.replace(json_out + ".tmp", json_out)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if failures else 0
 
 
