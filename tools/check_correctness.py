@@ -42,8 +42,17 @@ from graphjet_spark.session import get_spark  # noqa: E402
 from graphjet_spark.sources.testdata import TABLES  # noqa: E402
 
 
+# The oracle side shares the box with the engine's JVM heap; at soak
+# scales an uncapped in-process DuckDB (default limit: 80% of RAM)
+# plus a 48g driver heap overcommits physical memory (measured at
+# sf10: the gate's python grew to 77 GB RSS and the kernel OOM-killed
+# it mid-leg).  Cap DuckDB and let it spill instead.
+DUCK_MEM = os.environ.get("GATE_DUCK_MEM", "24GB")
+
+
 def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    con.sql(f"SET memory_limit='{DUCK_MEM}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
@@ -79,7 +88,6 @@ def main() -> int:
         # outputs at sf1 exceed the 1g default
         extra_conf={"spark.driver.maxResultSize": "6g"},
     )
-    con = duck_conn(sf_dir)
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
     failures = 0
@@ -140,6 +148,10 @@ def main() -> int:
             print(f"{name}: rows={len(sdf)} (no oracle, rows-only) [{t1 - t0:.1f}s]")
             record(name, spark_rows=len(sdf), err="no_oracle")
             continue
+        # fresh connection per query: a shared one retains its buffer
+        # pool across the whole soak (the 77 GB RSS OOM above); views
+        # are lazy so reconnecting costs nothing
+        con = duck_conn(sf_dir)
         try:
             odf = _oracle_df(con, osql[name])
         except duckdb.InterruptException:
@@ -155,6 +167,8 @@ def main() -> int:
             record(name, err=f"oracle: {str(e).splitlines()[0][:300]}")
             failures += 1
             continue
+        finally:
+            con.close()
         t2 = time.time()
         s, o = normalize(sdf), normalize(odf)
         ok = True
@@ -189,6 +203,9 @@ def main() -> int:
             print(f"{name}: OK rows={len(s)} [spark {t1 - t0:.1f}s, duck {t2 - t1:.1f}s]")
         else:
             failures += 1
+        # release the big frames before the next query's build — in a
+        # soak leg they otherwise stack on top of the JVM heap
+        del sdf, odf, s, o
     if json_out:
         import json
 
