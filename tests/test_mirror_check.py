@@ -47,6 +47,36 @@ def test_mirror_pagerank_matches_bruteforce():
     assert np.abs(got - r).max() < 1e-15
 
 
+def test_mirror_lp_matches_bruteforce():
+    mc = _load()
+    for seed in (0, 3):
+        src, dst = _graph(seed)
+        uids, srci, dsti = mc._compact(src, dst)
+        n = len(uids)
+        # brute force: distinct symmetrized neighbor sets, synchronous
+        # rounds, max label count with ties to the smaller label
+        nbrs = [set() for _ in range(n)]
+        for s, t in zip(srci, dsti):
+            if s != t:
+                nbrs[s].add(t)
+                nbrs[t].add(s)
+        lbl = list(range(n))
+        for _ in range(5):
+            new = lbl[:]
+            for v in range(n):
+                if not nbrs[v]:
+                    continue
+                counts: dict[int, int] = {}
+                for u in nbrs[v]:
+                    counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+                best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            lbl = new
+        want = uids[np.array(lbl)]
+        got = mc.mirror_lp(uids, srci, dsti, 5)
+        assert np.array_equal(got, want), seed
+
+
 def test_mirror_cc_matches_bfs():
     mc = _load()
     for seed in (0, 1, 2):

@@ -16,7 +16,12 @@ the engine against an INDEPENDENT mirror with no shared code path:
   init 1/n, new = (1-d)/n + d*dm/n + d*contrib);
 - connected components are recomputed with a segmented-min label
   flood (sort edges once per direction, ``np.minimum.reduceat`` per
-  round, pointer-jump compression) until fixpoint — exact, no float.
+  round, pointer-jump compression) until fixpoint — exact, no float;
+- label propagation is recomputed with per-round lexsorted run counts
+  over the distinct symmetrized adjacency (max neighbor-label count,
+  ties to the smaller label — plans/labelprop.py:62-73's
+  max(struct(cnt, -lbl)) exactly; compacted indices are
+  order-isomorphic to the original ids, so tie-breaks agree).
 
 Usage::
 
@@ -111,6 +116,36 @@ def mirror_cc(uids, srci, dsti):
     return uids[lbl]  # back to original-id labels
 
 
+def mirror_lp(uids, srci, dsti, iters: int):
+    """Exact synchronous label propagation over the DISTINCT
+    symmetrized adjacency: each round every vertex adopts its
+    neighbors' most frequent label, ties to the smaller label."""
+    n = len(uids)
+    a = np.concatenate([srci, dsti]).astype(np.int64)
+    b = np.concatenate([dsti, srci]).astype(np.int64)
+    keep = a != b
+    key = np.unique(a[keep] * n + b[keep])  # distinct, sorted by (a,b)
+    a2, b2 = key // n, key % n
+    del key
+    lbl = np.arange(n, dtype=np.int64)  # index labels ~ original ids
+    for _ in range(iters):
+        nl = lbl[b2]
+        order = np.lexsort((nl, a2))
+        ka, kl = a2[order], nl[order]
+        bound = np.r_[True, (ka[1:] != ka[:-1]) | (kl[1:] != kl[:-1])]
+        starts = np.flatnonzero(bound)
+        cnt = np.diff(np.r_[starts, len(ka)])
+        ra, rl = ka[starts], kl[starts]
+        # winner per vertex: max count, tie -> min label
+        order2 = np.lexsort((rl, -cnt, ra))
+        ra2 = ra[order2]
+        first = np.flatnonzero(np.r_[True, ra2[1:] != ra2[:-1]])
+        new = lbl.copy()
+        new[ra2[first]] = rl[order2][first]
+        lbl = new
+    return uids[lbl]
+
+
 def main() -> int:
     sf_dir = sys.argv[1]
     checks = sys.argv[2:] or ["pagerank", "cc"]
@@ -165,6 +200,33 @@ def main() -> int:
                 flush=True,
             )
             failures += 0 if ok else 1
+
+    if "lp" in checks:
+        from graphjet_spark.plans.labelprop import (  # noqa: E402
+            label_propagation,
+        )
+
+        t0 = time.time()
+        lp = label_propagation(
+            spark, tables.pairs, iters=entry_mod.LP_ITERS
+        ).toPandas()
+        t1 = time.time()
+        want = mirror_lp(uids, srci, dsti, entry_mod.LP_ITERS)
+        t2 = time.time()
+        got = np.full(len(uids), -1, dtype=np.int64)
+        got[np.searchsorted(uids, lp["id"].to_numpy())] = lp[
+            "label"
+        ].to_numpy()
+        bad = int((got != want).sum())
+        ok = bad == 0
+        print(
+            f"lp: {'MATCH labels equal' if ok else f'MISMATCH {bad} labels'}"
+            f" (n={len(uids)}, iters={entry_mod.LP_ITERS},"
+            f" distinct_labels={len(np.unique(want))})"
+            f" [spark {t1 - t0:.1f}s, numpy {t2 - t1:.1f}s]",
+            flush=True,
+        )
+        failures += 0 if ok else 1
 
     if "cc" in checks:
         t0 = time.time()
