@@ -1493,9 +1493,9 @@ def _containment_cls_pairs_blocked(
     directions are read off the one matrix (rows/sza and cols/szb).
 
     ``k``: per-CONTAINED-class in-task top-k retention (containment
-    descending, with a 1.1e-6 slack so candidates tied at the k-th
-    value after the final 6-decimal ROUND are never dropped before the
-    exact JVM ranking) — the bounded-output regime that keeps the
+    descending, with a 10^-round_to slack so candidates tied at the
+    k-th value after the final round_to-decimal ROUND are never dropped
+    before the exact JVM ranking) — the bounded-output regime that keeps the
     emitted stream ~n_cls * n_blocks * k instead of the full census.
     With ``k=None`` every qualifying pair is emitted (exact census,
     same values as the prefix path — intersections are exact ints and
@@ -1520,7 +1520,17 @@ def _containment_cls_pairs_blocked(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
         F.col("blk").alias("bj"),
     )
-    t_eps = threshold - 1e-6
+    # Both epsilons are DERIVED from round_to (r4 advisory: hardcoded
+    # 1e-6 values were calibrated to round_to=6 and silently dropped
+    # qualifying pairs at coarser rounding).  The final JVM filter is
+    # round(i/sza, round_to) >= threshold, so a raw value as low as
+    # threshold - 0.5*10^-round_to can still qualify; the in-task
+    # prefilter must keep at least that (plus a float guard).
+    t_eps = threshold - (0.5 * 10.0 ** -round_to + 1e-9)
+    # Top-k tie slack: two raw values rounding to the same round_to
+    # decimals differ by < 10^-round_to, so retaining everything within
+    # that of the k-th unrounded value covers every post-ROUND tie.
+    k_slack = 10.0 ** -round_to + 1e-9
     kk = k
 
     def _postings(pdf: pd.DataFrame):
@@ -1567,7 +1577,10 @@ def _containment_cls_pairs_blocked(
             return empty
         a_st, a_ct = a_st[ia], a_ct[ia]
         b_st, b_ct = b_st[ib], b_ct[ib]
-        M = np.zeros(nA * nB, dtype=np.int64)
+        # int32 accumulator (counts are bounded by gram-set sizes);
+        # bincount's int64 chunk result is folded in with a same-kind
+        # in-place cast, halving the persistent per-task matrix
+        M = np.zeros(nA * nB, dtype=np.int32)
         pair_cnt = a_ct * b_ct
         csum = np.cumsum(pair_cnt)
         chunk = 1 << 22
@@ -1595,7 +1608,7 @@ def _containment_cls_pairs_blocked(
                 kth = np.partition(contm, contm.shape[1] - take, axis=1)[
                     :, contm.shape[1] - take
                 ]
-                ok &= cont >= np.maximum(kth[:, None] - 1.1e-6, t_eps)
+                ok &= cont >= np.maximum(kth[:, None] - k_slack, t_eps)
             rr, cc = np.nonzero(ok)
             return ids_r[rr], ids_c[cc], Mm[rr, cc]
         outs = [_emit(M, ids_a, ids_b, sa)]
@@ -1882,8 +1895,9 @@ def containment_topk(
     doc_b ASC); classes with strictly smaller containment than k kept
     classes are likewise unreachable.  Within a kept class only the k
     smallest members can place.  The in-task retention of stage 1
-    carries a 1.1e-6 slack past the k-th unrounded value, covering
-    every candidate that could tie after the final 6-decimal ROUND.
+    carries a 10^-round_to slack past the k-th unrounded value,
+    covering every candidate that could tie after the final
+    round_to-decimal ROUND.
     The oracle twin is therefore just the census SQL + one QUALIFY
     row_number() — no engine trick leaks into the semantics."""
     from pyspark.sql import Window

@@ -230,10 +230,17 @@ def bloom_member_flags(
     tagged with a per-row id before the k-way explode so duplicate
     probe rows count their k hits independently (a naive groupBy over
     the payload columns would merge duplicates into dup_count*k hits
-    and reject true members); output multiplicity matches the input."""
+    and reject true members); output multiplicity matches the input.
+    The tagged frame is eagerly localCheckpoint'ed so the per-row ids
+    are PINNED before the probe join — monotonically_increasing_id is
+    partition-layout-dependent, and without the pin a task retry after
+    an upstream shuffle could re-derive different tags between the join
+    and the groupBy, merging or splitting probe rows."""
     i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
     cols = probes.columns
-    tagged = probes.withColumn("_rid", F.monotonically_increasing_id())
+    tagged = probes.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     probed = tagged.select(
         "_rid", *cols, F.col(key_col).cast("string").alias("_s")
     ).select("_rid", *cols, i, F.col("_s"))

@@ -33,10 +33,26 @@ def get_spark(
     this factory only contributes SQL/Arrow conf.
     """
     if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    # Multi-executor profile (SPARK_GRAFT_MASTER=local-cluster[2,4,4096]
+    # or a real cluster URL): separate executor JVMs + one Python worker
+    # pool per executor, exercising cross-JVM shuffle, closure
+    # serialization and broadcast distribution — the axes plain local[N]
+    # cannot.  For local-cluster the bracketed memory field is per
+    # executor in MB; spark.executor.memory must agree or the worker
+    # rejects the executor allocation.
+    executor_mem_mb: int | None = None
+    if master.startswith("local-cluster["):
+        try:
+            executor_mem_mb = int(master.rstrip("]").split(",")[2])
+        except (IndexError, ValueError):
+            executor_mem_mb = None
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -61,6 +77,23 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if executor_mem_mb is not None:
+        builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")
+    if not master.startswith("local[") and not master.startswith("local "):
+        # Executor-side Python workers are separate processes under
+        # separate JVMs: they inherit the WORKER's environment, not the
+        # driver's sys.path, so the engine package (and any repo module
+        # a pickled closure references) must reach them via PYTHONPATH
+        # (the session-factory equivalent of spark-submit --py-files;
+        # found the hard way — cogrouped-Arrow kernels and RDD sink
+        # closures died with ModuleNotFoundError under local-cluster
+        # while every plain-column plan sailed through).
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pypath = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            repo_root + (os.pathsep + pypath if pypath else ""),
+        )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         # tmpfs shuffle dirs: local-mode shuffles are disk-bound well

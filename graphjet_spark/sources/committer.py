@@ -41,12 +41,25 @@ def commit_staged(
 
     ``mode`` mirrors Spark writer semantics: ``overwrite`` replaces any
     existing output at commit time; ``error`` / ``errorifexists``
-    raises BEFORE any work if ``path`` exists.  Failures inside
-    ``write_fn`` propagate with ``path`` untouched.
+    raises BEFORE any work if ``path`` exists; ``ignore`` is a no-op
+    when ``path`` exists (Spark's DataFrameWriter contract).  ``append``
+    is NOT supported: appending part files into a live directory has no
+    atomic commit point under stage-and-rename, which is the whole
+    guarantee of this module — callers get an explicit error instead of
+    a silently unsafe write.  Failures inside ``write_fn`` propagate
+    with ``path`` untouched.
     """
-    if mode not in ("overwrite", "error", "errorifexists"):
+    if mode == "append":
+        raise ValueError(
+            "sink mode 'append' is not supported by staged commit: "
+            "appending has no atomic publish point; write to a fresh "
+            "path and union at read time instead"
+        )
+    if mode not in ("overwrite", "error", "errorifexists", "ignore"):
         raise ValueError(f"unsupported sink mode {mode!r}")
-    if mode != "overwrite" and os.path.exists(path):
+    if mode == "ignore" and os.path.exists(path):
+        return
+    if mode in ("error", "errorifexists") and os.path.exists(path):
         raise FileExistsError(f"output path {path!r} already exists")
     stage = path + STAGE_SUFFIX
     if os.path.exists(stage):  # stale staging from a killed attempt
@@ -56,6 +69,8 @@ def commit_staged(
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
-    if os.path.exists(path):
+    if os.path.isdir(path):
         shutil.rmtree(path)
+    elif os.path.exists(path):  # a plain file squatting on the target
+        os.remove(path)
     os.rename(stage, path)  # atomic commit point
