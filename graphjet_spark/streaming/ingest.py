@@ -41,10 +41,17 @@ PAGES_STREAM_SCHEMA = (
 )
 
 
-def stream_pages(spark: SparkSession, pages_dir: str) -> DataFrame:
+def stream_pages(
+    spark: SparkSession, pages_dir: str, *, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-stream source over a pages directory.  The trigger size is
+    the ingest-throughput knob: each microbatch pays fixed planning +
+    exactly-once commit cost, so a production ingest sized for
+    1M edges/s wants far fewer, larger batches than the default 4
+    (sized for fine-grained test replay)."""
     return (
         spark.readStream.schema(PAGES_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(pages_dir)
     )
 

@@ -88,7 +88,7 @@ def main() -> int:
     out_dir = os.path.join(work, "edges")
     ck_dir = os.path.join(work, "ck")
     t0 = time.time()
-    _stage_pages(pdf, pages_dir, files=64)
+    _stage_pages(pdf, pages_dir, files=32)
     stage_s = time.time() - t0
 
     # ---- serve side: warm the 5-query mix (materialized read path) --
@@ -105,7 +105,8 @@ def main() -> int:
 
     # ---- fire ingest + clients together -----------------------------
     stream = ingest.edge_stream(
-        ingest.stream_pages(spark, pages_dir), segment_seconds=60
+        ingest.stream_pages(spark, pages_dir, max_files_per_trigger=8),
+        segment_seconds=60,
     )
     stop_flag = threading.Event()
     counts = [0] * threads

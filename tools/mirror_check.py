@@ -272,17 +272,29 @@ def mirror_coreness(uids, srci, dsti, iters: int):
     return c
 
 
+class _SegMin:
+    """Reusable segmented-min structure: sort ``keys`` ONCE, then fold
+    changing values per call — the fixpoint loops re-aggregate the same
+    edge relation many times and must not pay the argsort each pass."""
+
+    def __init__(self, keys):
+        self.order = np.argsort(keys, kind="stable")
+        ks = keys[self.order]
+        self.starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        self.uk = ks[self.starts]
+
+    def fold(self, dest, vals):
+        if len(self.uk) == 0:
+            return
+        m = np.minimum.reduceat(vals[self.order], self.starts)
+        np.minimum.at(dest, self.uk, m)  # one write per distinct key
+
+
 def _minseg(dest, keys, vals):
-    """dest[k] = min(dest[k], min of vals where keys==k) — via one sort
-    + reduceat (no np.minimum.at, which is slow at 10^8 scale)."""
+    """dest[k] = min(dest[k], min of vals where keys==k)."""
     if len(keys) == 0:
         return
-    order = np.argsort(keys, kind="stable")
-    ks = keys[order]
-    st = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-    m = np.minimum.reduceat(vals[order], st)
-    uk = ks[st]
-    np.minimum.at(dest, uk, m)  # one write per distinct key — cheap
+    _SegMin(keys).fold(dest, vals)
 
 
 def mirror_scc(n, srci, dsti, max_rounds: int = 100):
@@ -320,9 +332,10 @@ def mirror_scc(n, srci, dsti, max_rounds: int = 100):
             break
         # --- forward-min coloring (min over self + ancestors) --------
         col = np.arange(n, dtype=np.int64)
+        fwd = _SegMin(d)
         while True:
             prev = col.copy()
-            _minseg(col, d, col[s])
+            fwd.fold(col, col[s])
             while True:  # pointer jumping: an ancestor's ancestor is mine
                 nxt = np.minimum(col, col[col])
                 if np.array_equal(nxt, col):
@@ -334,9 +347,10 @@ def mirror_scc(n, srci, dsti, max_rounds: int = 100):
         same = col[s] == col[d]
         cs, cd = s[same], d[same]
         cap = np.arange(n, dtype=np.int64)
+        bwd = _SegMin(cs)
         while True:
             prev = cap.copy()
-            _minseg(cap, cs, cap[cd])  # reach FROM src: gather descendants
+            bwd.fold(cap, cap[cd])  # reach FROM src: gather descendants
             while True:
                 nxt = np.minimum(cap, cap[cap])
                 if np.array_equal(nxt, cap):
