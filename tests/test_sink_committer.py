@@ -142,3 +142,47 @@ def test_jsonl_kill_mid_write_no_partial_output(spark, tmp_path):
         (1, "alpha"),
         (2, "beta"),
     ]
+
+
+def test_commit_staged_ignore_mode(tmp_path):
+    from graphjet_spark.sources.committer import commit_staged
+
+    out = tmp_path / "o"
+    out.mkdir()
+    (out / "keep").write_text("old")
+    ran = []
+    commit_staged(str(out), "ignore", lambda stage: ran.append(stage))
+    # Spark DataFrameWriter 'ignore' semantics: existing path => no-op
+    assert ran == [] and (out / "keep").read_text() == "old"
+    # absent path => behaves like a normal staged write
+    out2 = tmp_path / "o2"
+
+    def write(stage):
+        os.makedirs(stage)
+        with open(os.path.join(stage, "part"), "w") as f:
+            f.write("new")
+
+    commit_staged(str(out2), "ignore", write)
+    assert (out2 / "part").read_text() == "new"
+
+
+def test_commit_staged_append_rejected(tmp_path):
+    from graphjet_spark.sources.committer import commit_staged
+
+    with pytest.raises(ValueError, match="append"):
+        commit_staged(str(tmp_path / "x"), "append", lambda stage: None)
+
+
+def test_commit_staged_overwrites_plain_file_target(tmp_path):
+    from graphjet_spark.sources.committer import commit_staged
+
+    out = tmp_path / "f"
+    out.write_text("i am a plain file squatting on the sink path")
+
+    def write(stage):
+        os.makedirs(stage)
+        with open(os.path.join(stage, "part"), "w") as f:
+            f.write("new")
+
+    commit_staged(str(out), "overwrite", write)
+    assert out.is_dir() and (out / "part").read_text() == "new"
